@@ -1,0 +1,82 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** The CDC change-event envelope and its core transforms.
+  *
+  * Models the pgoutput/wal2json message stream the reference consumes:
+  * `(lsn, log)` pairs with a `tag` and optional `new`/`old` row images
+  * (`/root/reference/src/database/postgresql/PostgresLogicalPg.ts:21-23`,
+  * `/root/reference/src/mapping/customMapper.ts:12-24`). Three
+  * deliberate upgrades over the reference, per SURVEY §1.1/§7.4.7-8:
+  *
+  *  - the snake_case→camelCase rename is an explicit typed projection
+  *    (the reference blind-casts `data.new as Student`,
+  *    `customMapper.ts:23`, leaving the drift unreconciled);
+  *  - last-image-wins replay is ordered by LSN, so replaying a
+  *    duplicated micro-batch is idempotent (the reference auto-acks on
+  *    a timer even when the send failed, `PostgresOperation.ts:24-29`);
+  *  - transforms are plain `DataFrame => DataFrame` so the same code
+  *    runs batch (snapshot) and streaming (subscription) — the
+  *    reference's two disconnected paths (`main.ts:164-178`).
+  */
+object Envelope {
+
+  /** Row-image schema for the `students` table (FIXTURES.md §2). */
+  val rowImage: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("first_name", StringType),
+    StructField("last_name", StringType),
+    StructField("date_of_birth", StringType),
+    StructField("status_id", IntegerType)))
+
+  /** Full envelope: lsn + tag + table + new/old images. */
+  val schema: StructType = StructType(Seq(
+    StructField("lsn", StringType),
+    StructField("tag", StringType),
+    StructField("table", StringType),
+    StructField("new", rowImage),
+    StructField("old", StructType(Seq(StructField("id", LongType))))))
+
+  /** Transaction-control tags dropped by the reference's filter
+    * (`customMapper.ts:12-13`). */
+  val controlTags: Seq[String] = Seq("begin", "commit", "relation")
+
+  /** A4 — keep only row-change events. */
+  def tagFilter(df: DataFrame): Column =
+    !col("tag").isin(controlTags.map(x => x: Any): _*)
+
+  /** A5 — null-safe row-image extraction with the authoritative
+    * snake_case→camelCase mapping (FIXTURES.md §2 table). Delete events
+    * have no `new` image; their key comes from `old.id`. */
+  def project(df: DataFrame): DataFrame =
+    df.filter(tagFilter(df))
+      .select(
+        col("lsn"),
+        col("tag"),
+        coalesce(col("new.id"), col("old.id")).as("id"),
+        col("new.first_name").as("firstName"),
+        col("new.last_name").as("lastName"),
+        col("new.date_of_birth").cast(DateType).as("dateOfBirth"),
+        col("new.status_id").as("status"))
+
+  /** A9/Q19 — final-state replay: latest event per key wins (LSN order,
+    * fixed-width hex so lexicographic = numeric), deletes drop the key.
+    * Idempotent under duplicated batches: re-applying any prefix of
+    * already-seen events cannot change the winner. */
+  def lastImageByKey(projected: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("lsn").desc)
+    projected
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("tag") =!= "delete")
+      .drop("__rn", "lsn", "tag")
+  }
+
+  /** Parse a raw JSON-line DataFrame (one envelope per line) — the
+    * `from_json` edge for kafka-style value columns. */
+  def parse(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw.select(from_json(col(valueCol), schema).as("e")).select(col("e.*"))
+}

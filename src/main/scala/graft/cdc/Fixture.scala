@@ -1,0 +1,123 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths, Path}
+import java.nio.charset.StandardCharsets
+
+/** Deterministic CDC envelope fixture (FIXTURES.md §3): ~200 row events
+  * over 40 student ids with interleaved insert/update/delete, update
+  * chains, delete-then-reinsert, and begin/relation/commit noise that
+  * the tag filter must drop. Fixed LCG seed; fixed-width hex LSNs so
+  * lexicographic order == numeric order.
+  *
+  * The same event list feeds (a) the JSON-lines file Spark replays
+  * (batch for Q19, file-stream for parity tests) and (b) the DuckDB
+  * VALUES oracle built by [[valuesSql]] — one generator, two renders,
+  * so the oracle can't drift from the replayed input.
+  */
+object Fixture {
+
+  final case class Ev(
+      lsn: String, tag: String,
+      id: Long, firstName: String, lastName: String,
+      dateOfBirth: String, statusId: Int)
+
+  private val firstNames = Vector("Ada", "Grace", "Alan", "Edsger", "Barbara",
+    "Donald", "Leslie", "Tony", "John", "Margaret")
+  private val lastNames = Vector("Lovelace", "Hopper", "Turing", "Dijkstra",
+    "Liskov", "Knuth", "Lamport", "Hoare", "Backus", "Hamilton")
+
+  /** Row-change events only (insert/update/delete), LSN-ordered. */
+  lazy val rowEvents: Vector[Ev] = {
+    var seed = 42L
+    def next(n: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    val alive = scala.collection.mutable.Set[Long]()
+    val out = Vector.newBuilder[Ev]
+    var lsnSeq = 1
+    for (_ <- 0 until 200) {
+      val id = next(40).toLong
+      val lsn = f"0/${lsnSeq * 16}%08X"
+      lsnSeq += 1
+      val fn = firstNames(next(10))
+      val ln = lastNames(next(10))
+      val dob = f"19${60 + next(40)}%02d-${1 + next(12)}%02d-${1 + next(28)}%02d"
+      val st = 1 + next(2)
+      if (!alive(id)) {
+        alive += id
+        out += Ev(lsn, "insert", id, fn, ln, dob, st)
+      } else if (next(10) < 3) {
+        alive -= id
+        out += Ev(lsn, "delete", id, null, null, null, -1)
+      } else {
+        out += Ev(lsn, "update", id, fn, ln, dob, st)
+      }
+    }
+    out.result()
+  }
+
+  private def jsonLine(e: Ev): String = e.tag match {
+    case "delete" =>
+      s"""{"lsn": "${e.lsn}", "tag": "delete", "table": "students", "old": {"id": ${e.id}}}"""
+    case t =>
+      s"""{"lsn": "${e.lsn}", "tag": "$t", "table": "students", "new": {"id": ${e.id}, "first_name": "${e.firstName}", "last_name": "${e.lastName}", "date_of_birth": "${e.dateOfBirth}", "status_id": ${e.statusId}}}"""
+  }
+
+  /** All lines including transaction-control noise every 5 row events. */
+  lazy val jsonLines: Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var n = 0
+    b += s"""{"lsn": "0/00000001", "tag": "begin"}"""
+    b += s"""{"lsn": "0/00000002", "tag": "relation", "table": "students"}"""
+    rowEvents.foreach { e =>
+      b += jsonLine(e)
+      n += 1
+      if (n % 5 == 0) {
+        b += s"""{"lsn": "${e.lsn}F", "tag": "commit"}"""
+        b += s"""{"lsn": "${e.lsn}FF", "tag": "begin"}"""
+      }
+    }
+    b += s"""{"lsn": "0/FFFFFFFF", "tag": "commit"}"""
+    b.result()
+  }
+
+  /** Write the fixture (idempotent, deterministic content) and return
+    * the file path. Lives under the JVM temp dir — the harness has no
+    * writable data dir and the content is regenerable. */
+  def materialize(): String = {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_cdc_fixture")
+    Files.createDirectories(dir)
+    val f = dir.resolve("envelope.jsonl")
+    val content = jsonLines.mkString("\n")
+    if (!Files.exists(f) || !(new String(Files.readAllBytes(f), StandardCharsets.UTF_8) == content))
+      Files.write(f, content.getBytes(StandardCharsets.UTF_8))
+    f.toString
+  }
+
+  /** Same events as one chunk per micro-batch, for file-stream replay
+    * tests (one file == one batch under AvailableNow + maxFilesPerTrigger). */
+  def materializeChunks(nChunks: Int, duplicateChunk: Option[Int] = None): String = {
+    val dir = Files.createTempDirectory("graft_cdc_chunks")
+    val per = math.max(1, jsonLines.size / nChunks)
+    jsonLines.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+      Files.write(dir.resolve(f"chunk_$i%04d.jsonl"),
+        chunk.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      if (duplicateChunk.contains(i))
+        Files.write(dir.resolve(f"chunk_${i}%04d_dup.jsonl"),
+          chunk.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    dir.toString
+  }
+
+  /** DuckDB VALUES rendering of the row events, for the Q19 oracle. */
+  def valuesSql: String = {
+    val rows = rowEvents.map { e =>
+      if (e.tag == "delete")
+        s"('${e.lsn}', 'delete', ${e.id}, NULL, NULL, NULL, NULL)"
+      else
+        s"('${e.lsn}', '${e.tag}', ${e.id}, '${e.firstName}', '${e.lastName}', DATE '${e.dateOfBirth}', ${e.statusId})"
+    }
+    rows.mkString(",\n")
+  }
+}

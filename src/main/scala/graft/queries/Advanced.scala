@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+import graft.ops.AsOf
+import graft.cdc.{Envelope, Fixture}
+
+/** SURVEY §2C Q14–Q21: as-of join, JSON/array functions, dedup + HLL,
+  * tf-idf, vector top-k, CDC replay, time/session windows. Same
+  * determinism discipline as [[Relational]].
+  */
+object Advanced {
+
+  // Q14 — as-of join: each purchase event matched to the latest click by
+  // the same user at-or-before it. (SURVEY Q14's order↔event phrasing is
+  // degenerate on the generated data — events live in 2024, orders in
+  // 1995-2001 — so the as-of semantics are exercised within `events`.)
+  // Spark side: scalable union+window (graft.ops.AsOf); oracle: the
+  // explicit range-join + row_number emulation with identical tiebreak.
+  val q14 = QuerySpec(
+    "q14_asof_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      AsOf.join(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payloadCols = Seq("click_id"), rightTiebreak = "click_id")
+        .filter(col("asof_click_id").isNotNull)
+        .select(col("purchase_id"), col("user_id"), col("asof_click_id").as("click_id"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           |     c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+           |     j AS (SELECT p.purchase_id, p.user_id, c.click_id,
+           |                  ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+           |                                     ORDER BY c.ts DESC, c.click_id DESC) AS rn
+           |           FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+           |SELECT purchase_id, user_id, click_id FROM j WHERE rn = 1
+           |ORDER BY purchase_id""".stripMargin))
+
+  // Q15 — JSON parsing (from_json on the reference's envelope pattern,
+  // customMapper.ts:9 consumes parsed JSON) + integer-exact aggregation.
+  val q15 = QuerySpec(
+    "q15_json_props",
+    (s, d) =>
+      events(s, d)
+        .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(*) AS n,
+           |       CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k,
+           |       MIN(k) AS min_k, MAX(k) AS max_k
+           |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  // Q15b — array/higher-order-function battery over embeddings. All
+  // lambda arithmetic forced to double before any reduction; group sums
+  // of arbitrary floats via high-scale decimal (see Relational scaladoc).
+  val q15b = QuerySpec(
+    "q15b_array_fns",
+    (s, d) =>
+      embeddings(s, d)
+        .select(
+          col("vec_id"), col("label"),
+          col("embedding")(0).cast("double").as("first_el"),
+          size(col("embedding")).as("dim"),
+          array_min(col("embedding")).cast("double").as("min_el"),
+          round(expr("aggregate(slice(embedding, 1, 8), 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 6).as("head8_sum"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(col("first_el").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("avg_first"),
+          max(col("dim")).as("max_dim"),
+          min(col("min_el")).as("min_min"),
+          round(sum(col("head8_sum").cast("decimal(28,6)")).cast("double"), 4).as("sum_head8"))
+        .orderBy(col("label")),
+    Some("""WITH per AS (
+           |  SELECT vec_id, label,
+           |         CAST(embedding[1] AS DOUBLE) AS first_el,
+           |         len(embedding) AS dim,
+           |         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_el,
+           |         ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head8_sum
+           |  FROM embeddings)
+           |SELECT label, COUNT(*) AS n,
+           |       CAST(SUM(CAST(first_el AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS avg_first,
+           |       MAX(dim) AS max_dim, MIN(min_el) AS min_min,
+           |       ROUND(CAST(SUM(CAST(head8_sum AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_head8
+           |FROM per GROUP BY label ORDER BY label""".stripMargin))
+
+  // Q16 — exact dedup by content hash (sha2/sha256 agree byte-for-byte).
+  val q16 = QuerySpec(
+    "q16_dedup_exact",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("h", sha2(col("text"), 256))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct_hash"),
+          countDistinct(col("text")).as("n_distinct_text")),
+    Some("""SELECT COUNT(*) AS n_docs,
+           |       COUNT(DISTINCT sha256(text)) AS n_distinct_hash,
+           |       COUNT(DISTINCT text) AS n_distinct_text
+           |FROM documents""".stripMargin))
+
+  // Q16h — HLL approx distinct vs exact. No oracle by design: estimator
+  // internals differ across engines (SURVEY §7.4.4); the ScalaTest side
+  // asserts the ±5% band instead, the driver records rows-only.
+  val q16h = QuerySpec(
+    "q16_hll",
+    (s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("event_id")).as("exact_events"),
+          approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+        .orderBy(col("event_type")),
+    None)
+
+  // Q17 — tf-idf over the en corpus; corpus-size scalar joined in via
+  // broadcast cross-join (never collect()).
+  val q17 = QuerySpec(
+    "q17_tfidf",
+    (s, d) => {
+      val toks = documents(s, d)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val n = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      val df = toks.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(df, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .orderBy(col("score").desc, col("token"))
+        .limit(5)
+        .select(col("token"), col("tf"), col("df"), round(col("score"), 6).as("tfidf"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |             FROM documents WHERE lang = 'en'),
+           |     tok2 AS (SELECT * FROM tok WHERE token <> ''),
+           |     n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok2),
+           |     tf AS (SELECT token, COUNT(*) AS tf FROM tok2 GROUP BY token),
+           |     df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY token)
+           |SELECT tf.token, tf.tf, df.df,
+           |       ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+           |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+           |ORDER BY tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.token
+           |LIMIT 5""".stripMargin))
+
+  // Q18 — brute-force cosine top-k: norms computed once per vector
+  // (shared subplan), 5 query vectors broadcast against all candidates,
+  // per-query top-3 via ranking window over the tiny pair set. Dot
+  // product stays inside codegen via zip_with+aggregate HOFs — no UDF.
+  val q18 = QuerySpec(
+    "q18_vector_topk",
+    (s, d) => {
+      val e = embeddings(s, d).select(
+        col("vec_id"), col("embedding"),
+        sqrt(expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")).as("nrm"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val pairs = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)"))
+        .withColumn("cos", col("dot") / (col("nrm") * col("qn")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("vec_id").as("cid"), round(col("cos"), 6).as("cosine"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some("""WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           |                  CAST(unnest(embedding) AS DOUBLE) AS v
+           |           FROM embeddings),
+           |     n AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM f GROUP BY vec_id),
+           |     p AS (SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.v * b.v) AS dot
+           |           FROM f a JOIN f b ON a.i = b.i AND a.vec_id < 5 AND b.vec_id <> a.vec_id
+           |           GROUP BY 1, 2),
+           |     c AS (SELECT qid, cid, dot / (na.nrm * nb.nrm) AS cos
+           |           FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+           |     r AS (SELECT qid, cid, cos,
+           |                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+           |           FROM c)
+           |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
+           |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
+
+  // Q19 — CDC replay to final state: filter(A4) → null-safe typed
+  // projection(A5) → last-image-per-key by LSN(A9). The oracle applies
+  // the identical DML log (same generator) as a VALUES relation.
+  val q19 = QuerySpec(
+    "q19_cdc_replay",
+    (s, _) => {
+      val raw = s.read.schema(Envelope.schema).json(Fixture.materialize())
+      Envelope.lastImageByKey(Envelope.project(raw)).orderBy(col("id"))
+    },
+    Some(s"""WITH ev(lsn, tag, id, first_name, last_name, date_of_birth, status_id) AS (VALUES
+            |${Fixture.valuesSql}),
+            |last AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+            |         FROM ev WHERE tag IN ('insert', 'update', 'delete'))
+            |SELECT CAST(id AS BIGINT) AS id,
+            |       first_name AS "firstName", last_name AS "lastName",
+            |       CAST(date_of_birth AS DATE) AS "dateOfBirth",
+            |       CAST(status_id AS INTEGER) AS status
+            |FROM last WHERE rn = 1 AND tag <> 'delete' ORDER BY id""".stripMargin))
+
+  // Q20 — tumbling 5-minute windows, batch form; epoch-aligned buckets
+  // equal DuckDB time_bucket. Stream/batch parity is asserted in
+  // StreamingSpec (the streaming run with watermark must equal this).
+  val q20 = QuerySpec(
+    "q20_tumbling_window",
+    (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+        .orderBy(col("window_start"), col("event_type")),
+    Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           |       event_type, COUNT(*) AS cnt
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  // Q21 — session windows (30-minute gap), batch form via
+  // session_window; oracle = gaps-and-islands with the same
+  // split-at->=30min semantics. Streaming parity in StreamingSpec.
+  val q21 = QuerySpec(
+    "q21_session_window",
+    (s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("last_ts"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH g AS (
+           |  SELECT user_id, ts,
+           |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |                   >= INTERVAL 30 MINUTE
+           |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           |         THEN 1 ELSE 0 END AS new_s
+           |  FROM events),
+           |     sess AS (SELECT user_id, ts,
+           |                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |              FROM g)
+           |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, MAX(ts) AS last_ts
+           |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(q14, q15, q15b, q16, q16h, q17, q18, q19, q20, q21)
+}
