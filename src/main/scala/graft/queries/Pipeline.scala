@@ -1,0 +1,393 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+import graft.functions.{TextFns, VectorFns}
+
+/** LLM-training-data pipeline operators (SURVEY §2 B.7 + charter):
+  * text statistics, quality scoring, language ID, fingerprinting,
+  * MinHash signatures + LSH candidate pairs, exact n-gram Jaccard,
+  * SimHash, embedding near-dup via LSH buckets, LSH-bucketed ANN,
+  * multimodal binary plumbing.
+  *
+  * Oracle strategy: every hash/bucket here is md5- or integer-based
+  * (TextFns/VectorFns), so even the LSH pipelines are bit-identical in
+  * DuckDB — the oracle SQL is rendered from the same Scala constants
+  * (stopword lists, plane formula, seeds, thresholds) as the Spark
+  * expressions.
+  */
+object Pipeline {
+
+  private val toks = TextFns.tokensExpr("text")
+  private val duckToks = "list_filter(string_split(text, ' '), t -> t <> '')"
+  private val duckShingles =
+    "list_transform(range(greatest(len(toks)-2, 0)), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])"
+
+  // p1 — token counting per language: whitespace tokens + a regex
+  // ("BPE-ish" word-piece) count; all aggregates integer-exact.
+  val p1 = QuerySpec(
+    "p1_text_stats",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("toks", expr(toks))
+        .select(
+          col("lang"),
+          size(col("toks")).as("n_tok"),
+          length(col("text")).as("n_ch"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_re"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"),
+          max(col("n_tok")).as("max_tokens"),
+          sum(col("n_ch")).as("sum_chars"),
+          sum(col("n_re")).as("sum_regex_tokens"))
+        .orderBy(col("lang")),
+    Some(s"""WITH base AS (SELECT lang, $duckToks AS toks, text FROM documents)
+            |SELECT lang, COUNT(*) AS n_docs,
+            |       SUM(len(toks)) AS sum_tokens,
+            |       CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+            |       MAX(len(toks)) AS max_tokens,
+            |       SUM(length(text)) AS sum_chars,
+            |       SUM(len(regexp_extract_all(text, '[a-z]+'))) AS sum_regex_tokens
+            |FROM base GROUP BY lang ORDER BY lang""".stripMargin))
+
+  // p2 — per-document quality scoring: mean token length, type-token
+  // ratio, stopword ratio, rule-based flag. Integer divisions only →
+  // bit-identical doubles, no rounding needed.
+  val p2 = QuerySpec(
+    "p2_quality_score",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("toks", expr(toks))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("len_sum", expr(TextFns.tokenLenSumExpr("toks")))
+        .withColumn("n_uniq", size(array_distinct(col("toks"))))
+        .withColumn("n_stop", expr(TextFns.wordListCountExpr("toks", TextFns.stopwords.toMap.apply("en"))))
+        .select(
+          col("doc_id"),
+          col("n_tok"),
+          (col("len_sum").cast("double") / col("n_tok")).as("avg_tok_len"),
+          (col("n_uniq").cast("double") / col("n_tok")).as("ttr"),
+          (col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
+          when(col("n_tok") >= 30 &&
+            col("n_uniq").cast("double") / col("n_tok") >= 0.2 &&
+            col("n_stop").cast("double") / col("n_tok") <= 0.5, "good")
+            .otherwise("low").as("quality"))
+        .orderBy(col("doc_id")),
+    Some {
+      val en = TextFns.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |feat AS (SELECT doc_id, len(toks) AS n_tok,
+         |                list_sum(list_transform(toks, t -> length(t))) AS len_sum,
+         |                len(list_distinct(toks)) AS n_uniq,
+         |                list_sum(list_transform(toks, t -> CASE WHEN t IN ($en) THEN 1 ELSE 0 END)) AS n_stop
+         |         FROM base)
+         |SELECT doc_id, n_tok,
+         |       CAST(len_sum AS DOUBLE) / n_tok AS avg_tok_len,
+         |       CAST(n_uniq AS DOUBLE) / n_tok AS ttr,
+         |       CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+         |       CASE WHEN n_tok >= 30 AND CAST(n_uniq AS DOUBLE)/n_tok >= 0.2
+         |                 AND CAST(n_stop AS DOUBLE)/n_tok <= 0.5
+         |            THEN 'good' ELSE 'low' END AS quality
+         |FROM feat ORDER BY doc_id""".stripMargin
+    })
+
+  // p3 — language-ID heuristic: per-language stopword votes, argmax
+  // with alphabetical tiebreak, 'und' when no list matches. Confusion
+  // matrix against the generator's lang column.
+  val p3 = QuerySpec(
+    "p3_langid", {
+      val langs = TextFns.stopwords.map(_._1)
+      (s, d) => {
+        val scored = TextFns.stopwords.foldLeft(
+          documents(s, d).withColumn("toks", expr(toks))) {
+          case (df, (lg, words)) =>
+            df.withColumn(s"s_$lg", expr(TextFns.wordListCountExpr("toks", words)))
+        }
+        val g = greatest(langs.map(lg => col(s"s_$lg")): _*)
+        val pred = langs.foldRight(lit("und")) { (lg, rest) =>
+          when(col(s"s_$lg") === g && g > 0, lg).otherwise(rest)
+        }
+        // foldRight keeps alphabetical priority: first max wins.
+        scored.withColumn("pred", pred)
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred"))
+      }
+    },
+    Some {
+      val scoreCols = TextFns.stopwords.map { case (lg, words) =>
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        s"list_sum(list_transform(toks, t -> CASE WHEN t IN ($lst) THEN 1 ELSE 0 END)) AS s_$lg"
+      }.mkString(",\n                ")
+      val gExpr = TextFns.stopwords.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+      val whens = TextFns.stopwords.map(p => s"WHEN s_${p._1} = g AND g > 0 THEN '${p._1}'").mkString(" ")
+      s"""WITH base AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+         |scored AS (SELECT doc_id, lang,
+         |                $scoreCols
+         |         FROM base),
+         |withg AS (SELECT *, $gExpr AS g FROM scored),
+         |pred AS (SELECT lang, CASE $whens ELSE 'und' END AS pred FROM withg)
+         |SELECT lang, pred, COUNT(*) AS n FROM pred GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+    })
+
+  // p4 — document fingerprinting: order-sensitive rolling hash over the
+  // token stream + content md5. Pure int64 arithmetic → portable.
+  val p4 = QuerySpec(
+    "p4_fingerprint",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("toks", expr(toks))
+        .select(
+          col("doc_id"),
+          expr(TextFns.rollingHashExpr("toks")).as("fingerprint"),
+          md5(col("text")).as("content_md5"))
+        .orderBy(col("doc_id")),
+    Some("""WITH base AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+           |SELECT doc_id,
+           |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |                     list_transform(toks, t -> CAST(ascii(t)*31 + length(t) AS BIGINT))),
+           |                   (a, x) -> (a*131 + x) % 1000000007) AS fingerprint,
+           |       md5(text) AS content_md5
+           |FROM base ORDER BY doc_id""".stripMargin))
+
+  // p5 — MinHash signatures (4 seeds over 3-token shingles).
+  val p5 = QuerySpec(
+    "p5_minhash_sig",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("toks", expr(toks))
+        .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
+        .select(Seq(col("doc_id")) ++
+          (0 until 4).map(k => expr(TextFns.minhashExpr("sh", k)).as(s"mh$k")): _*)
+        .orderBy(col("doc_id")),
+    Some {
+      val mhs = (0 until 4).map(k =>
+        s"list_aggregate(list_transform(sh, t -> md5('${k}_' || t)), 'min') AS mh$k").mkString(",\n       ")
+      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |shs AS (SELECT doc_id, $duckShingles AS sh FROM base)
+         |SELECT doc_id,
+         |       $mhs
+         |FROM shs ORDER BY doc_id""".stripMargin
+    })
+
+  // p6 — MinHash LSH near-dup detection: 8 hashes → 2 bands of 4 →
+  // band-bucket join for candidates → exact shingle-Jaccard verify at
+  // 0.8. This is the 100 TB shape: candidates come from an equi-join on
+  // band values (shuffle on tiny band keys), never from an all-pairs
+  // product; the quadratic step touches only same-band docs.
+  val p6 = QuerySpec(
+    "p6_minhash_lsh_pairs",
+    (s, d) => {
+      val shs = documents(s, d)
+        .withColumn("toks", expr(toks))
+        .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
+        .select(col("doc_id"), col("sh"))
+      val sig = shs.select(Seq(col("doc_id"), col("sh")) ++
+        (0 until 8).map(k => expr(TextFns.minhashExpr("sh", k)).as(s"mh$k")): _*)
+      // concat (not concat_ws): a null minhash (empty doc) must yield a
+      // null band that joins nothing, matching SQL || semantics.
+      val bands = sig.select(col("doc_id"), lit(0).as("band_id"),
+          concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val"))
+        .unionByName(sig.select(col("doc_id"), lit(1).as("band_id"),
+          concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))
+      val a = bands.select(col("doc_id").as("da"), col("band_id"), col("band_val"))
+      val b = bands.select(col("doc_id").as("db"), col("band_id").as("band_id2"), col("band_val").as("band_val2"))
+      val cand = a.join(b,
+          col("band_id") === col("band_id2") && col("band_val") === col("band_val2") && col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      val ss = shs.select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
+      val sz = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val ssa = ss.select(col("doc_id").as("da"), col("s"))
+      val ssb = ss.select(col("doc_id").as("db2"), col("s").as("s2"))
+      val inter = cand
+        .join(ssa, "da")
+        .join(ssb, col("db") === col("db2") && col("s") === col("s2"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      val sza = sz.select(col("doc_id").as("da"), col("n").as("na"))
+      val szb = sz.select(col("doc_id").as("db"), col("n").as("nb"))
+      inter.join(sza, "da").join(szb, "db")
+        .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some {
+      val mhs = (0 until 8).map(k =>
+        s"list_aggregate(list_transform(sh, t -> md5('${k}_' || t)), 'min') AS mh$k").mkString(",\n       ")
+      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |shs AS (SELECT doc_id, $duckShingles AS sh FROM base),
+         |sig AS (SELECT doc_id, sh, $mhs FROM shs),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS band_val FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         |ss AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shs),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ss GROUP BY 1),
+         |ix AS (SELECT da, db, COUNT(*) AS inter
+         |       FROM cand JOIN ss x ON x.doc_id = da JOIN ss y ON y.doc_id = db AND y.s = x.s
+         |       GROUP BY 1, 2)
+         |SELECT da, db, ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |FROM ix JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+         |ORDER BY da, db""".stripMargin
+    })
+
+  // p7 — exact n-gram (3-shingle) Jaccard near-dup: the ground-truth
+  // variant of p6 (no LSH recall loss). All-pairs via shingle equi-join
+  // — correct at harness scale, the documented brute-force baseline.
+  val p7 = QuerySpec(
+    "p7_ngram_jaccard",
+    (s, d) => {
+      val ss = documents(s, d)
+        .withColumn("toks", expr(toks))
+        .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
+      val sz = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = ss.select(col("doc_id").as("da"), col("s"))
+      val b = ss.select(col("doc_id").as("db"), col("s").as("s2"))
+      val inter = a.join(b, col("s") === col("s2") && col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      val sza = sz.select(col("doc_id").as("da"), col("n").as("na"))
+      val szb = sz.select(col("doc_id").as("db"), col("n").as("nb"))
+      inter.join(sza, "da").join(szb, "db")
+        .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+            |shs AS (SELECT doc_id, $duckShingles AS sh FROM base),
+            |ss AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shs),
+            |sz AS (SELECT doc_id, COUNT(*) AS n FROM ss GROUP BY 1),
+            |ix AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+            |       FROM ss a JOIN ss b ON a.s = b.s AND a.doc_id < b.doc_id
+            |       GROUP BY 1, 2)
+            |SELECT da, db, ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+            |FROM ix JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+            |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+            |ORDER BY da, db""".stripMargin))
+
+  // p8 — 16-bit SimHash per document over the token multiset.
+  val p8 = QuerySpec(
+    "p8_simhash",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("toks", expr(toks))
+        .select(col("doc_id"), expr(TextFns.simhashExpr("toks")).as("simhash"))
+        .orderBy(col("doc_id")),
+    Some("""WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+           |SELECT doc_id,
+           |       array_to_string(list_transform(range(1, 17), j ->
+           |         CASE WHEN list_sum(list_transform(toks, t ->
+           |                CASE WHEN substr(md5(t), CAST(j AS INT), 1) IN ('8','9','a','b','c','d','e','f')
+           |                     THEN 1 ELSE -1 END)) >= 0
+           |              THEN '1' ELSE '0' END), '') AS simhash
+           |FROM base ORDER BY doc_id""".stripMargin))
+
+  private val nPlanes = 4
+  private val dim = 64
+  private val sparkBkt = VectorFns.lshBucketExpr("embedding", nPlanes, dim)
+  private val duckBkt = VectorFns.lshBucketSqlDuck("embedding", nPlanes, dim)
+
+  // p9 — embedding near-dup: candidate pairs restricted to a shared
+  // random-hyperplane LSH bucket (the scale path — bucket equi-join
+  // instead of all-pairs), cosine >= 0.30 verified in double.
+  val p9 = QuerySpec(
+    "p9_embedding_neardup",
+    (s, d) => {
+      val e = embeddings(s, d).select(
+        col("vec_id"), col("embedding"),
+        expr(sparkBkt).as("bkt"),
+        expr(VectorFns.normExpr("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("bkt"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("bkt").as("bkt2"), col("nrm").as("nb"))
+      a.join(b, col("bkt") === col("bkt2") && col("va") < col("vb"))
+        .withColumn("cos", expr(VectorFns.dotExpr("ea", "eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.30)
+        .select(col("va"), col("vb"), round(col("cos"), 6).as("cosine"))
+        .orderBy(col("va"), col("vb"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, $duckBkt AS bkt FROM embeddings),
+            |f AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+            |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+            |n AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM f GROUP BY 1),
+            |cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
+            |         FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+            |p AS (SELECT cand.va, cand.vb, SUM(x.v * y.v) AS dot
+            |      FROM cand JOIN f x ON x.vec_id = cand.va JOIN f y ON y.vec_id = cand.vb AND y.i = x.i
+            |      GROUP BY 1, 2),
+            |c AS (SELECT va, vb, dot / (na.nrm * nb.nrm) AS cos
+            |      FROM p JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb)
+            |SELECT va, vb, ROUND(cos, 6) AS cosine FROM c
+            |WHERE cos >= 0.30 ORDER BY va, vb""".stripMargin))
+
+  // p10 — LSH-bucketed ANN: per query vector, top-3 among same-bucket
+  // candidates only (recall-bounded, but candidate set is O(bucket)
+  // instead of O(n) — the IVF-style scale path next to q18's exact
+  // brute force).
+  val p10 = QuerySpec(
+    "p10_ann_lsh",
+    (s, d) => {
+      val e = embeddings(s, d).select(
+        col("vec_id"), col("embedding"),
+        expr(sparkBkt).as("bkt"),
+        expr(VectorFns.normExpr("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bkt").as("qbkt"), col("nrm").as("qn"))
+      val pairs = e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr(VectorFns.dotExpr("embedding", "qe")) / (col("nrm") * col("qn")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("vec_id").as("cid"), round(col("cos"), 6).as("cosine"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, $duckBkt AS bkt FROM embeddings),
+            |f AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+            |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+            |n AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM f GROUP BY 1),
+            |cand AS (SELECT q.vec_id AS qid, c.vec_id AS cid
+            |         FROM e q JOIN e c ON q.bkt = c.bkt AND q.vec_id < 5 AND c.vec_id <> q.vec_id),
+            |p AS (SELECT cand.qid, cand.cid, SUM(x.v * y.v) AS dot
+            |      FROM cand JOIN f x ON x.vec_id = cand.qid JOIN f y ON y.vec_id = cand.cid AND y.i = x.i
+            |      GROUP BY 1, 2),
+            |c AS (SELECT qid, cid, dot / (na.nrm * nb.nrm) AS cos
+            |      FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+            |r AS (SELECT qid, cid, cos,
+            |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+            |      FROM c)
+            |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
+            |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
+
+  // m1 — multimodal binary-column plumbing: text → utf8 bytes as the
+  // opaque payload, byte length / content hash / head sample. The
+  // decode/feature-extract stub lives in graft.multimodal (tested in
+  // ScalaTest); this query checks the binary column semantics are
+  // portable.
+  val m1 = QuerySpec(
+    "m1_multimodal_binary",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          sha2(col("text"), 256).as("content_sha"),
+          base64(encode(substring(col("text"), 1, 8), "UTF-8")).as("head_b64"),
+          col("lang"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |       octet_length(encode(text)) AS n_bytes,
+           |       sha256(text) AS content_sha,
+           |       base64(encode(substr(text, 1, 8))) AS head_b64,
+           |       lang
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, m1)
+}
