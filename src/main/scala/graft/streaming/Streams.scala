@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.cdc.Envelope
+
+/** Structured-Streaming surface (SURVEY §2 B.6), mirroring the
+  * reference's CDC pipeline lifecycle (`/root/reference/src/main.ts:
+  * 144-189`: subscribe → per-batch listener → sink → ack) on Spark's
+  * micro-batch model:
+  *
+  *  - `readStream` file source replays envelope JSON
+  *    (subscription, A1);
+  *  - `foreachBatch` is the literal equivalent of the reference's
+  *    `(lsn, messages) => effect` listener (A2);
+  *  - checkpointing replaces the reference's timer-based auto-ack
+  *    (A9) with commit-after-sink — at-least-once delivery with
+  *    idempotent last-image-wins application, instead of the
+  *    reference's ack-even-on-failure;
+  *  - watermarked windows / dedup / mapGroupsWithState cover the
+  *    event-time operator set absent from the reference (charter).
+  *
+  * Every transform is `DataFrame => DataFrame` shared with the batch
+  * path — batch/stream parity is asserted in StreamingSpec.
+  */
+object Streams {
+
+  /** CDC envelope file-stream (one JSON line per change event). */
+  def envelopeStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(Envelope.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Tumbling-window count by key with a watermark — streaming form of
+    * contract q20; identical plan fragment as the batch query. */
+  def tumblingCounts(events: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** Sliding-window count (window < slide interval covered too). */
+  def slidingCounts(events: DataFrame, window_ : String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** Session-window count per user — streaming form of contract q21. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("last_ts"))
+
+  /** Streaming dedup by event id within the watermark horizon —
+    * the exactly-once upgrade over the reference's blind auto-ack. */
+  def dedupWithinWatermark(events: DataFrame, idCol: String = "event_id",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Per-user running state machine over event_type via
+    * mapGroupsWithState: tracks (n_events, n_errors, last_type).
+    * Custom state the built-in aggs can't express (B.6). */
+  final case class UserState(userId: Long, nEvents: Long, nErrors: Long, lastType: String)
+
+  def userStateMachine(events: DataFrame)(implicit spark: SparkSession): Dataset[UserState] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_type")
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(uid, 0L, 0L, null))
+          val next = rows.foldLeft(prev) { (st, r) =>
+            UserState(uid, st.nEvents + 1,
+              st.nErrors + (if (r._2 == "error") 1L else 0L), r._2)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** foreachBatch sink: the reference's per-batch listener boundary
+    * (A2/A8). The handler runs after the batch is fully planned; the
+    * checkpoint commits only after it returns — commit-after-sink. */
+  def runForeachBatch(
+      stream: DataFrame,
+      checkpoint: String,
+      handler: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(handler)
+      .start()
+
+  /** Complete-mode memory sink for deterministic streaming tests. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =
+    df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

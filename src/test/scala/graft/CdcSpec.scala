@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cdc.{Envelope, Fixture}
+
+/** CDC semantics mirrored from the reference (SURVEY §5.3): tag filter
+  * (A4), null-safe projection (A5), last-image-wins replay (A9/Q19),
+  * idempotence under duplicated batches (§7.4.7).
+  */
+class CdcSpec extends SparkSuite {
+
+  private def raw = spark.read.schema(Envelope.schema).json(Fixture.materialize())
+
+  test("tag filter drops begin/relation/commit control events") {
+    val projected = Envelope.project(raw)
+    assert(projected.count() == Fixture.rowEvents.size)
+    assert(projected.filter(col("tag").isin("begin", "commit", "relation")).count() == 0)
+  }
+
+  test("delete events take their key from old.id (null-safe extraction)") {
+    val deletes = Envelope.project(raw).filter(col("tag") === "delete")
+    assert(deletes.count() == Fixture.rowEvents.count(_.tag == "delete"))
+    assert(deletes.filter(col("id").isNull).count() == 0)
+    assert(deletes.filter(col("firstName").isNotNull).count() == 0)
+  }
+
+  test("last-image-wins replay matches a sequential fold of the event log") {
+    // Reference model: apply events in LSN order into a map.
+    val expected = Fixture.rowEvents.foldLeft(Map.empty[Long, Fixture.Ev]) {
+      case (m, e) => if (e.tag == "delete") m - e.id else m + (e.id -> e)
+    }
+    val got = Envelope.lastImageByKey(Envelope.project(raw))
+      .select(col("id"), col("firstName"), col("lastName"), col("status"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) == ((e.firstName, e.lastName, e.statusId)), s"id=$id")
+    }
+  }
+
+  test("replaying a duplicated batch is idempotent (ack-after-sink upgrade)") {
+    val once = Envelope.lastImageByKey(Envelope.project(raw))
+    val twice = Envelope.lastImageByKey(Envelope.project(raw.union(raw)))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("fixture is deterministic and LSN-ordered") {
+    val lsns = Fixture.rowEvents.map(_.lsn)
+    assert(lsns == lsns.sorted, "fixed-width hex LSNs must sort lexicographically")
+    assert(Fixture.rowEvents.nonEmpty && Fixture.rowEvents.exists(_.tag == "delete")
+      && Fixture.rowEvents.exists(_.tag == "update"))
+    // delete-then-reinsert coverage (FIXTURES.md §3)
+    val byId = Fixture.rowEvents.groupBy(_.id)
+    assert(byId.values.exists(evs =>
+      evs.map(_.tag).containsSlice(Seq("delete", "insert"))))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.queries.{Advanced, Pipeline}
+import graft.sources.Tables
+
+class PipelineSpec extends SparkSuite {
+
+  test("exact n-gram Jaccard finds the planted near-duplicates") {
+    val pairs = Pipeline.p7.fn(spark, sf).collect()
+    assert(pairs.nonEmpty, "generator plants >=1 near-dup pair per corpus")
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("minhash-LSH candidates are a subset of exact pairs, with high recall here") {
+    val exact = Pipeline.p7.fn(spark, sf).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Pipeline.p6.fn(spark, sf).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty)
+  }
+
+  test("simhash is 16 bits of 0/1 and identical for identical token streams") {
+    val rows = Pipeline.p8.fn(spark, sf).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getString(1).matches("[01]{16}")))
+  }
+
+  test("HLL approx distinct within 5% of exact (q16h tolerance band)") {
+    Advanced.q16h.fn(spark, sf).collect().foreach { r =>
+      val (exactU, approxU) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approxU - exactU).toDouble / exactU <= 0.05,
+        s"approx=$approxU exact=$exactU")
+    }
+  }
+
+  test("multimodal: stub feature extraction is deterministic with fixed shape") {
+    val media = Multimodal.toMedia(Tables.documents(spark, sf))
+    val f1 = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.extractFeatures(media, dim = 8).collect().sortBy(_.doc_id)
+    assert(f1.length == 500)
+    assert(f1.forall(_.features.length == 8))
+    assert(f1.forall(m => m.features.forall(v => v >= 0.0f && v < 1.0f)))
+    assert(f1.zip(f2).forall { case (a, b) =>
+      a.n_bytes == b.n_bytes && a.features.sameElements(b.features) })
+  }
+
+  test("multimodal: frame sampling emits every k-th fixed-size chunk") {
+    val media = Multimodal.toMedia(Tables.documents(spark, sf).limit(10))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, everyK = 4)
+    val counts = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).collect()
+    val sizes = media.select(col("doc_id"), octet_length(col("media")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    counts.foreach { r =>
+      val expected = (math.ceil(sizes(r.getLong(0)) / 64.0).toInt + 3) / 4
+      assert(r.getLong(1) == expected, s"doc ${r.getLong(0)}")
+    }
+  }
+}
