@@ -28,16 +28,42 @@ object TextFns {
     s"CASE WHEN size($toks) >= $n THEN transform(sequence(0, size($toks)-$n), i -> concat_ws(' ', $parts)) ELSE CAST(array() AS ARRAY<STRING>) END"
   }
 
-  /** MinHash for one seed: lexicographic min of seeded md5 over the
-    * element multiset (min over multiset == min over set, so no
-    * distinct needed). */
-  def minhashExpr(arr: String, seed: Int): String =
-    s"array_min(transform($arr, t -> md5(concat('${seed}_', t))))"
+  /** MinHash base hash: md5 computed ONCE per element, folded to a
+    * 60-bit int (15 hex chars) mod p. The k per-seed hashes are then
+    * cheap affine transforms over this array ([[minhashExpr]]) instead
+    * of k full md5 passes — the classic (a*h+b) mod p family. p =
+    * 2^31-1 keeps a*h inside int64. */
+  val minhashP: Long = 2147483647L
 
-  /** 16-bit SimHash as a '0'/'1' string: bit j is the sign of the sum
-    * of ±1 votes from md5 nibble j of each element. */
+  def md5IntsExpr(arr: String): String =
+    s"transform($arr, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % $minhashP)"
+
+  /** DuckDB rendering of [[md5IntsExpr]] (hex literal cast). */
+  def md5IntsSqlDuck(arr: String): String =
+    s"list_transform($arr, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $minhashP)"
+
+  /** Seed-k multiplier/offset for the affine MinHash family. */
+  def minhashA(k: Int): Long = ((k + 1) * 2654435761L % minhashP) | 1L
+  def minhashB(k: Int): Long = (k.toLong * 40503L * 65537L) % minhashP
+
+  /** MinHash for seed k over a pre-hashed int array ([[md5IntsExpr]]):
+    * min over the multiset == min over the set, so no distinct needed.
+    * Same string renders in Spark and DuckDB (min vs list_min differ —
+    * pass the engine's min function name). */
+  def minhashExpr(intsArr: String, k: Int, minFn: String = "array_min"): String =
+    s"$minFn(transform($intsArr, h -> (${minhashA(k)} * h + ${minhashB(k)}) % $minhashP))"
+
+  def minhashSqlDuck(intsArr: String, k: Int): String =
+    s"list_aggregate(list_transform($intsArr, h -> (${minhashA(k)} * h + ${minhashB(k)}) % $minhashP), 'min')"
+
+  /** 16-bit SimHash as a '0'/'1' string: one md5 per element and ONE
+    * pass over the array with a 16-wide vote accumulator. (A
+    * per-bit-aggregate formulation looks natural but Catalyst's
+    * CollapseProject inlines the md5 array into all 16 aggregates —
+    * 16× the hashing.) Bit j is the sign of the summed ±1 votes from
+    * hex nibble j. */
   def simhashExpr(arr: String): String =
-    s"""array_join(transform(sequence(1, 16), j -> CASE WHEN aggregate($arr, 0, (a, t) -> a + (CASE WHEN substring(md5(t), j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END), '')"""
+    s"""array_join(transform(aggregate(transform($arr, t -> md5(t)), array_repeat(0, 16), (acc, h) -> transform(sequence(1, 16), j -> element_at(acc, j) + (CASE WHEN substring(h, j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))), v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '')"""
 
   /** Order-sensitive polynomial rolling hash over the token stream
     * (document fingerprint): acc*131 + ascii(t)*31 + len(t), mod 1e9+7. */

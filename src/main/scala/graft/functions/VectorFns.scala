@@ -16,10 +16,19 @@ package graft.functions
   */
 object VectorFns {
 
+  /** Reference HOF formulation — correct but interpreted
+    * (CodegenFallback); kept for parity testing against the native
+    * expression. Prefer [[fastDotExpr]] in hot paths. */
   def dotExpr(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
 
   def normExpr(a: String): String = s"sqrt(${dotExpr(a, a)})"
+
+  /** Codegen'd native dot product — bit-identical math to [[dotExpr]];
+    * requires graft.expressions.VectorExpressions.register(spark). */
+  def fastDotExpr(a: String, b: String): String = s"float_dot($a, $b)"
+
+  def fastNormExpr(a: String): String = s"sqrt(float_dot($a, $a))"
 
   /** Sign-bucket string over `nPlanes` deterministic hyperplanes.
     * j is the 0-based element index ($emb[j] is 0-based in Spark SQL). */

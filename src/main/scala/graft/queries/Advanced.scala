@@ -165,15 +165,15 @@ object Advanced {
   val q18 = QuerySpec(
     "q18_vector_topk",
     (s, d) => {
+      graft.expressions.VectorExpressions.register(s)
       val e = embeddings(s, d).select(
         col("vec_id"), col("embedding"),
-        sqrt(expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")).as("nrm"))
+        expr("sqrt(float_dot(embedding, embedding))").as("nrm"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
       val pairs = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("dot",
-          expr("aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)"))
+        .withColumn("dot", expr("float_dot(embedding, qe)"))
         .withColumn("cos", col("dot") / (col("nrm") * col("qn")))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       pairs.withColumn("rn", row_number().over(w))

@@ -154,24 +154,27 @@ object Pipeline {
            |       md5(text) AS content_md5
            |FROM base ORDER BY doc_id""".stripMargin))
 
-  // p5 — MinHash signatures (4 seeds over 3-token shingles).
+  // p5 — MinHash signatures: one md5 per shingle, then 4 affine hashes
+  // over the folded 60-bit ints (16× less hashing than seeded-md5).
   val p5 = QuerySpec(
     "p5_minhash_sig",
     (s, d) =>
       documents(s, d)
         .withColumn("toks", expr(toks))
         .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
+        .withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
         .select(Seq(col("doc_id")) ++
-          (0 until 4).map(k => expr(TextFns.minhashExpr("sh", k)).as(s"mh$k")): _*)
+          (0 until 4).map(k => expr(TextFns.minhashExpr("hs", k)).as(s"mh$k")): _*)
         .orderBy(col("doc_id")),
     Some {
       val mhs = (0 until 4).map(k =>
-        s"list_aggregate(list_transform(sh, t -> md5('${k}_' || t)), 'min') AS mh$k").mkString(",\n       ")
+        s"${TextFns.minhashSqlDuck("hs", k)} AS mh$k").mkString(",\n       ")
       s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |shs AS (SELECT doc_id, $duckShingles AS sh FROM base)
+         |shs AS (SELECT doc_id, $duckShingles AS sh FROM base),
+         |hsd AS (SELECT doc_id, ${TextFns.md5IntsSqlDuck("sh")} AS hs FROM shs)
          |SELECT doc_id,
          |       $mhs
-         |FROM shs ORDER BY doc_id""".stripMargin
+         |FROM hsd ORDER BY doc_id""".stripMargin
     })
 
   // p6 — MinHash LSH near-dup detection: 8 hashes → 2 bands of 4 →
@@ -182,24 +185,31 @@ object Pipeline {
   val p6 = QuerySpec(
     "p6_minhash_lsh_pairs",
     (s, d) => {
+      // Signatures and shingle sets are O(docs) and reused across the
+      // self-joins below — persist them, or Spark recomputes the whole
+      // md5 pipeline once per join branch (~6×). At cluster scale these
+      // are exactly the intermediates a pipeline materializes to a table.
       val shs = documents(s, d)
         .withColumn("toks", expr(toks))
         .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
         .select(col("doc_id"), col("sh"))
-      val sig = shs.select(Seq(col("doc_id"), col("sh")) ++
-        (0 until 8).map(k => expr(TextFns.minhashExpr("sh", k)).as(s"mh$k")): _*)
+        .persist()
+      val sig = shs.withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
+        .select(Seq(col("doc_id")) ++
+          (0 until 8).map(k => expr(TextFns.minhashExpr("hs", k)).as(s"mh$k")): _*)
       // concat (not concat_ws): a null minhash (empty doc) must yield a
       // null band that joins nothing, matching SQL || semantics.
       val bands = sig.select(col("doc_id"), lit(0).as("band_id"),
           concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val"))
         .unionByName(sig.select(col("doc_id"), lit(1).as("band_id"),
           concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))
+        .persist()
       val a = bands.select(col("doc_id").as("da"), col("band_id"), col("band_val"))
       val b = bands.select(col("doc_id").as("db"), col("band_id").as("band_id2"), col("band_val").as("band_val2"))
       val cand = a.join(b,
           col("band_id") === col("band_id2") && col("band_val") === col("band_val2") && col("da") < col("db"))
         .select(col("da"), col("db")).distinct()
-      val ss = shs.select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
+      val ss = shs.select(col("doc_id"), explode(array_distinct(col("sh"))).as("s")).persist()
       val sz = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val ssa = ss.select(col("doc_id").as("da"), col("s"))
       val ssb = ss.select(col("doc_id").as("db2"), col("s").as("s2"))
@@ -217,10 +227,11 @@ object Pipeline {
     },
     Some {
       val mhs = (0 until 8).map(k =>
-        s"list_aggregate(list_transform(sh, t -> md5('${k}_' || t)), 'min') AS mh$k").mkString(",\n       ")
+        s"${TextFns.minhashSqlDuck("hs", k)} AS mh$k").mkString(",\n       ")
       s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |shs AS (SELECT doc_id, $duckShingles AS sh FROM base),
-         |sig AS (SELECT doc_id, sh, $mhs FROM shs),
+         |hsd AS (SELECT doc_id, sh, ${TextFns.md5IntsSqlDuck("sh")} AS hs FROM shs),
+         |sig AS (SELECT doc_id, sh, $mhs FROM hsd),
          |bands AS (
          |  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS band_val FROM sig
          |  UNION ALL
@@ -249,6 +260,7 @@ object Pipeline {
         .withColumn("toks", expr(toks))
         .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
         .select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
+        .persist() // reused by both join sides + sizes
       val sz = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = ss.select(col("doc_id").as("da"), col("s"))
       val b = ss.select(col("doc_id").as("db"), col("s").as("s2"))
@@ -274,7 +286,8 @@ object Pipeline {
             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
             |ORDER BY da, db""".stripMargin))
 
-  // p8 — 16-bit SimHash per document over the token multiset.
+  // p8 — 16-bit SimHash per document over the token multiset (md5
+  // computed once per token, bits derived from the hex array).
   val p8 = QuerySpec(
     "p8_simhash",
     (s, d) =>
@@ -282,14 +295,15 @@ object Pipeline {
         .withColumn("toks", expr(toks))
         .select(col("doc_id"), expr(TextFns.simhashExpr("toks")).as("simhash"))
         .orderBy(col("doc_id")),
-    Some("""WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+    Some("""WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+           |th AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS h FROM base)
            |SELECT doc_id,
            |       array_to_string(list_transform(range(1, 17), j ->
-           |         CASE WHEN list_sum(list_transform(toks, t ->
-           |                CASE WHEN substr(md5(t), CAST(j AS INT), 1) IN ('8','9','a','b','c','d','e','f')
+           |         CASE WHEN list_sum(list_transform(h, x ->
+           |                CASE WHEN substr(x, CAST(j AS INT), 1) IN ('8','9','a','b','c','d','e','f')
            |                     THEN 1 ELSE -1 END)) >= 0
            |              THEN '1' ELSE '0' END), '') AS simhash
-           |FROM base ORDER BY doc_id""".stripMargin))
+           |FROM th ORDER BY doc_id""".stripMargin))
 
   private val nPlanes = 4
   private val dim = 64
@@ -302,14 +316,16 @@ object Pipeline {
   val p9 = QuerySpec(
     "p9_embedding_neardup",
     (s, d) => {
+      graft.expressions.VectorExpressions.register(s)
       val e = embeddings(s, d).select(
         col("vec_id"), col("embedding"),
         expr(sparkBkt).as("bkt"),
-        expr(VectorFns.normExpr("embedding")).as("nrm"))
+        expr(VectorFns.fastNormExpr("embedding")).as("nrm"))
+        .persist() // bucket+norm computed once, reused by both join sides
       val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("bkt"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("bkt").as("bkt2"), col("nrm").as("nb"))
       a.join(b, col("bkt") === col("bkt2") && col("va") < col("vb"))
-        .withColumn("cos", expr(VectorFns.dotExpr("ea", "eb")) / (col("na") * col("nb")))
+        .withColumn("cos", expr(VectorFns.fastDotExpr("ea", "eb")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.30)
         .select(col("va"), col("vb"), round(col("cos"), 6).as("cosine"))
         .orderBy(col("va"), col("vb"))
@@ -335,14 +351,16 @@ object Pipeline {
   val p10 = QuerySpec(
     "p10_ann_lsh",
     (s, d) => {
+      graft.expressions.VectorExpressions.register(s)
       val e = embeddings(s, d).select(
         col("vec_id"), col("embedding"),
         expr(sparkBkt).as("bkt"),
-        expr(VectorFns.normExpr("embedding")).as("nrm"))
+        expr(VectorFns.fastNormExpr("embedding")).as("nrm"))
+        .persist() // shared by the query side and the candidate side
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bkt").as("qbkt"), col("nrm").as("qn"))
       val pairs = e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
-        .withColumn("cos", expr(VectorFns.dotExpr("embedding", "qe")) / (col("nrm") * col("qn")))
+        .withColumn("cos", expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
