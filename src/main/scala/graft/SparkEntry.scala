@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def specs: Seq[QuerySpec] = Relational.all ++ Advanced.all ++ Pipeline.all
+  private def specs: Seq[QuerySpec] = Relational.all ++ Advanced.all ++ Pipeline.all ++ Extra.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+import graft.functions.VecCentroid
+
+/** Coverage queries for the remaining SURVEY §2 rows: non-equi range
+  * join, interval-overlap join, full ranking battery, map functions,
+  * typed-Aggregator UDAF.
+  */
+object Extra {
+
+  // q22 — theta/range join (B.3): classify lineitems into inline
+  // quantity bands via a non-equi join. The band table is 3 rows →
+  // broadcast nested-loop, the sane physical plan for tiny × huge.
+  private val bands = Seq(("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 60.0))
+
+  val q22 = QuerySpec(
+    "q22_range_join",
+    (s, d) => {
+      val b = s.createDataFrame(bands).toDF("band", "lo", "hi")
+      lineitem(s, d)
+        .join(broadcast(b), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .orderBy(col("band"))
+    },
+    Some {
+      val vals = bands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
+      s"""WITH bands(band, lo, hi) AS (VALUES $vals)
+         |SELECT band, COUNT(*) AS n,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+         |GROUP BY band ORDER BY band""".stripMargin
+    })
+
+  // q23 — interval-overlap join (B.3): user session intervals (30-min
+  // gap sessions, q21 semantics) overlapping fixed maintenance windows:
+  // s.start <= w.end AND w.start <= s.end.
+  private val windows = Seq(
+    ("w1", "2024-01-05 00:00:00", "2024-01-07 00:00:00"),
+    ("w2", "2024-01-15 12:00:00", "2024-01-16 00:00:00"),
+    ("w3", "2024-01-25 06:00:00", "2024-01-26 18:00:00"))
+
+  val q23 = QuerySpec(
+    "q23_interval_join",
+    (s, d) => {
+      val sessions = events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("ss"),
+          col("session_window.end").as("se"), col("n_events"))
+      val w = s.createDataFrame(windows).toDF("wname", "ws", "we")
+        .select(col("wname"), col("ws").cast("timestamp"), col("we").cast("timestamp"))
+      sessions
+        .join(broadcast(w), col("ss") <= col("we") && col("ws") <= col("se"))
+        .groupBy(col("wname"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy(col("wname"))
+    },
+    Some {
+      val vals = windows.map { case (n, a, b) => s"('$n', TIMESTAMP '$a', TIMESTAMP '$b')" }.mkString(", ")
+      // Session intervals via gaps-and-islands (same 30-min split
+      // semantics as q21); Spark's session_window end = last ts + gap.
+      s"""WITH g AS (
+         |  SELECT user_id, ts,
+         |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |                   >= INTERVAL 30 MINUTE
+         |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |sess0 AS (SELECT user_id, ts,
+         |                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |          FROM g),
+         |sess AS (SELECT user_id, MIN(ts) AS ss, MAX(ts) + INTERVAL 30 MINUTE AS se,
+         |                COUNT(*) AS n_events
+         |         FROM sess0 GROUP BY user_id, sid),
+         |w(wname, ws, we) AS (VALUES $vals)
+         |SELECT wname, COUNT(*) AS n_sessions, SUM(n_events) AS n_events
+         |FROM sess JOIN w ON ss <= we AND ws <= se
+         |GROUP BY wname ORDER BY wname""".stripMargin
+    })
+
+  // q24 — ranking battery (B.5): rank / dense_rank / percent_rank /
+  // ntile / cume_dist per order priority; top-5 rows per group by
+  // row_number keeps the output bounded.
+  val q24 = QuerySpec(
+    "q24_ranking_battery",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prnk", percent_rank().over(w))
+        .withColumn("tile", ntile(4).over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+           |       CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk,
+           |       CAST(drnk AS INTEGER) AS drnk, prnk, CAST(tile AS INTEGER) AS tile, cume
+           |FROM (
+           |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+           |         ROW_NUMBER()   OVER w AS rn,
+           |         RANK()         OVER w AS rnk,
+           |         DENSE_RANK()   OVER w AS drnk,
+           |         PERCENT_RANK() OVER w AS prnk,
+           |         NTILE(4)       OVER w AS tile,
+           |         CUME_DIST()    OVER w AS cume
+           |  FROM orders
+           |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+           |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin))
+
+  // q25 — map functions (B.2): build a string map per event, extract /
+  // enumerate keys / cardinality. (DuckDB map[key] yields a list —
+  // [1] unwraps; Spark element_at yields the scalar directly.)
+  val q25 = QuerySpec(
+    "q25_map_fns",
+    (s, d) =>
+      events(s, d)
+        .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+        .withColumn("m", map(lit("k"), col("k").cast("string"), lit("type"), col("event_type")))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "k").as("k_val"),
+          element_at(col("m"), "type").as("type_val"),
+          array_join(map_keys(col("m")), ",").as("keys"),
+          size(col("m")).as("m_size"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+           |       m['k'][1] AS k_val,
+           |       m['type'][1] AS type_val,
+           |       array_to_string(map_keys(m), ',') AS keys,
+           |       CAST(cardinality(m) AS INTEGER) AS m_size
+           |FROM (SELECT event_id,
+           |             MAP(['k', 'type'],
+           |                 [CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR), event_type]) AS m
+           |      FROM events)
+           |ORDER BY event_id""".stripMargin))
+
+  // p11 — typed Aggregator UDAF (B.8): per-label embedding centroid,
+  // first 4 dimensions. Same sum-then-divide order as the oracle;
+  // round(4) absorbs float addition-order drift.
+  val p11 = QuerySpec(
+    "p11_centroid_udaf",
+    (s, d) => {
+      import s.implicits._
+      val centroid = udaf(new VecCentroid(4))
+      embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(centroid(col("embedding")).as("c"))
+        .select(col("label"), posexplode(col("c")))
+        .select(col("label"), col("pos").as("dim"), round(col("col"), 4).as("c"))
+        .orderBy(col("label"), col("dim"))
+    },
+    Some("""WITH f AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+           |                  CAST(unnest(embedding) AS DOUBLE) AS v
+           |           FROM embeddings)
+           |SELECT label, i - 1 AS dim, ROUND(SUM(v) / COUNT(*), 4) AS c
+           |FROM f WHERE i <= 4 GROUP BY label, i
+           |ORDER BY label, dim""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(q22, q23, q24, q25, p11)
+}
