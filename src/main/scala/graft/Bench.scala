@@ -18,6 +18,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // harness files are single small parquets; default 128MB split =
+      // one scan task. 1MB splits let local[N] parallelize the scans
+      // (a real cluster gets this from many files/row groups instead).
+      .config("spark.sql.files.maxPartitionBytes", "1048576")
+      .config("spark.sql.files.openCostInBytes", "65536")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

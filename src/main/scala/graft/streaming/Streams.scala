@@ -93,6 +93,37 @@ object Streams {
       }
   }
 
+  /** Stream–static enrichment join (B.3): the reference's implied
+    * `students.status_id → status.id` FK lookup
+    * (`/root/reference/terraform/setup_database.sql:14`, never joined
+    * by the PoC) as a streaming enrich. The static side is broadcast —
+    * at scale a dimension lookup must never shuffle the stream. */
+  def enrichWithStatic(stream: DataFrame, static: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(static), keys, "left_outer")
+
+  /** Rate source smoke (B.1): synthetic rows/sec load generator. */
+  def rateSource(spark: SparkSession, rowsPerSecond: Int = 1000): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+
+  /** Snapshot-then-stream (A6, the lifecycle the reference wired but
+    * left commented out at `/root/reference/src/main.ts:164-178`):
+    * a batch snapshot unioned ahead of the change stream, resolved by
+    * last-image-wins. The snapshot is rendered as pseudo-events with an
+    * LSN below every real LSN, so [[Envelope.lastImageByKey]] dedups
+    * the overlap: any key re-seen in the stream takes the stream image,
+    * keys only in the snapshot keep the snapshot image. */
+  def snapshotThenStream(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+    val snapAsEvents = snapshot.select(
+      lit("0/00000000").as("lsn"),
+      lit("insert").as("tag"),
+      col("id"), col("firstName"), col("lastName"),
+      col("dateOfBirth"), col("status"))
+    Envelope.lastImageByKey(snapAsEvents.unionByName(
+      changes.select("lsn", "tag", "id", "firstName", "lastName", "dateOfBirth", "status")))
+  }
+
   /** foreachBatch sink: the reference's per-batch listener boundary
     * (A2/A8). The handler runs after the batch is fully planned; the
     * checkpoint commits only after it returns — commit-after-sink. */

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.cdc.{Envelope, Fixture}
+import graft.streaming.Streams
+
+class StreamsExtraSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("stream-static enrich joins the status lookup without shuffling the stream") {
+    val status = Seq((1, "active"), (2, "inactive")).toDF("status", "value")
+    val projected = Envelope.project(
+      spark.read.schema(Envelope.schema).json(Fixture.materialize()))
+    // batch check of the same transform the stream uses
+    val enriched = Streams.enrichWithStatic(projected, status, Seq("status"))
+    assert(enriched.filter(col("tag") =!= "delete").filter(col("value").isNull).count() == 0)
+    assert(enriched.count() == projected.count())
+    // plan must broadcast the static side
+    val plan = enriched.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("rate source produces rows under AvailableNow") {
+    val q = Streams.rateSource(spark, rowsPerSecond = 100)
+      .writeStream.format("memory").queryName("t_rate")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      var waited = 0
+      while (spark.table("t_rate").isEmpty && waited < 15000) {
+        Thread.sleep(500); waited += 500
+      }
+      assert(!spark.table("t_rate").isEmpty, "rate source produced no rows in 15s")
+      assert(spark.table("t_rate").columns.toSet == Set("timestamp", "value"))
+    } finally q.stop()
+  }
+
+  test("snapshot-then-stream: stream images win on overlap, snapshot-only keys survive") {
+    val snapshot = Seq(
+      (1000L, "Snap", "Shot", "1970-01-01", 1),   // key not in stream -> survives
+      (0L, "Old", "Image", "1970-01-01", 1))      // key 0 exists in stream -> overwritten
+      .toDF("id", "firstName", "lastName", "dateOfBirth", "status")
+      .withColumn("dateOfBirth", col("dateOfBirth").cast("date"))
+    val changes = Envelope.project(
+      spark.read.schema(Envelope.schema).json(Fixture.materialize()))
+    val merged = Streams.snapshotThenStream(snapshot, changes)
+    val streamFinal = Envelope.lastImageByKey(changes)
+    // expected: stream-final state, plus snapshot rows whose keys the
+    // stream never touched (id 0 IS touched -> its snapshot image must
+    // NOT survive, even if the stream's last event deleted it).
+    val touched = changes.select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(touched.contains(0L) && !touched.contains(1000L), "fixture precondition")
+    val expected = streamFinal.unionByName(
+      snapshot.filter(!col("id").isin(touched.toSeq: _*)))
+    assert(merged.exceptAll(expected).isEmpty && expected.exceptAll(merged).isEmpty)
+  }
+}
