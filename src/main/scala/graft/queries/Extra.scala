@@ -167,5 +167,78 @@ object Extra {
            |FROM f WHERE i <= 4 GROUP BY label, i
            |ORDER BY label, dim""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(q22, q23, q24, q25, p11)
+  // q26 — exact percentiles (B.4): Spark `percentile` and DuckDB
+  // `quantile_cont` both linearly interpolate over the sorted values —
+  // same arithmetic on the same doubles. The approx variant is q26b.
+  val q26 = QuerySpec(
+    "q26_percentile_exact",
+    (s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+           |       quantile_cont(o_totalprice, 0.5) AS p50,
+           |       quantile_cont(o_totalprice, 0.9) AS p90,
+           |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  // q26b — approx_percentile (t-digest-style sketch): estimator
+  // internals are engine-specific, so no hash oracle (driver records
+  // rows-only); the ScalaTest side bounds it against q26's exact values.
+  val q26b = QuerySpec(
+    "q26b_percentile_approx",
+    (s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"))
+        .orderBy(col("o_orderpriority")),
+    None)
+
+  // q27 — multiset set ops (B.5 `_all` variants): INTERSECT ALL keeps
+  // min(multiplicity), EXCEPT ALL subtracts multiplicities.
+  val q27 = QuerySpec(
+    "q27_setops_all",
+    (s, d) => {
+      val ev = events(s, d)
+      val a = ev.filter(col("event_type") === "click").select(col("user_id"))
+      val b = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      val ia = a.intersectAll(b).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("tag"), col("user_id"), col("n"))
+      val ea = a.exceptAll(b).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("tag"), col("user_id"), col("n"))
+      ia.unionByName(ea).orderBy(col("tag"), col("user_id"))
+    },
+    Some("""WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+           |     b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+           |     ia AS (SELECT user_id FROM a INTERSECT ALL SELECT user_id FROM b),
+           |     ea AS (SELECT user_id FROM a EXCEPT ALL SELECT user_id FROM b)
+           |SELECT 'intersect_all' AS tag, user_id, COUNT(*) AS n FROM ia GROUP BY 1, 2
+           |UNION ALL
+           |SELECT 'except_all' AS tag, user_id, COUNT(*) AS n FROM ea GROUP BY 1, 2
+           |ORDER BY tag, user_id""".stripMargin))
+
+  // q28 — spark.sql front door (A7): the same engine surface through
+  // SQL text over registered temp views, proving the catalog path.
+  val q28 = QuerySpec(
+    "q28_sql_front_door",
+    (s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""SELECT n_name, COUNT(*) AS n_cust,
+              |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+              |FROM customer JOIN nation ON c_nationkey = n_nationkey
+              |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    },
+    Some("""SELECT n_name, COUNT(*) AS n_cust,
+           |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28)
 }

@@ -50,7 +50,11 @@ object Tables {
 
   /** Register every table as a temp view so `spark.sql` works as the
     * generic query front door (reference's `query` passthrough,
-    * `/root/reference/src/database/postgresql/PostgresPg.ts:5-14`). */
+    * `/root/reference/src/database/postgresql/PostgresPg.ts:5-14`).
+    * `events` goes through its ns-handling loader. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

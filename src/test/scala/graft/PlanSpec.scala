@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.queries.{Advanced, Extra, Relational}
+
+/** Plan-shape regressions (the 100 TB review items from the charter):
+  * filters/projections must reach the scan, small sides must broadcast,
+  * top-k must plan as TakeOrdered, the as-of join must not expand into
+  * a nested-loop range join. Asserted on the FINAL adaptive plan (after
+  * an action), since AQE rewrites joins at runtime.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("q1: date/discount/quantity filters push to the parquet scan; only needed columns read") {
+    val plan = finalPlan(Relational.q1.fn(spark, sf))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("l_shipdate"), "shipdate filter should be pushed")
+    assert(!plan.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q3: all four joins resolve to broadcast joins, no sort-merge shuffle") {
+    val plan = finalPlan(Relational.q3.fn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), "dims/orders should broadcast at this scale")
+  }
+
+  test("q11: global top-k plans as TakeOrderedAndProject, not a total sort") {
+    val plan = finalPlan(Relational.q11.fn(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("q14: as-of join stays union+window — no nested-loop join in the plan") {
+    val plan = finalPlan(Advanced.q14.fn(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "as-of must not plan as a range/cross join")
+    assert(plan.contains("Window"), plan.take(400))
+  }
+
+  test("q18: query vectors broadcast against candidates; float_dot is codegen'd") {
+    val df = Advanced.q18.fn(spark, sf)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "5 query vectors must broadcast")
+    assert(plan.contains("float_dot"), plan.take(400))
+    // codegen: the expression must not fall back to interpreted eval
+    val codegen = df.queryExecution.executedPlan.toString
+    assert(!codegen.contains("CodegenFallback"), "float_dot should participate in codegen")
+  }
+
+  test("q22: tiny band table broadcasts for the non-equi join") {
+    val plan = finalPlan(Extra.q22.fn(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
+  test("approx percentiles track exact percentiles within 10% (q26b band; tiny per-group samples make interpolated-vs-element gaps visible)") {
+    val exact = Extra.q26.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    Extra.q26b.fn(spark, sf).collect().foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50) / p50 <= 0.10)
+      assert(math.abs(r.getDouble(2) - p90) / p90 <= 0.10)
+    }
+  }
+}
