@@ -311,7 +311,12 @@ object Relational {
             .when(col("o_totalprice") > 50000.0, "mid")
             .otherwise("small").as("bucket"),
           coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
-          greatest(col("o_totalprice"), lit(100000.0)).as("at_least_100k"))
+          greatest(col("o_totalprice"), lit(100000.0)).as("at_least_100k"),
+          least(col("o_totalprice"), lit(100000.0)).as("at_most_100k"),
+          col("o_orderpriority").like("%URGENT%").as("is_urgent"),
+          trim(concat(lit("  "), col("o_orderstatus"), lit("  "))).as("trimmed"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus_30d"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
         .orderBy(col("o_orderkey")),
     Some("""SELECT o_orderkey,
            |       UPPER(o_orderpriority) AS pri_upper,
@@ -331,7 +336,12 @@ object Relational {
            |            WHEN o_totalprice > 50000.0 THEN 'mid'
            |            ELSE 'small' END AS bucket,
            |       COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
-           |       GREATEST(o_totalprice, 100000.0) AS at_least_100k
+           |       GREATEST(o_totalprice, 100000.0) AS at_least_100k,
+           |       LEAST(o_totalprice, 100000.0) AS at_most_100k,
+           |       o_orderpriority LIKE '%URGENT%' AS is_urgent,
+           |       TRIM(CONCAT('  ', o_orderstatus, '  ')) AS trimmed,
+           |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+           |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
   val all: Seq[QuerySpec] =

@@ -240,5 +240,24 @@ object Extra {
            |FROM customer JOIN nation ON c_nationkey = n_nationkey
            |GROUP BY n_name ORDER BY n_name""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28)
+  // q29 — collect aggregates (B.4): collect_set/collect_list are
+  // shuffle-order-nondeterministic, so contract outputs always wrap
+  // them in sort_array (SURVEY §7.4.6).
+  val q29 = QuerySpec(
+    "q29_collect_aggs",
+    (s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          size(collect_list(col("o_orderkey"))).as("n_collected"),
+          sort_array(collect_set(year(col("o_orderdate"))))(0).as("first_year"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+           |       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           |       CAST(len(list(o_orderkey)) AS INTEGER) AS n_collected,
+           |       list_sort(list(DISTINCT YEAR(o_orderdate)))[1] AS first_year
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28, q29)
 }

@@ -93,6 +93,39 @@ object Streams {
       }
   }
 
+  /** flatMapGroupsWithState (B.6): per-user error-burst detector —
+    * emits one row per burst of >= `threshold` consecutive errors
+    * (zero-or-many output per group per batch, which mapGroups can't
+    * express). State carries the running streak across micro-batches. */
+  final case class Burst(userId: Long, burstLen: Long)
+  final case class StreakState(streak: Long)
+
+  def errorBursts(events: DataFrame, threshold: Long = 3)(
+      implicit spark: SparkSession): Dataset[Burst] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_id", "event_type")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[StreakState, Burst](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[StreakState]) =>
+          // deterministic in-group order regardless of partition order
+          val sorted = rows.toSeq.sortBy(_._2)
+          var streak = state.getOption.map(_.streak).getOrElse(0L)
+          val bursts = Seq.newBuilder[Burst]
+          sorted.foreach { r =>
+            if (r._3 == "error") streak += 1
+            else {
+              if (streak >= threshold) bursts += Burst(uid, streak)
+              streak = 0L
+            }
+          }
+          state.update(StreakState(streak))
+          bursts.result().iterator
+      }
+  }
+
   /** Stream–static enrichment join (B.3): the reference's implied
     * `students.status_id → status.id` FK lookup
     * (`/root/reference/terraform/setup_database.sql:14`, never joined

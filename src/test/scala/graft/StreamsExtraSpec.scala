@@ -37,6 +37,44 @@ class StreamsExtraSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState error-burst detector matches a batch reference fold") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_burst_stream")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
+    val q = Streams.errorBursts(stream.toDF(), threshold = 3)(spark)
+      .toDF().writeStream.format("memory").queryName("t_burst")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // batch reference: same fold over event_id-ordered rows per user
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    val expected = rows.toSeq.flatMap { case (uid, evs) =>
+      var streak = 0L
+      val out = Seq.newBuilder[(Long, Long)]
+      evs.sortBy(_._2).foreach { e =>
+        if (e._3 == "error") streak += 1
+        else { if (streak >= 3) out += (uid -> streak); streak = 0L }
+      }
+      out.result()
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val got = spark.table("t_burst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should contain at least one 3+ error burst")
+  }
+
   test("snapshot-then-stream: stream images win on overlap, snapshot-only keys survive") {
     val snapshot = Seq(
       (1000L, "Snap", "Shot", "1970-01-01", 1),   // key not in stream -> survives
