@@ -259,5 +259,72 @@ object Extra {
            |       list_sort(list(DISTINCT YEAR(o_orderdate)))[1] AS first_year
            |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28, q29)
+  // q30 — cube + grouping id (B.4): all four grouping-set combinations
+  // of (status, order-year) in one pass. gid is computed from per-column
+  // GROUPING flags on the DuckDB side (2*g_a + g_b) so the bit order is
+  // pinned rather than relying on dialect GROUPING_ID conventions.
+  val q30 = QuerySpec(
+    "q30_cube_grouping",
+    (s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderstatus"),
+          year(col("o_orderdate").cast("date")).as("yr"),
+          col("o_totalprice"))
+        .cube(col("o_orderstatus"), col("yr"))
+        .agg(
+          grouping_id().cast("int").as("gid"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("yr").asc_nulls_first),
+    Some("""SELECT o_orderstatus, yr,
+           |       CAST(2*GROUPING(o_orderstatus) + GROUPING(yr) AS INTEGER) AS gid,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           |       COUNT(*) AS n
+           |FROM (SELECT o_orderstatus, CAST(YEAR(CAST(o_orderdate AS DATE)) AS INTEGER) AS yr,
+           |             o_totalprice FROM orders)
+           |GROUP BY CUBE(o_orderstatus, yr)
+           |ORDER BY gid, o_orderstatus NULLS FIRST, yr NULLS FIRST""".stripMargin))
+
+  // q30b — GROUPING SETS (B.4): only reachable through the SQL front
+  // door (the DataFrame API exposes rollup/cube but not arbitrary sets).
+  val q30b = QuerySpec(
+    "q30b_grouping_sets",
+    (s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |       CAST(2*GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS INT) AS gid,
+              |       COUNT(*) AS n
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           |       CAST(2*GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+           |       COUNT(*) AS n
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+
+  // q31 — JSON function battery (B.2): get_json_object / json_tuple
+  // extraction and to_json serialization of a struct. Field order in
+  // to_json follows struct construction order in both engines.
+  val q31 = QuerySpec(
+    "q31_json_battery",
+    (s, d) =>
+      events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          json_tuple(col("props"), "k").as("k_jt"),
+          to_json(struct(col("event_type").as("t"), col("user_id").as("u"))).as("j"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+           |       json_extract_string(props, '$.k') AS k_str,
+           |       json_extract_string(props, '$.k') AS k_jt,
+           |       CAST(to_json(struct_pack(t := event_type, u := user_id)) AS VARCHAR) AS j
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  val all: Seq[QuerySpec] =
+    Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28, q29, q30, q30b, q31)
 }

@@ -126,6 +126,26 @@ object Streams {
       }
   }
 
+  /** Stream–stream interval join (B.3): each error event joined to the
+    * same user's click events in the preceding `lookback`. Watermarks on
+    * BOTH sides plus the two-sided time-range predicate are what let
+    * Spark bound and evict join state — without them a stream-stream
+    * join buffers forever, which at 100 TB/day is an OOM, not a plan. */
+  def clickErrorJoin(events: DataFrame, lookback: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    errors.join(clicks,
+      col("e_user") === col("c_user") &&
+        col("c_ts") <= col("e_ts") &&
+        col("c_ts") >= col("e_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("e_user").as("user_id"), col("error_id"), col("click_id"))
+  }
+
   /** Stream–static enrichment join (B.3): the reference's implied
     * `students.status_id → status.id` FK lookup
     * (`/root/reference/terraform/setup_database.sql:14`, never joined

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** B.1 source coverage beyond the parquet loaders: CSV and JSON batch
+  * scans with explicit schemas (SURVEY §2 B.1 — the reference's
+  * envelope is JSON, `customMapper.ts:9`; CSV is charter surface).
+  */
+class SourcesSpec extends SparkSuite {
+
+  test("CSV batch scan with explicit schema round-trips the orders table") {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val orig = graft.sources.Tables.orders(spark, sf)
+    orig.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read.schema(orig.schema).option("header", "true").csv(out)
+    assert(back.schema == orig.schema)
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("JSON batch scan with explicit schema round-trips the nation table") {
+    val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val orig = graft.sources.Tables.nation(spark, sf)
+    orig.write.mode("overwrite").json(out)
+    val back = spark.read.schema(orig.schema).json(out)
+    assert(back.schema == orig.schema)
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("csv/json scans prune columns at the source") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val orig = graft.sources.Tables.orders(spark, sf)
+    orig.write.mode("overwrite").option("header", "true").csv(out)
+    val two = spark.read.schema(orig.schema).option("header", "true").csv(out)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val scan = two.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("o_orderkey") && !scan.contains("o_comment"),
+      s"scan should read only projected columns:\n$scan")
+    assert(two.count() == orig.count())
+  }
+}

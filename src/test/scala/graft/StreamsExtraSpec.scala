@@ -75,6 +75,40 @@ class StreamsExtraSpec extends SparkSuite {
     assert(got.nonEmpty, "fixture should contain at least one 3+ error burst")
   }
 
+  test("stream-stream interval join matches the batch join on the same predicate") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_ss_join")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Streams.clickErrorJoin(stream)
+      .writeStream.format("memory").queryName("t_ssjoin")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("t_ssjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = graft.sources.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"), col("ts").as("e_ts"))
+    val expected = e.join(c,
+        col("e_user") === col("c_user") &&
+          col("c_ts") <= col("e_ts") &&
+          col("c_ts") >= col("e_ts") - expr("INTERVAL 30 minutes"))
+      .select(col("e_user"), col("error_id"), col("click_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should contain click-before-error pairs")
+  }
+
   test("snapshot-then-stream: stream images win on overlap, snapshot-only keys survive") {
     val snapshot = Seq(
       (1000L, "Snap", "Shot", "1970-01-01", 1),   // key not in stream -> survives
