@@ -109,6 +109,32 @@ class StreamsExtraSpec extends SparkSuite {
     assert(got.nonEmpty, "fixture should contain click-before-error pairs")
   }
 
+  test("late rows behind the watermark are dropped from append-mode windowed counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def t(hm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val counts = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("k"), col("cnt"))
+    val q = counts.writeStream.format("memory").queryName("t_late")
+      .outputMode("append").start()
+    try {
+      input.addData((t("10:00"), "a"), (t("10:02"), "a"), (t("10:30"), "a"))
+      q.processAllAvailable() // max event time 10:30 -> next watermark 10:20
+      input.addData((t("10:01"), "a"), (t("10:40"), "a")) // 10:01 behind watermark
+      q.processAllAvailable() // closes [10:00,10:05): late row must not count
+      input.addData((t("11:30"), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("t_late").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+      assert(rows("2024-01-01 10:00:00.0") == 2L,
+        s"late 10:01 row should have been dropped by the watermark: $rows")
+    } finally q.stop()
+  }
+
   test("snapshot-then-stream: stream images win on overlap, snapshot-only keys survive") {
     val snapshot = Seq(
       (1000L, "Snap", "Shot", "1970-01-01", 1),   // key not in stream -> survives
