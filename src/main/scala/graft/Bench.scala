@@ -40,9 +40,14 @@ object Bench {
     // warmup: touch every table + exercise codegen/shuffle machinery once
     run(queries.Relational.q2.fn)
 
+    // SPARK_GRAFT_ONLY=q1_filter_agg,q22_range_join : isolate queries
+    // when profiling a regression (dev aid; driver leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+
     // min of two runs per query: one-off JIT compilation or a stray GC
     // pause otherwise lands on an arbitrary query and dominates its number
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       val a = run(fn)
       val b = run(fn)
       name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
