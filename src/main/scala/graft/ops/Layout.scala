@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators for the 100 TB path (SURVEY §4, charter
+  * "partitioning & shuffle"). Nothing here changes query results —
+  * only where rows live, which is what decides whether a 1000-executor
+  * join shuffles 100 TB or nothing.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed + bucket-sorted table. Two tables
+    * bucketed the same way (same cols, same count) equi-join and
+    * aggregate on those cols with NO exchange on either side — the
+    * shuffle is paid once at write time, then amortized over every
+    * subsequent join (the fact-to-fact co-location strategy; dimension
+    * tables should broadcast instead, `Tables.broadcastable`). */
+  def bucketWrite(df: DataFrame, table: String, buckets: Int, cols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Write `df` partitioned by low-cardinality columns so predicates on
+    * them prune whole directories at plan time (partition pruning). */
+  def partitionedWrite(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Salted equi-join for skewed build keys. AQE's skew-join split
+    * already handles sort-merge skew at runtime; this is the manual
+    * pattern for plans AQE can't reach (e.g. skewed stream-static or
+    * agg-under-join shapes). The probe (`left`, large/skewed) side gets
+    * a deterministic salt from `distinctOn` (row-content hash, so
+    * re-runs produce identical partitioning); the build (`right`) side
+    * is exploded `factor` ways — right-side rows are duplicated, so
+    * keep `factor` × |right| small. Result is row-identical to the
+    * unsalted inner join. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      factor: Int, distinctOn: Column): DataFrame = {
+    require(factor > 0, s"salt factor must be positive, got $factor")
+    val l = left.withColumn("__salt", pmod(xxhash64(distinctOn), lit(factor)).cast("int"))
+    val r = right.withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+}

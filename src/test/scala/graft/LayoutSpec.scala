@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+class LayoutSpec extends SparkSuite {
+
+  test("bucketed tables equi-join with no exchange on either side") {
+    val o = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_totalprice"))
+    val c = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("o_custkey"), col("c_acctbal"))
+    Layout.bucketWrite(o, "b_orders", 4, Seq("o_custkey"))
+    Layout.bucketWrite(c, "b_cust", 4, Seq("o_custkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_orders").join(spark.table("b_cust"), "o_custkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(j.count() == o.join(c, "o_custkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned write prunes partitions under a partition-column filter") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val o = graft.sources.Tables.orders(spark, sf)
+      .withColumn("status", col("o_orderstatus"))
+    Layout.partitionedWrite(o, out, Seq("status"))
+    val one = spark.read.parquet(out).filter(col("status") === "F")
+    val scanned = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanned.contains("status"), s"scan should carry partition filter:\n$scanned")
+    assert(one.count() == o.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("salted join returns exactly the unsalted join's rows") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"))
+    val dim = graft.sources.Tables.customer(spark, sf)
+      .select((col("c_custkey") % 20).as("user_id"), col("c_mktsegment"))
+      .distinct()
+    val plain = ev.join(dim, Seq("user_id"))
+    val salted = Layout.saltedJoin(ev, dim, Seq("user_id"), 8, col("event_id"))
+      .select(plain.columns.map(col).toSeq: _*)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
