@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -73,6 +73,23 @@ object Envelope {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("tag") =!= "delete")
       .drop("__rn", "lsn", "tag")
+  }
+
+  /** §1.3 typed edge — the reference's `Student` io-ts codec
+    * (`/root/reference/src/model/student.ts:3-9`) as a case class +
+    * product Encoder. The engine core stays untyped DataFrame (full
+    * Catalyst/codegen); the typed view is offered exactly where the
+    * reference puts its codec: at the API boundary. Expects complete
+    * row images — i.e. the output of [[lastImageByKey]] (delete events
+    * carry no `new` image, so their fields would be null). */
+  final case class Student(id: Long, firstName: String, lastName: String,
+      dateOfBirth: java.sql.Date, status: Int)
+
+  def typed(finalState: DataFrame): Dataset[Student] = {
+    val spark = finalState.sparkSession
+    import spark.implicits._
+    finalState.select(col("id"), col("firstName"), col("lastName"),
+      col("dateOfBirth"), col("status")).as[Student]
   }
 
   /** Parse a raw JSON-line DataFrame (one envelope per line) — the

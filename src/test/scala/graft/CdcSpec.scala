@@ -46,6 +46,19 @@ class CdcSpec extends SparkSuite {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 
+  test("typed Dataset[Student] boundary round-trips the final state") {
+    val finalState = Envelope.lastImageByKey(Envelope.project(raw))
+    val students = Envelope.typed(finalState).collect()
+    assert(students.length == finalState.count())
+    val byId = students.map(s => s.id -> s).toMap
+    finalState.collect().foreach { r =>
+      val s = byId(r.getLong(r.fieldIndex("id")))
+      assert(s.firstName == r.getString(r.fieldIndex("firstName")))
+      assert(s.status == r.getInt(r.fieldIndex("status")))
+      assert(s.dateOfBirth != null) // DateType survived the Encoder
+    }
+  }
+
   test("fixture is deterministic and LSN-ordered") {
     val lsns = Fixture.rowEvents.map(_.lsn)
     assert(lsns == lsns.sorted, "fixed-width hex LSNs must sort lexicographically")
