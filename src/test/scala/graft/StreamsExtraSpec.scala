@@ -109,6 +109,32 @@ class StreamsExtraSpec extends SparkSuite {
     assert(got.nonEmpty, "fixture should contain click-before-error pairs")
   }
 
+  test("restart from the same checkpoint resumes offsets, no reprocessing (A9)") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft_restart_src")
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    val sink = Files.createTempDirectory("graft_restart_sink").toString
+    val half = Fixture.jsonLines.size / 2
+    Files.write(src.resolve("a.json"), Fixture.jsonLines.take(half).mkString("\n").getBytes)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(Envelope.schema).json(src.toString)
+        .transform(Envelope.project)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterA = spark.read.parquet(sink).count()
+    Files.write(src.resolve("b.json"), Fixture.jsonLines.drop(half).mkString("\n").getBytes)
+    runOnce()
+    val all = spark.read.parquet(sink)
+    assert(all.count() == Fixture.rowEvents.size,
+      "second run must process exactly the new file — offsets resumed, nothing replayed")
+    assert(all.select("lsn").distinct().count() == all.count(), "no duplicated events")
+    assert(afterA > 0 && afterA < Fixture.rowEvents.size)
+  }
+
   test("late rows behind the watermark are dropped from append-mode windowed counts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
