@@ -61,6 +61,24 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
 
+  test("q2: aggregation runs partial+final (map-side combine before the shuffle)") {
+    val plan = finalPlan(Relational.q2.fn(spark, sf))
+    assert(plan.contains("partial_"),
+      s"expected map-side partial aggregation before the exchange:\n$plan")
+  }
+
+  test("q13: scalar battery executes inside whole-stage codegen") {
+    // AQE wraps the plan and reports 0 subtrees before execution —
+    // inspect the static plan for this check only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val codegen = Relational.q13.fn(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(!codegen.startsWith("Found 0"),
+        s"scalar pipeline should be codegen'd end-to-end:\n${codegen.take(500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("approx percentiles track exact percentiles within 10% (q26b band; tiny per-group samples make interpolated-vs-element gaps visible)") {
     val exact = Extra.q26.fn(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
