@@ -407,5 +407,82 @@ object Pipeline {
            |       lang
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, m1)
+  // p12 — ANN via IVF (inverted file): every vector is coarse-quantized
+  // to its nearest of K deterministic seed centroids (one broadcast
+  // N×K pass — K ≪ N, so this is the linear "train-free" IVF build);
+  // queries probe only their nprobe nearest lists, so the scored
+  // candidate set is ~nprobe/K of the corpus instead of all of it.
+  // Complements p10's LSH buckets: IVF recall degrades gracefully with
+  // nprobe, LSH with band count — both shapes are list-equi-joins that
+  // scale without an all-pairs product.
+  private val ivfK = 16
+  private val ivfProbe = 4
+
+  val p12 = QuerySpec(
+    "p12_ann_ivf",
+    (s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      val e = embeddings(s, d).select(
+        col("vec_id"), col("embedding"),
+        expr(VectorFns.fastNormExpr("embedding")).as("nrm"))
+        .persist() // reused: assignment, probe, and exact rescoring
+      val cent = e.filter(col("vec_id") < ivfK)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val scored = e.crossJoin(broadcast(cent))
+        .withColumn("ccos",
+          expr(VectorFns.fastDotExpr("embedding", "ce")) / (col("nrm") * col("cn")))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+      val ranked = scored
+        .select(col("vec_id"), col("cent_id"), col("ccos"),
+          row_number().over(wAssign).as("crn"))
+        .persist() // one N×K ranking feeds both the lists and the probes
+      val assigned = ranked.filter(col("crn") === 1)
+        .select(col("vec_id"), col("cent_id").as("list_id"))
+      val probes = ranked.filter(col("vec_id") < 5 && col("crn") <= ivfProbe)
+        .select(col("vec_id").as("qid"), col("cent_id").as("list_id"))
+      val qvec = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val cand = assigned.join(broadcast(probes), "list_id")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id")).distinct()
+      val pairs = cand
+        .join(e, "vec_id")
+        .join(broadcast(qvec), "qid")
+        .withColumn("cos",
+          expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      pairs.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("vec_id").as("cid"), round(col("cos"), 6).as("cosine"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(s"""WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+            |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+            |n AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM f GROUP BY 1),
+            |cent AS (SELECT vec_id AS cent_id FROM embeddings WHERE vec_id < $ivfK),
+            |ad AS (SELECT x.vec_id, c.cent_id, SUM(x.v * y.v) AS dot
+            |       FROM f x JOIN cent c ON TRUE JOIN f y ON y.vec_id = c.cent_id AND y.i = x.i
+            |       GROUP BY 1, 2),
+            |ac AS (SELECT ad.vec_id, ad.cent_id, ad.dot / (na.nrm * nc.nrm) AS ccos
+            |       FROM ad JOIN n na ON na.vec_id = ad.vec_id
+            |               JOIN n nc ON nc.vec_id = ad.cent_id),
+            |rk AS (SELECT vec_id, cent_id, ROW_NUMBER() OVER
+            |         (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn FROM ac),
+            |asg AS (SELECT vec_id, cent_id AS list_id FROM rk WHERE crn = 1),
+            |probe AS (SELECT vec_id AS qid, cent_id AS list_id FROM rk
+            |          WHERE vec_id < 5 AND crn <= $ivfProbe),
+            |cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid
+            |         FROM probe p JOIN asg a ON a.list_id = p.list_id AND a.vec_id <> p.qid),
+            |pd AS (SELECT cand.qid, cand.cid, SUM(x.v * y.v) AS dot
+            |       FROM cand JOIN f x ON x.vec_id = cand.qid
+            |                 JOIN f y ON y.vec_id = cand.cid AND y.i = x.i
+            |       GROUP BY 1, 2),
+            |pc AS (SELECT qid, cid, dot / (na.nrm * nb.nrm) AS cos
+            |       FROM pd JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+            |r AS (SELECT qid, cid, cos, ROW_NUMBER() OVER
+            |        (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM pc)
+            |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
+            |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, m1)
 }

@@ -47,6 +47,24 @@ class PipelineSpec extends SparkSuite {
       a.n_bytes == b.n_bytes && a.features.sameElements(b.features) })
   }
 
+  test("IVF ANN candidates come only from probed lists and recall the exact top-1") {
+    val exact = graft.queries.Advanced.q18.fn(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getInt(r.fieldIndex("rn")),
+        r.getLong(r.fieldIndex("cid"))))
+    val ivf = graft.queries.Pipeline.p12.fn(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getInt(r.fieldIndex("rn")),
+        r.getLong(r.fieldIndex("cid"))))
+    assert(ivf.nonEmpty && ivf.map(_._1).distinct.length == 5)
+    // recall@3 vs brute force: on this corpus the probed lists must
+    // recover at least half of each query's exact top-3
+    val exactByQ = exact.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val ivfByQ = ivf.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    exactByQ.foreach { case (qid, ex) =>
+      val hit = ivfByQ.getOrElse(qid, Set.empty).intersect(ex).size
+      assert(hit * 2 >= ex.size, s"qid=$qid recall@3 too low: $hit of ${ex.size}")
+    }
+  }
+
   test("multimodal: frame sampling emits every k-th fixed-size chunk") {
     val media = Multimodal.toMedia(Tables.documents(spark, sf).limit(10))
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, everyK = 4)
