@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import graft.queries.{Advanced, Extra, Relational}
 
@@ -77,6 +78,24 @@ class PlanSpec extends SparkSuite {
       assert(!codegen.startsWith("Found 0"),
         s"scalar pipeline should be codegen'd end-to-end:\n${codegen.take(500)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("AQE coalesces post-shuffle partitions at runtime") {
+    // coalesce by advisory size, not local parallelism, so tiny test
+    // data exhibits the same re-plan a production shuffle would
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    try {
+      val df = graft.sources.Tables.orders(spark, sf)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      df.collect() // execute THIS QueryExecution: the adaptive plan finalizes in place
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("AQEShuffleRead"),
+        s"adaptive runtime re-plan should be active:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
   }
 
   test("approx percentiles track exact percentiles within 10% (q26b band; tiny per-group samples make interpolated-vs-element gaps visible)") {
