@@ -231,7 +231,11 @@ object Relational {
         .select(
           col("user_id"), col("d"), col("cnt"),
           (col("cnt") - lag(col("cnt"), 1).over(w)).as("delta"),
-          (lead(col("cnt"), 1).over(w) - col("cnt")).as("next_delta"))
+          (lead(col("cnt"), 1).over(w) - col("cnt")).as("next_delta"),
+          first(col("cnt")).over(w).as("first_cnt"),
+          last(col("cnt")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("last_cnt"))
         .orderBy(col("user_id"), col("d"))
     },
     Some("""WITH daily AS (
@@ -239,7 +243,10 @@ object Relational {
            |  FROM events GROUP BY 1, 2)
            |SELECT user_id, d, cnt,
            |       cnt - LAG(cnt) OVER (PARTITION BY user_id ORDER BY d) AS delta,
-           |       LEAD(cnt) OVER (PARTITION BY user_id ORDER BY d) - cnt AS next_delta
+           |       LEAD(cnt) OVER (PARTITION BY user_id ORDER BY d) - cnt AS next_delta,
+           |       FIRST_VALUE(cnt) OVER (PARTITION BY user_id ORDER BY d) AS first_cnt,
+           |       LAST_VALUE(cnt) OVER (PARTITION BY user_id ORDER BY d
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_cnt
            |FROM daily ORDER BY user_id, d""".stripMargin))
 
   // Q11 — global top-k: orderBy+limit plans as TakeOrderedAndProject

@@ -26,6 +26,11 @@ class SourcesSpec extends SparkSuite {
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
 
+  test("schema_of_json infers the events.props envelope shape") {
+    val inferred = spark.sql("""SELECT schema_of_json('{"k": 42}') AS s""").first().getString(0)
+    assert(inferred.toLowerCase.contains("k") && inferred.toUpperCase.contains("BIGINT"), inferred)
+  }
+
   test("csv/json scans prune columns at the source") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
     val orig = graft.sources.Tables.orders(spark, sf)
