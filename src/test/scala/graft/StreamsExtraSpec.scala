@@ -161,6 +161,29 @@ class StreamsExtraSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("complete output mode re-emits full aggregation state every batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val counts = input.toDF().toDF("id", "k")
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val q = counts.writeStream.format("memory").queryName("t_complete")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L, "a"), (2L, "a"), (3L, "b"))
+      q.processAllAvailable()
+      val r1 = spark.table("t_complete").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r1 == Map("a" -> 2L, "b" -> 1L))
+      input.addData((4L, "b"))
+      q.processAllAvailable()
+      val r2 = spark.table("t_complete").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r2 == Map("a" -> 2L, "b" -> 2L),
+        "complete mode must re-emit updated totals, not deltas")
+    } finally q.stop()
+  }
+
   test("snapshot-then-stream: stream images win on overlap, snapshot-only keys survive") {
     val snapshot = Seq(
       (1000L, "Snap", "Shot", "1970-01-01", 1),   // key not in stream -> survives
