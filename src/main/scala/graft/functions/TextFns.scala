@@ -38,6 +38,11 @@ object TextFns {
   def md5IntsExpr(arr: String): String =
     s"transform($arr, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % $minhashP)"
 
+  /** Scalar form of [[md5IntsExpr]] for exploded (one-shingle-per-row)
+    * pipelines — identical math, codegen-friendly. */
+  def md5IntScalarExpr(c: String): String =
+    s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT) % $minhashP"
+
   /** DuckDB rendering of [[md5IntsExpr]] (hex literal cast). */
   def md5IntsSqlDuck(arr: String): String =
     s"list_transform($arr, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $minhashP)"

@@ -158,14 +158,27 @@ object Pipeline {
   // over the folded 60-bit ints (16× less hashing than seeded-md5).
   val p5 = QuerySpec(
     "p5_minhash_sig",
-    (s, d) =>
-      documents(s, d)
+    (s, d) => {
+      // explode to one shingle per row: md5 runs once per DISTINCT
+      // shingle (the 4-consumer HOF form re-inlines the md5 array into
+      // every per-seed array_min — 4× the hashing), and the per-seed
+      // minima become codegen'd min() aggregates. min over the multiset
+      // == min over the set, so the distinct dictionary is lossless;
+      // explode_outer keeps short docs (null shingle → null signature,
+      // matching array_min over an empty array).
+      val inst = documents(s, d)
         .withColumn("toks", expr(toks))
-        .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
-        .withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
-        .select(Seq(col("doc_id")) ++
-          (0 until 4).map(k => expr(TextFns.minhashExpr("hs", k)).as(s"mh$k")): _*)
-        .orderBy(col("doc_id")),
+        .select(col("doc_id"), explode_outer(expr(TextFns.shinglesExpr("toks"))).as("sgl"))
+      val dict = inst.select(col("sgl")).where(col("sgl").isNotNull).distinct()
+        .withColumn("h", expr(TextFns.md5IntScalarExpr("sgl")))
+      val mins = (0 until 4).map(k =>
+        min(expr(s"(${TextFns.minhashA(k)} * h + ${TextFns.minhashB(k)}) % ${TextFns.minhashP}"))
+          .as(s"mh$k"))
+      inst.join(dict, Seq("sgl"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(mins.head, mins.tail: _*)
+        .orderBy(col("doc_id"))
+    },
     Some {
       val mhs = (0 until 4).map(k =>
         s"${TextFns.minhashSqlDuck("hs", k)} AS mh$k").mkString(",\n       ")
@@ -286,15 +299,37 @@ object Pipeline {
             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
             |ORDER BY da, db""".stripMargin))
 
-  // p8 — 16-bit SimHash per document over the token multiset (md5
-  // computed once per token, bits derived from the hex array).
+  // p8 — 16-bit SimHash per document over the token multiset.
+  // Shape: explode to token instances, hash each DISTINCT token once
+  // (vocabulary ≪ instances under Zipf), join the ±1 vote vectors back,
+  // then 16 codegen'd integer sums per doc. The one-pass HOF
+  // formulation (TextFns.simhashExpr) computes the same bits but its
+  // interpreted 16-wide lambda accumulator per token instance costs
+  // ~2× at sf0.1 — and the vocabulary dictionary is the shape that
+  // wins harder as the corpus grows. explode_outer keeps empty docs
+  // (zero votes → all-ones hash, matching aggregate-over-empty).
   val p8 = QuerySpec(
     "p8_simhash",
-    (s, d) =>
-      documents(s, d)
-        .withColumn("toks", expr(toks))
-        .select(col("doc_id"), expr(TextFns.simhashExpr("toks")).as("simhash"))
-        .orderBy(col("doc_id")),
+    (s, d) => {
+      val inst = documents(s, d)
+        .select(col("doc_id"), explode_outer(expr(toks)).as("t"))
+      val dict = inst.select(col("t")).where(col("t").isNotNull).distinct()
+        .withColumn("h", md5(col("t")))
+        .withColumn("votes", expr(
+          """transform(sequence(1, 16), j ->
+            |  CASE WHEN substring(h, j, 1) IN ('8','9','a','b','c','d','e','f')
+            |       THEN 1 ELSE -1 END)""".stripMargin))
+        .select(col("t"), col("votes"))
+      val sums = (0 until 16).map(i =>
+        sum(coalesce(col("votes")(i), lit(0))).as(s"s$i"))
+      val bits = concat((0 until 16).map(i =>
+        when(col(s"s$i") >= 0, lit("1")).otherwise(lit("0"))): _*)
+      inst.join(dict, Seq("t"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), bits.as("simhash"))
+        .orderBy(col("doc_id"))
+    },
     Some("""WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
            |th AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS h FROM base)
            |SELECT doc_id,
