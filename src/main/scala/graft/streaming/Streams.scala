@@ -132,17 +132,20 @@ object Streams {
     * Spark bound and evict join state — without them a stream-stream
     * join buffers forever, which at 100 TB/day is an OOM, not a plan. */
   def clickErrorJoin(events: DataFrame, lookback: String = "30 minutes",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", watermark)
     val errors = events.filter(col("event_type") === "error")
       .select(col("user_id").as("e_user"), col("event_id").as("error_id"), col("ts").as("e_ts"))
       .withWatermark("e_ts", watermark)
+    // outer variants emit the unmatched side only once its watermark
+    // passes the join horizon — same state bound as inner
     errors.join(clicks,
       col("e_user") === col("c_user") &&
         col("c_ts") <= col("e_ts") &&
-        col("c_ts") >= col("e_ts") - expr(s"INTERVAL $lookback"))
+        col("c_ts") >= col("e_ts") - expr(s"INTERVAL $lookback"),
+      joinType)
       .select(col("e_user").as("user_id"), col("error_id"), col("click_id"))
   }
 

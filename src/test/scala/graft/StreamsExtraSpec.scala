@@ -109,6 +109,52 @@ class StreamsExtraSpec extends SparkSuite {
     assert(got.nonEmpty, "fixture should contain click-before-error pairs")
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched errors with null click") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_ss_outer")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Streams.clickErrorJoin(stream, joinType = "left_outer")
+      .writeStream.format("memory").queryName("t_ss_outer")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("t_ss_outer").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    // batch reference with the same predicate and join type
+    val ev = graft.sources.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"), col("ts").as("e_ts"))
+    val expected = e.join(c,
+        col("e_user") === col("c_user") &&
+          col("c_ts") <= col("e_ts") &&
+          col("c_ts") >= col("e_ts") - expr("INTERVAL 30 minutes"),
+        "left_outer")
+      .select(col("e_user"), col("error_id"), col("click_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    // unmatched rows emit only once the watermark passes e_ts + lookback;
+    // errors inside the final horizon legitimately never flush at
+    // end-of-stream — compare the provably-flushed region
+    val errTs = e.select(col("error_id"), col("e_ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val horizon = errTs.values.max - (90 * 60 * 1000L) // watermark 1h + lookback 30m
+    def flushed(s: Set[(Long, Long, Long)]) = s.filter(t => errTs(t._2) < horizon)
+    assert(flushed(got) == flushed(expected))
+    assert(got.exists(_._3 == -1L), "some errors should have no click within the lookback")
+    assert(got.exists(_._3 != -1L), "some errors should match a click")
+  }
+
   test("restart from the same checkpoint resumes offsets, no reprocessing (A9)") {
     import java.nio.file.Files
     val src = Files.createTempDirectory("graft_restart_src")
