@@ -323,7 +323,10 @@ object Relational {
           col("o_orderpriority").like("%URGENT%").as("is_urgent"),
           trim(concat(lit("  "), col("o_orderstatus"), lit("  "))).as("trimmed"),
           date_add(col("o_orderdate").cast("date"), 30).as("plus_30d"),
-          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          ceil(col("o_totalprice")).as("price_ceil"),
+          pow(lit(2), col("o_orderkey") % 10).cast("long").as("pow2"),
+          sqrt(col("o_totalprice")).as("price_sqrt"))
         .orderBy(col("o_orderkey")),
     Some("""SELECT o_orderkey,
            |       UPPER(o_orderpriority) AS pri_upper,
@@ -348,7 +351,10 @@ object Relational {
            |       o_orderpriority LIKE '%URGENT%' AS is_urgent,
            |       TRIM(CONCAT('  ', o_orderstatus, '  ')) AS trimmed,
            |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
-           |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+           |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           |       CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
+           |       CAST(POWER(2, o_orderkey % 10) AS BIGINT) AS pow2,
+           |       SQRT(o_totalprice) AS price_sqrt
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
   val all: Seq[QuerySpec] =
