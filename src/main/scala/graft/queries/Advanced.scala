@@ -74,10 +74,12 @@ object Advanced {
           col("embedding")(0).cast("double").as("first_el"),
           size(col("embedding")).as("dim"),
           array_min(col("embedding")).cast("double").as("min_el"),
-          round(expr("aggregate(slice(embedding, 1, 8), 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 6).as("head8_sum"))
+          round(expr("aggregate(slice(embedding, 1, 8), 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 6).as("head8_sum"),
+          expr("array_contains(transform(embedding, x -> x > CAST(0.0 AS FLOAT)), true)").as("has_pos"))
         .groupBy(col("label"))
         .agg(
           count(lit(1)).as("n"),
+          sum(when(col("has_pos"), 1).otherwise(0)).as("n_has_pos"),
           (sum(col("first_el").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("avg_first"),
           max(col("dim")).as("max_dim"),
           min(col("min_el")).as("min_min"),
@@ -88,9 +90,11 @@ object Advanced {
            |         CAST(embedding[1] AS DOUBLE) AS first_el,
            |         len(embedding) AS dim,
            |         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_el,
-           |         ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head8_sum
+           |         ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head8_sum,
+           |         list_contains(list_transform(embedding, x -> x > 0), true) AS has_pos
            |  FROM embeddings)
            |SELECT label, COUNT(*) AS n,
+           |       SUM(CASE WHEN has_pos THEN 1 ELSE 0 END) AS n_has_pos,
            |       CAST(SUM(CAST(first_el AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS avg_first,
            |       MAX(dim) AS max_dim, MIN(min_el) AS min_min,
            |       ROUND(CAST(SUM(CAST(head8_sum AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_head8
