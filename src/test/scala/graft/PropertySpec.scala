@@ -40,6 +40,48 @@ class PropertySpec extends SparkSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("salted join is factor-invariant (factor 1 == factor 7 == plain join)") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id")).limit(500)
+    val dim = (0L until 20L).map(i => (i, s"seg_$i")).toDF("user_id", "seg")
+    val plain = ev.join(dim, Seq("user_id")).select(col("event_id"), col("seg"))
+    Seq(1, 7).foreach { f =>
+      val s = graft.ops.Layout.saltedJoin(ev, dim, Seq("user_id"), f, col("event_id"))
+        .select(col("event_id"), col("seg"))
+      assert(s.exceptAll(plain).isEmpty && plain.exceptAll(s).isEmpty, s"factor=$f")
+    }
+  }
+
+  test("rolling-hash fingerprint is order-sensitive; content md5 is not") {
+    samples(Gen.listOfN(6, Gen.alphaLowerStr.suchThat(_.nonEmpty)), 8)
+      .filter(ws => ws.distinct.size > 1).foreach { ws =>
+        val fwd = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+        val rev = Seq((1L, ws.reverse.mkString(" "))).toDF("doc_id", "text")
+        def fp(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("toks", expr(graft.functions.TextFns.tokensExpr("text")))
+          .select(expr(graft.functions.TextFns.rollingHashExpr("toks")))
+          .first().getLong(0)
+        assert(fp(fwd) != fp(rev), s"hash should depend on order: $ws")
+      }
+  }
+
+  test("minhash is invariant under duplication and permutation of the hash multiset") {
+    // min over a multiset ignores order and duplicates — the property
+    // the p5/p6 dictionary rewrites rely on
+    val t = graft.functions.TextFns
+    def sig(hs: Seq[Long]): Seq[Long] = {
+      val r = Seq(Tuple1(hs)).toDF("hs")
+        .select((0 until 4).map(k => expr(t.minhashExpr("hs", k))): _*)
+        .first()
+      (0 until 4).map(r.getLong)
+    }
+    samples(Gen.nonEmptyListOf(Gen.choose(0L, t.minhashP - 1)), 10).foreach { hs =>
+      val base = sig(hs)
+      assert(sig(hs.reverse) == base, s"permutation changed signature: $hs")
+      assert(sig(hs ++ hs.take(2)) == base, s"duplication changed signature: $hs")
+    }
+  }
+
   test("windowed counts sum to total count (q20 invariant)") {
     val total = graft.sources.Tables.events(spark, sf).count()
     val windowed = graft.queries.Advanced.q20.fn(spark, sf)
