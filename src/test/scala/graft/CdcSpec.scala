@@ -46,6 +46,23 @@ class CdcSpec extends SparkSuite {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 
+  test("transformer registry: chain composes, fanOut concatenates (A3)") {
+    import graft.ops.Transforms
+    val projected = Envelope.project(raw)
+    // chain: filter then narrow — same as inline composition
+    val chained = Transforms.chain(Seq(
+      df => df.filter(col("tag") =!= "delete"),
+      df => df.select(col("id"), col("firstName"))))(projected)
+    assert(chained.columns.toSeq == Seq("id", "firstName"))
+    assert(chained.count() == projected.filter(col("tag") =!= "delete").count())
+    // fanOut: each transformer sees the same input; outputs concat
+    val fanned = Transforms.fanOut(Seq(
+      df => df.filter(col("tag") === "insert").select(col("id")),
+      df => df.filter(col("tag") === "update").select(col("id"))))(projected)
+    assert(fanned.count() ==
+      projected.filter(col("tag").isin("insert", "update")).count())
+  }
+
   test("typed Dataset[Student] boundary round-trips the final state") {
     val finalState = Envelope.lastImageByKey(Envelope.project(raw))
     val students = Envelope.typed(finalState).collect()
