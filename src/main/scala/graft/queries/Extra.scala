@@ -325,6 +325,25 @@ object Extra {
            |       CAST(to_json(struct_pack(t := event_type, u := user_id)) AS VARCHAR) AS j
            |FROM events ORDER BY event_id""".stripMargin))
 
+  // q32 — pivot (B.4 adjacent): groupBy().pivot() with EXPLICIT value
+  // list — the implicit form collects distinct pivot values to the
+  // driver (an extra job and a scale hazard); with declared values the
+  // pivot is a single pass of conditional aggregation, which is also
+  // exactly how the oracle expresses it.
+  val q32 = QuerySpec(
+    "q32_pivot",
+    (s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+           |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+           |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
+           |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[QuerySpec] =
-    Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28, q29, q30, q30b, q31)
+    Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28, q29, q30, q30b, q31, q32)
 }
