@@ -30,6 +30,28 @@ class AsOfSpec extends SparkSuite {
     assert(out("L200") == Some(12L))
   }
 
+  test("as-of equals the brute-force definition on randomized inputs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val ls = (1 to 120).map(i =>
+        (rnd.nextInt(6).toLong, ts(rnd.nextInt(500)), s"l$i"))
+      val rs = (1 to 150).map(i =>
+        (rnd.nextInt(6).toLong, ts(rnd.nextInt(500)), i.toLong))
+      val l = ls.toDF("k", "ts", "lval")
+      val r = rs.toDF("k", "ts", "rid")
+      val got = AsOf.join(l, r, Seq("k"), "ts", "ts", Seq("rid"), "rid")
+        .select($"lval", $"asof_rid").collect()
+        .map(x => x.getString(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
+      ls.foreach { case (k, t, lv) =>
+        val cand = rs.filter(x => x._1 == k && !x._2.after(t))
+        val expect =
+          if (cand.isEmpty) None
+          else Some(cand.maxBy(x => (x._2.getTime, x._3))._3)
+        assert(got(lv) == expect, s"trial=$trial key=$k ts=$t")
+      }
+    }
+  }
+
   test("all left rows and columns are preserved") {
     val out = AsOf.join(left, right, Seq("k"), "ts", "ts", Seq("rid"), "rid")
     assert(out.count() == left.count())
