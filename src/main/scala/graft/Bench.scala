@@ -50,7 +50,14 @@ object Bench {
       .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       val a = run(fn)
       val b = run(fn)
-      name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val best = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
+      // two wildly disagreeing samples mean an external spike (GC,
+      // co-tenant load) hit one — or both; a third sample arbitrates
+      val v = if (a > 0 && b > 0 && math.abs(a - b) / math.min(a, b) > 0.5) {
+        val c = run(fn)
+        if (c >= 0) math.min(best, c) else best
+      } else best
+      name -> v
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
