@@ -28,6 +28,22 @@ object Layout {
   def partitionedWrite(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Write `df` range-clustered on `cols`: repartitionByRange gives
+    * each output file a disjoint key range, sortWithinPartitions orders
+    * rows inside, so parquet min/max footer stats let a point or range
+    * predicate skip every non-matching file AND every non-matching row
+    * group inside the files it does read. The clustering complement to
+    * [[partitionedWrite]] (directories) for high-cardinality columns
+    * where one-directory-per-value would explode the namespace. */
+  def clusteredWrite(df: DataFrame, path: String, cols: Seq[String],
+      numFiles: Int = 0): Unit = {
+    val ranged =
+      if (numFiles > 0) df.repartitionByRange(numFiles, cols.map(col): _*)
+      else df.repartitionByRange(cols.map(col): _*)
+    ranged.sortWithinPartitions(cols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Salted equi-join for skewed build keys. AQE's skew-join split
     * already handles sort-merge skew at runtime; this is the manual
     * pattern for plans AQE can't reach (e.g. skewed stream-static or

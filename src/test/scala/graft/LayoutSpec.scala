@@ -34,6 +34,23 @@ class LayoutSpec extends SparkSuite {
     assert(one.count() == o.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("clustered write produces disjoint per-file key ranges") {
+    val out = java.nio.file.Files.createTempDirectory("graft_clust").toString
+    val o = graft.sources.Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    Layout.clusteredWrite(o, out, Seq("o_orderkey"), numFiles = 4)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("o_orderkey")), max(col("o_orderkey"))).first()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"file key ranges must be disjoint: ${ranges.toSeq}")
+    }
+    assert(spark.read.parquet(out).count() == o.count())
+  }
+
   test("salted join returns exactly the unsalted join's rows") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"))
