@@ -344,6 +344,33 @@ object Extra {
            |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
            |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  // q33 — correlated subqueries through the SQL front door: EXISTS /
+  // NOT EXISTS / scalar subquery. Catalyst decorrelates these into the
+  // same semi/anti/aggregate-join plans q5 builds with the DSL
+  // (SURVEY §4's "subquery decorrelation" row) — the point is that the
+  // SQL spelling reaches the identical scalable shape.
+  val q33 = QuerySpec(
+    "q33_subqueries",
+    (s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, c_mktsegment,
+              |       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+              |FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              |              AND o_totalprice > 200000.0)
+              |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              |                  AND o_orderstatus = 'P')
+              |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+           |       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+           |FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           |              AND o_totalprice > 200000.0)
+           |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           |                  AND o_orderstatus = 'P')
+           |ORDER BY c_custkey""".stripMargin))
+
   val all: Seq[QuerySpec] =
-    Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28, q29, q30, q30b, q31, q32)
+    Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28, q29, q30, q30b, q31, q32, q33)
 }
