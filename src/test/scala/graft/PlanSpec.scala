@@ -80,6 +80,14 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q33: correlated subqueries decorrelate to semi/anti joins, no nested loops") {
+    val plan = finalPlan(Extra.q33.fn(spark, sf))
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"EXISTS/NOT EXISTS should decorrelate to semi/anti joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"decorrelation must not fall back to a nested loop:\n$plan")
+  }
+
   test("AQE coalesces post-shuffle partitions at runtime") {
     // coalesce by advisory size, not local parallelism, so tiny test
     // data exhibits the same re-plan a production shuffle would
