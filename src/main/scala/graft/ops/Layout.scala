@@ -44,6 +44,22 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Bloom-pruned join: build a Bloom filter on the small side's keys
+    * and filter the big side BEFORE its shuffle — the manual form of
+    * runtime filtering (semi-join pushdown). With a selective small
+    * side, the big side's exchange shrinks by the non-matching
+    * fraction; false positives only cost wasted shuffle rows, never
+    * wrong results (the join still applies the exact predicate). */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
+      fpp: Double = 0.03): DataFrame = {
+    val keys = small.select(col(key))
+    val bf = keys.stat.bloomFilter(key, math.max(keys.count(), 1L), fpp)
+    // primitive-arg udf: Spark null-skips, so null keys drop before the
+    // join — the same rows an inner join would discard anyway
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    big.filter(mightContain(col(key))).join(small, key)
+  }
+
   /** Salted equi-join for skewed build keys. AQE's skew-join split
     * already handles sort-merge skew at runtime; this is the manual
     * pattern for plans AQE can't reach (e.g. skewed stream-static or

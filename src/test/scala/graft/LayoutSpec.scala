@@ -51,6 +51,17 @@ class LayoutSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == o.count())
   }
 
+  test("bloom-pruned join equals the plain join (false positives filtered by the exact join)") {
+    val big = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"))
+    val small = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_custkey") < 8).select(col("c_custkey").as("user_id"), col("c_acctbal"))
+    val plain = big.join(small, "user_id")
+    val pruned = Layout.bloomPrunedJoin(big, small, "user_id")
+      .select(plain.columns.map(col).toSeq: _*)
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
   test("salted join returns exactly the unsalted join's rows") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"))
