@@ -26,6 +26,28 @@ class SourcesSpec extends SparkSuite {
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
 
+  test("ORC batch scan round-trips with predicate pushdown available") {
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val orig = graft.sources.Tables.customer(spark, sf)
+    orig.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema == orig.schema)
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    val filtered = back.filter(col("c_custkey") < 10)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("c_custkey"),
+      s"ORC scan should carry pushed filters:\n$scan")
+  }
+
+  test("observe() surfaces per-query metrics without a second pass") {
+    val observed = graft.sources.Tables.orders(spark, sf)
+      .observe("m", count(lit(1)).as("rows"), max(col("o_totalprice")).as("max_price"))
+    observed.collect() // metrics attach to THIS QueryExecution's run
+    val m = observed.queryExecution.observedMetrics("m")
+    assert(m.getAs[Long]("rows") == graft.sources.Tables.orders(spark, sf).count())
+    assert(m.getAs[Double]("max_price") > 0.0)
+  }
+
   test("schema_of_json infers the events.props envelope shape") {
     val inferred = spark.sql("""SELECT schema_of_json('{"k": 42}') AS s""").first().getString(0)
     assert(inferred.toLowerCase.contains("k") && inferred.toUpperCase.contains("BIGINT"), inferred)
