@@ -49,11 +49,27 @@ object Layout {
     * runtime filtering (semi-join pushdown). With a selective small
     * side, the big side's exchange shrinks by the non-matching
     * fraction; false positives only cost wasted shuffle rows, never
-    * wrong results (the join still applies the exact predicate). */
+    * wrong results (the join still applies the exact predicate).
+    *
+    * `expectedNumItems` sizes the filter without an extra counting job
+    * — callers usually know the build side's cardinality (a dimension
+    * table's row count, a filter's selectivity estimate); only when it
+    * is unset does a fallback `count()` pay one extra pass. Oversizing
+    * is cheap (bits are ~10/key at 3% fpp); undersizing only raises the
+    * false-positive rate, never breaks correctness.
+    *
+    * Zero-code alternative: Spark's own runtime bloom filter
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects the
+    * same semi-join filter during optimization with a native
+    * `might_contain` expression — prefer it when the plan shape
+    * qualifies; this helper is for shapes the optimizer rule misses
+    * (e.g. pruning before a custom operator, or a reused filter). */
   def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
-      fpp: Double = 0.03): DataFrame = {
+      fpp: Double = 0.03, expectedNumItems: Long = -1L): DataFrame = {
     val keys = small.select(col(key))
-    val bf = keys.stat.bloomFilter(key, math.max(keys.count(), 1L), fpp)
+    val n = if (expectedNumItems > 0) expectedNumItems
+            else math.max(keys.count(), 1L)
+    val bf = keys.stat.bloomFilter(key, n, fpp)
     // primitive-arg udf: Spark null-skips, so null keys drop before the
     // join — the same rows an inner join would discard anyway
     val mightContain = udf((k: Long) => bf.mightContain(k))

@@ -94,7 +94,7 @@ object Advanced {
            |         list_contains(list_transform(embedding, x -> x > 0), true) AS has_pos
            |  FROM embeddings)
            |SELECT label, COUNT(*) AS n,
-           |       SUM(CASE WHEN has_pos THEN 1 ELSE 0 END) AS n_has_pos,
+           |       CAST(SUM(CASE WHEN has_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_has_pos,
            |       CAST(SUM(CAST(first_el AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS avg_first,
            |       MAX(dim) AS max_dim, MIN(min_el) AS min_min,
            |       ROUND(CAST(SUM(CAST(head8_sum AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_head8
@@ -188,14 +188,17 @@ object Advanced {
         expr("sqrt(float_dot(embedding, embedding))").as("nrm"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      // rank by the ROUNDED cosine (cid tiebreak): the oracle's SUM dot
+      // accumulates in unspecified order, so raw doubles can differ by
+      // an ulp and flip near-tied top-k ranks — 6dp pins both engines
       val pairs = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("dot", expr("float_dot(embedding, qe)"))
-        .withColumn("cos", col("dot") / (col("nrm") * col("qn")))
+        .withColumn("cos", round(col("dot") / (col("nrm") * col("qn")), 6))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("qid"), col("rn"), col("vec_id").as("cid"), round(col("cos"), 6).as("cosine"))
+        .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cos").as("cosine"))
         .orderBy(col("qid"), col("rn"))
     },
     Some("""WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -208,7 +211,7 @@ object Advanced {
            |     c AS (SELECT qid, cid, dot / (na.nrm * nb.nrm) AS cos
            |           FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
            |     r AS (SELECT qid, cid, cos,
-           |                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+           |                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) AS rn
            |           FROM c)
            |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
            |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))

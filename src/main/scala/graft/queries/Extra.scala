@@ -79,7 +79,7 @@ object Extra {
          |                COUNT(*) AS n_events
          |         FROM sess0 GROUP BY user_id, sid),
          |w(wname, ws, we) AS (VALUES $vals)
-         |SELECT wname, COUNT(*) AS n_sessions, SUM(n_events) AS n_events
+         |SELECT wname, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events
          |FROM sess JOIN w ON ss <= we AND ws <= se
          |GROUP BY wname ORDER BY wname""".stripMargin
     })
@@ -371,6 +371,29 @@ object Extra {
            |                  AND o_orderstatus = 'P')
            |ORDER BY c_custkey""".stripMargin))
 
+  // q34 — sliding windows (B.6): 10-minute windows advancing every 5
+  // minutes, so each event lands in exactly two windows. Spark's
+  // window() generator expands each row to its overlapping windows
+  // before the grouped count; the oracle enumerates the same two
+  // epoch-aligned starts per event (floor5(ts) and floor5(ts)−5min)
+  // and groups. Closes the one window shape without a hash gate
+  // (tumbling = q20, session = q21; streaming parity in StreamingSpec).
+  val q34 = QuerySpec(
+    "q34_sliding_window",
+    (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+        .orderBy(col("window_start"), col("event_type")),
+    Some("""WITH w AS (
+           |  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+           |                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS window_start,
+           |         event_type
+           |  FROM events)
+           |SELECT window_start, event_type, COUNT(*) AS cnt
+           |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QuerySpec] =
-    Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28, q29, q30, q30b, q31, q32, q33)
+    Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28, q29, q30, q30b, q31, q32, q33, q34)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables._
@@ -45,13 +46,16 @@ object Pipeline {
           sum(col("n_ch")).as("sum_chars"),
           sum(col("n_re")).as("sum_regex_tokens"))
         .orderBy(col("lang")),
+    // Bare integer SUM is HUGEINT in DuckDB, which stringifies as float
+    // through the driver's pandas path ("3" vs "3.0") — CAST to BIGINT
+    // pins the type Spark's long sum already has (r1 red, VERDICT #1).
     Some(s"""WITH base AS (SELECT lang, $duckToks AS toks, text FROM documents)
             |SELECT lang, COUNT(*) AS n_docs,
-            |       SUM(len(toks)) AS sum_tokens,
+            |       CAST(SUM(len(toks)) AS BIGINT) AS sum_tokens,
             |       CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_tokens,
             |       MAX(len(toks)) AS max_tokens,
-            |       SUM(length(text)) AS sum_chars,
-            |       SUM(len(regexp_extract_all(text, '[a-z]+'))) AS sum_regex_tokens
+            |       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+            |       CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_regex_tokens
             |FROM base GROUP BY lang ORDER BY lang""".stripMargin))
 
   // p2 — per-document quality scoring: mean token length, type-token
@@ -190,78 +194,111 @@ object Pipeline {
          |FROM hsd ORDER BY doc_id""".stripMargin
     })
 
-  // p6 — MinHash LSH near-dup detection: 8 hashes → 2 bands of 4 →
-  // band-bucket join for candidates → exact shingle-Jaccard verify at
-  // 0.8. This is the 100 TB shape: candidates come from an equi-join on
-  // band values (shuffle on tiny band keys), never from an all-pairs
-  // product; the quadratic step touches only same-band docs.
+  /** MinHash-LSH verified near-dup pairs — the p6 pipeline up to the
+    * (da, db, jaccard >= 0.8) pair list, shared by p6 (pair report) and
+    * p13 (cluster resolution): 8 hashes → 2 bands of 4 → band-bucket
+    * join for candidates → exact shingle-Jaccard verify. This is the
+    * 100 TB shape: candidates come from an equi-join on band values
+    * (shuffle on tiny band keys), never from an all-pairs product; the
+    * quadratic step touches only same-band docs. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    // Signatures and shingle sets are O(docs) and reused across the
+    // self-joins below — persist them, or Spark recomputes the whole
+    // md5 pipeline once per join branch (~6×). At cluster scale these
+    // are exactly the intermediates a pipeline materializes to a table.
+    val shs = documents(s, d)
+      .withColumn("toks", expr(toks))
+      .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
+      .select(col("doc_id"), col("sh"))
+      .persist()
+    val sig = shs.withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
+      .select(Seq(col("doc_id")) ++
+        (0 until 8).map(k => expr(TextFns.minhashExpr("hs", k)).as(s"mh$k")): _*)
+    // concat (not concat_ws): a null minhash (empty doc) must yield a
+    // null band that joins nothing, matching SQL || semantics.
+    val bands = sig.select(col("doc_id"), lit(0).as("band_id"),
+        concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("band_id"),
+        concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))
+      .persist()
+    val a = bands.select(col("doc_id").as("da"), col("band_id"), col("band_val"))
+    val b = bands.select(col("doc_id").as("db"), col("band_id").as("band_id2"), col("band_val").as("band_val2"))
+    val cand = a.join(b,
+        col("band_id") === col("band_id2") && col("band_val") === col("band_val2") && col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val ss = shs.select(col("doc_id"), explode(array_distinct(col("sh"))).as("s")).persist()
+    val sz = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ssa = ss.select(col("doc_id").as("da"), col("s"))
+    val ssb = ss.select(col("doc_id").as("db2"), col("s").as("s2"))
+    val inter = cand
+      .join(ssa, "da")
+      .join(ssb, col("db") === col("db2") && col("s") === col("s2"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    val sza = sz.select(col("doc_id").as("da"), col("n").as("na"))
+    val szb = sz.select(col("doc_id").as("db"), col("n").as("nb"))
+    inter.join(sza, "da").join(szb, "db")
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** The oracle-side CTE chain ending in `pairs(da, db, jaccard)` —
+    * rendered once, shared by the p6 and p13 oracles. */
+  private val duckPairCtes: String = {
+    val mhs = (0 until 8).map(k =>
+      s"${TextFns.minhashSqlDuck("hs", k)} AS mh$k").mkString(",\n       ")
+    s"""base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |shs AS (SELECT doc_id, $duckShingles AS sh FROM base),
+       |hsd AS (SELECT doc_id, sh, ${TextFns.md5IntsSqlDuck("sh")} AS hs FROM shs),
+       |sig AS (SELECT doc_id, sh, $mhs FROM hsd),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS band_val FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1, mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bands a JOIN bands b
+       |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |ss AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shs),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ss GROUP BY 1),
+       |ix AS (SELECT da, db, COUNT(*) AS inter
+       |       FROM cand JOIN ss x ON x.doc_id = da JOIN ss y ON y.doc_id = db AND y.s = x.s
+       |       GROUP BY 1, 2),
+       |pairs AS (SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |          FROM ix JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)""".stripMargin
+  }
+
+  // p6 — MinHash LSH near-dup pair report (see [[minhashPairs]]).
   val p6 = QuerySpec(
     "p6_minhash_lsh_pairs",
-    (s, d) => {
-      // Signatures and shingle sets are O(docs) and reused across the
-      // self-joins below — persist them, or Spark recomputes the whole
-      // md5 pipeline once per join branch (~6×). At cluster scale these
-      // are exactly the intermediates a pipeline materializes to a table.
-      val shs = documents(s, d)
-        .withColumn("toks", expr(toks))
-        .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
-        .select(col("doc_id"), col("sh"))
-        .persist()
-      val sig = shs.withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
-        .select(Seq(col("doc_id")) ++
-          (0 until 8).map(k => expr(TextFns.minhashExpr("hs", k)).as(s"mh$k")): _*)
-      // concat (not concat_ws): a null minhash (empty doc) must yield a
-      // null band that joins nothing, matching SQL || semantics.
-      val bands = sig.select(col("doc_id"), lit(0).as("band_id"),
-          concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val"))
-        .unionByName(sig.select(col("doc_id"), lit(1).as("band_id"),
-          concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))
-        .persist()
-      val a = bands.select(col("doc_id").as("da"), col("band_id"), col("band_val"))
-      val b = bands.select(col("doc_id").as("db"), col("band_id").as("band_id2"), col("band_val").as("band_val2"))
-      val cand = a.join(b,
-          col("band_id") === col("band_id2") && col("band_val") === col("band_val2") && col("da") < col("db"))
-        .select(col("da"), col("db")).distinct()
-      val ss = shs.select(col("doc_id"), explode(array_distinct(col("sh"))).as("s")).persist()
-      val sz = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val ssa = ss.select(col("doc_id").as("da"), col("s"))
-      val ssb = ss.select(col("doc_id").as("db2"), col("s").as("s2"))
-      val inter = cand
-        .join(ssa, "da")
-        .join(ssb, col("db") === col("db2") && col("s") === col("s2"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-      val sza = sz.select(col("doc_id").as("da"), col("n").as("na"))
-      val szb = sz.select(col("doc_id").as("db"), col("n").as("nb"))
-      inter.join(sza, "da").join(szb, "db")
-        .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= 0.8)
+    (s, d) =>
+      minhashPairs(s, d)
         .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("da"), col("db"))
-    },
-    Some {
-      val mhs = (0 until 8).map(k =>
-        s"${TextFns.minhashSqlDuck("hs", k)} AS mh$k").mkString(",\n       ")
-      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |shs AS (SELECT doc_id, $duckShingles AS sh FROM base),
-         |hsd AS (SELECT doc_id, sh, ${TextFns.md5IntsSqlDuck("sh")} AS hs FROM shs),
-         |sig AS (SELECT doc_id, sh, $mhs FROM hsd),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS band_val FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1, mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |         FROM bands a JOIN bands b
-         |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
-         |ss AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shs),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ss GROUP BY 1),
-         |ix AS (SELECT da, db, COUNT(*) AS inter
-         |       FROM cand JOIN ss x ON x.doc_id = da JOIN ss y ON y.doc_id = db AND y.s = x.s
-         |       GROUP BY 1, 2)
-         |SELECT da, db, ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
-         |FROM ix JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
-         |ORDER BY da, db""".stripMargin
-    })
+        .orderBy(col("da"), col("db")),
+    Some(s"""WITH $duckPairCtes
+            |SELECT da, db, ROUND(jaccard, 6) AS jaccard
+            |FROM pairs ORDER BY da, db""".stripMargin))
+
+  // p13 — near-dup CLUSTER resolution: p6's pair list closed under
+  // transitivity (connected components, graft.ops.Dedup) — the step
+  // that turns "A≈B, B≈C" into one dedup group with one survivor.
+  // Oracle: recursive CTE computing min-reachable-id per vertex over
+  // the identical pair list.
+  val p13 = QuerySpec(
+    "p13_neardup_clusters",
+    (s, d) =>
+      graft.ops.Dedup.connectedComponents(
+          minhashPairs(s, d).select(col("da"), col("db")), "da", "db")
+        .orderBy(col("cluster_rep"), col("member")),
+    Some(s"""WITH RECURSIVE $duckPairCtes,
+            |edges AS (SELECT da AS v, db AS w FROM pairs
+            |          UNION ALL SELECT db, da FROM pairs),
+            |walk(v, lbl) AS (
+            |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+            |  UNION
+            |  SELECT e.v, wk.lbl FROM edges e JOIN walk wk ON wk.v = e.w)
+            |SELECT MIN(lbl) AS cluster_rep, v AS member
+            |FROM walk GROUP BY v ORDER BY cluster_rep, member""".stripMargin))
 
   // p7 — exact n-gram (3-shingle) Jaccard near-dup: the ground-truth
   // variant of p6 (no LSH recall loss). All-pairs via shingle equi-join
@@ -306,8 +343,9 @@ object Pipeline {
   // formulation (TextFns.simhashExpr) computes the same bits but its
   // interpreted 16-wide lambda accumulator per token instance costs
   // ~2× at sf0.1 — and the vocabulary dictionary is the shape that
-  // wins harder as the corpus grows. explode_outer keeps empty docs
-  // (zero votes → all-ones hash, matching aggregate-over-empty).
+  // wins harder as the corpus grows. explode_outer keeps empty docs:
+  // zero votes → every bit ties at 0 → all-ones hash; the oracle must
+  // COALESCE its empty-list list_sum (NULL in DuckDB) to 0 to agree.
   val p8 = QuerySpec(
     "p8_simhash",
     (s, d) => {
@@ -334,9 +372,9 @@ object Pipeline {
            |th AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS h FROM base)
            |SELECT doc_id,
            |       array_to_string(list_transform(range(1, 17), j ->
-           |         CASE WHEN list_sum(list_transform(h, x ->
+           |         CASE WHEN COALESCE(list_sum(list_transform(h, x ->
            |                CASE WHEN substr(x, CAST(j AS INT), 1) IN ('8','9','a','b','c','d','e','f')
-           |                     THEN 1 ELSE -1 END)) >= 0
+           |                     THEN 1 ELSE -1 END)), 0) >= 0
            |              THEN '1' ELSE '0' END), '') AS simhash
            |FROM th ORDER BY doc_id""".stripMargin))
 
@@ -359,10 +397,13 @@ object Pipeline {
         .persist() // bucket+norm computed once, reused by both join sides
       val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("bkt"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("bkt").as("bkt2"), col("nrm").as("nb"))
+      // threshold on the ROUNDED cosine: the oracle's SUM-based dot
+      // accumulates in unspecified order, so the raw doubles may differ
+      // in the last ulp — 6dp is the contract's float granularity
       a.join(b, col("bkt") === col("bkt2") && col("va") < col("vb"))
-        .withColumn("cos", expr(VectorFns.fastDotExpr("ea", "eb")) / (col("na") * col("nb")))
+        .withColumn("cos", round(expr(VectorFns.fastDotExpr("ea", "eb")) / (col("na") * col("nb")), 6))
         .filter(col("cos") >= 0.30)
-        .select(col("va"), col("vb"), round(col("cos"), 6).as("cosine"))
+        .select(col("va"), col("vb"), col("cos").as("cosine"))
         .orderBy(col("va"), col("vb"))
     },
     Some(s"""WITH e AS (SELECT vec_id, $duckBkt AS bkt FROM embeddings),
@@ -377,7 +418,7 @@ object Pipeline {
             |c AS (SELECT va, vb, dot / (na.nrm * nb.nrm) AS cos
             |      FROM p JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb)
             |SELECT va, vb, ROUND(cos, 6) AS cosine FROM c
-            |WHERE cos >= 0.30 ORDER BY va, vb""".stripMargin))
+            |WHERE ROUND(cos, 6) >= 0.30 ORDER BY va, vb""".stripMargin))
 
   // p10 — LSH-bucketed ANN: per query vector, top-3 among same-bucket
   // candidates only (recall-bounded, but candidate set is O(bucket)
@@ -394,12 +435,14 @@ object Pipeline {
         .persist() // shared by the query side and the candidate side
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bkt").as("qbkt"), col("nrm").as("qn"))
+      // rank by the ROUNDED cosine (cid tiebreak): ordering on the raw
+      // double lets an engine-side ulp difference flip near-tied ranks
       val pairs = e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
-        .withColumn("cos", expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")))
+        .withColumn("cos", round(expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")), 6))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("qid"), col("rn"), col("vec_id").as("cid"), round(col("cos"), 6).as("cosine"))
+        .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cos").as("cosine"))
         .orderBy(col("qid"), col("rn"))
     },
     Some(s"""WITH e AS (SELECT vec_id, $duckBkt AS bkt FROM embeddings),
@@ -414,7 +457,7 @@ object Pipeline {
             |c AS (SELECT qid, cid, dot / (na.nrm * nb.nrm) AS cos
             |      FROM p JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
             |r AS (SELECT qid, cid, cos,
-            |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+            |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) AS rn
             |      FROM c)
             |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
@@ -463,9 +506,11 @@ object Pipeline {
         .persist() // reused: assignment, probe, and exact rescoring
       val cent = e.filter(col("vec_id") < ivfK)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      // both ranking windows order by the ROUNDED cosine (+ id tiebreak)
+      // so near-ties resolve identically to the oracle's SUM-based dot
       val scored = e.crossJoin(broadcast(cent))
         .withColumn("ccos",
-          expr(VectorFns.fastDotExpr("embedding", "ce")) / (col("nrm") * col("cn")))
+          round(expr(VectorFns.fastDotExpr("embedding", "ce")) / (col("nrm") * col("cn")), 6))
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
       val ranked = scored
         .select(col("vec_id"), col("cent_id"), col("ccos"),
@@ -484,11 +529,11 @@ object Pipeline {
         .join(e, "vec_id")
         .join(broadcast(qvec), "qid")
         .withColumn("cos",
-          expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")))
+          round(expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")), 6))
       val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       pairs.withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= 3)
-        .select(col("qid"), col("rn"), col("vec_id").as("cid"), round(col("cos"), 6).as("cosine"))
+        .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cos").as("cosine"))
         .orderBy(col("qid"), col("rn"))
     },
     Some(s"""WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -502,7 +547,7 @@ object Pipeline {
             |       FROM ad JOIN n na ON na.vec_id = ad.vec_id
             |               JOIN n nc ON nc.vec_id = ad.cent_id),
             |rk AS (SELECT vec_id, cent_id, ROW_NUMBER() OVER
-            |         (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn FROM ac),
+            |         (PARTITION BY vec_id ORDER BY ROUND(ccos, 6) DESC, cent_id) AS crn FROM ac),
             |asg AS (SELECT vec_id, cent_id AS list_id FROM rk WHERE crn = 1),
             |probe AS (SELECT vec_id AS qid, cent_id AS list_id FROM rk
             |          WHERE vec_id < 5 AND crn <= $ivfProbe),
@@ -515,9 +560,9 @@ object Pipeline {
             |pc AS (SELECT qid, cid, dot / (na.nrm * nb.nrm) AS cos
             |       FROM pd JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
             |r AS (SELECT qid, cid, cos, ROW_NUMBER() OVER
-            |        (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM pc)
+            |        (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) AS rn FROM pc)
             |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, m1)
+  val all: Seq[QuerySpec] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, m1)
 }

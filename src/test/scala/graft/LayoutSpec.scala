@@ -62,6 +62,30 @@ class LayoutSpec extends SparkSuite {
     assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
   }
 
+  test("bloomPrunedJoin with expectedNumItems runs one fewer job than the count fallback") {
+    val big = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"))
+    val small = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_custkey") < 8).select(col("c_custkey").as("user_id"), col("c_acctbal"))
+    def jobsFor(group: String)(f: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try f finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val withHint = jobsFor("bf-hint") {
+      Layout.bloomPrunedJoin(big, small, "user_id", expectedNumItems = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val withFallback = jobsFor("bf-fallback") {
+      Layout.bloomPrunedJoin(big, small, "user_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // the fallback count() costs MORE jobs (under AQE an aggregate is
+    // itself >1 job, so the delta isn't pinned to exactly one)
+    assert(withHint < withFallback,
+      s"sizing hint should remove the count() pass: hint=$withHint fallback=$withFallback")
+  }
+
   test("salted join returns exactly the unsalted join's rows") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"))

@@ -68,6 +68,23 @@ class PlanSpec extends SparkSuite {
       s"expected map-side partial aggregation before the exchange:\n$plan")
   }
 
+  test("q9: every window frame is partitioned — no single-task global window") {
+    // an empty partitionSpec funnels the whole relation through ONE task
+    // (the driver-log "No Partition Defined" warning); q9 runs two-phase
+    // per-year windows instead. Static plan: AQE stage wrappers hide
+    // inner operators from collect().
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Relational.q9.fn(spark, sf)
+      val wins = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, "q9 should still plan window frames")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned WindowExec serializes on one task:\n$w"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q13: scalar battery executes inside whole-stage codegen") {
     // AQE wraps the plan and reports 0 subtrees before execution —
     // inspect the static plan for this check only

@@ -3,6 +3,18 @@
 dumps against the DuckDB oracle on the same sf dir. Dev-only tool (the
 real gate is driver-side); not part of the shipped library.
 
+Strictness matches the driver: both sides go through a pandas round-trip
+(DuckDB .df()), and values are compared as RAW strings — no rounding.
+This is what catches type-formatting divergence the values themselves
+don't show: DuckDB types a bare integer SUM as HUGEINT, pandas renders
+HUGEINT as float64, and "26143.0" != "26143" even though the numbers are
+equal (the r1 gate reds). Round-1's round-to-6dp canonicalization hid
+exactly that, so it shipped locally-green and failed driver-side.
+
+The one normalization kept is negative zero: -0.0 == 0.0 is a genuine
+IEEE identity, and f-string formatting would otherwise emit "-0.0" vs
+"0.0" for bit-different-but-equal zeros.
+
 Usage: python3 tools/check.py <outDir> <sfDir>
 """
 import json
@@ -11,16 +23,15 @@ import sys
 import duckdb
 
 
-def canon(rows, cols):
-    """Sort columns by name, round floats, stringify — order-insensitive."""
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    """Sort columns by name, stringify raw pandas values, sort rows."""
+    cols = sorted(df.columns)
     out = []
-    for r in rows:
+    for _, r in df[cols].iterrows():
         vals = []
-        for i in idx:
-            v = r[i]
-            if isinstance(v, float):
-                v = f"{round(v, 6):.6f}"
+        for v in r:
+            if isinstance(v, float) and v == 0:
+                v = 0.0  # normalize -0.0: equal under IEEE, differs as text
             vals.append(str(v))
         out.append("\x1f".join(vals))
     out.sort()
@@ -36,19 +47,17 @@ def main(out_dir, sf_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            g_cols, g_rows = got.columns, got.fetchall()
-            exp = con.sql(sql)
-            e_cols, e_rows = exp.columns, exp.fetchall()
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            exp = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
-        if sorted(g_cols) != sorted(e_cols):
-            print(f"FAIL {name}: cols spark={sorted(g_cols)} oracle={sorted(e_cols)}")
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"FAIL {name}: cols spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
             n_bad += 1
             continue
-        cg, ce = canon(g_rows, g_cols), canon(e_rows, e_cols)
+        cg, ce = canon(got), canon(exp)
         if cg == ce:
             print(f"ok   {name} ({len(cg)} rows)")
             n_ok += 1
