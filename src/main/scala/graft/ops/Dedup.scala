@@ -9,16 +9,19 @@ import org.apache.spark.sql.functions._
   * transitively, if A≈B and B≈C then A, B, C deduplicate together even
   * when A≈C was never emitted).
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts
-  * labeled with itself; each round it takes the minimum of its own
-  * label and its neighbors' labels; at fixpoint every vertex carries
-  * the minimum vertex id of its component. Each round is one equi-join
-  * + partial-aggregated groupBy — no driver-side graph state, so the
-  * shape survives any corpus size; rounds = O(component diameter),
-  * and near-dup clusters are short-diameter by construction (members
-  * all overlap the same content). For adversarially long chain graphs
-  * the doubling variants (large-star/small-star) drop rounds to
-  * O(log n) at the cost of two joins per round — not needed here.
+  * Algorithm: min-label propagation WITH pointer doubling. Every
+  * vertex starts labeled with itself; each round it (a) takes the
+  * minimum of its own label and its neighbors' labels, then (b)
+  * follows the label pointer once (lbl := lbl(lbl)) — path
+  * compression, the Hash-to-Min idea. Labels only decrease and every
+  * label is itself a vertex id of the component, so at fixpoint every
+  * vertex carries the component's minimum id. Step (a) alone needs
+  * O(diameter) rounds — a 60-edge chain took 60 rounds (measured:
+  * tens of seconds of job overhead on tiny data); (b) halves the
+  * remaining pointer depth each round, so rounds = O(log diameter)
+  * at the cost of one extra equi-join per round. Each round is two
+  * equi-joins + one partial-aggregated groupBy — no driver-side graph
+  * state, so the shape survives any corpus size.
   *
   * `localCheckpoint` truncates the per-round lineage: without it each
   * iteration's plan embeds all previous iterations and planning cost
@@ -38,34 +41,64 @@ object Dedup {
     *         themselves).
     */
   def connectedComponents(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val spark = pairs.sparkSession
+    // the pair list is tiny relative to the corpus by construction
+    // (near-dups are the exception, not the rule), but each round is
+    // several shuffles — let AQE coalesce them below the session
+    // parallelism or every round pays full-width task overhead
+    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val prevPf = spark.conf.get(pfKey)
+    spark.conf.set(pfKey, "false")
+    try {
+    // no distinct() on edges: duplicate edges are harmless under the
+    // min() aggregation and deduping them would cost a shuffle
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
       .persist()
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
       .localCheckpoint(true)
+    // labels only ever decrease, so the label sum is a strictly
+    // decreasing convergence witness — one cheap aggregate per round
+    // instead of a self-join diff (decimal: immune to int64 overflow)
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    // null = "no previous sum yet": round 1 always runs, so the
+    // initial sum job is pure overhead and is skipped
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var rounds = 0
-    val maxRounds = 64 // diameter bound; labels are monotone so a hit
-                       // here still returns a refinement, never garbage
+    val maxRounds = 64 // >> log2(any graph); labels are monotone so a
+                       // hit here still returns a refinement, not garbage
     while (!converged && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy(col("src")).agg(min(col("nlbl")).as("nbr_lbl"))
         .select(col("src").as("v"), col("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("v"), "left_outer")
+      // persist: the self-join below would otherwise recompute the
+      // whole neighbor-min subtree once per join side
+      val stepped = labels.join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist()
+      // pointer doubling: lbl := lbl(lbl). Labels are vertex ids, and
+      // lbl(u) <= u, so the looked-up label can only improve ours.
+      val next = stepped
+        .join(stepped.select(col("v").as("pv"), col("lbl").as("plbl")),
+          stepped("lbl") === col("pv"), "left_outer")
+        .select(stepped("v"),
+          least(stepped("lbl"), coalesce(col("plbl"), stepped("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      val changed = next.join(labels.select(col("v"), col("lbl").as("prev")), "v")
-        .filter(col("lbl") < col("prev")).count()
+      stepped.unpersist()
+      val nextSum = lblSum(next)
       labels = next
-      converged = changed == 0
+      converged = prevSum != null && nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       rounds += 1
     }
     edges.unpersist()
     labels.select(col("lbl").as("cluster_rep"), col("v").as("member"))
+    } finally spark.conf.set(pfKey, prevPf)
   }
 
   /** Survivor selection: keep the representative (minimum id) of each

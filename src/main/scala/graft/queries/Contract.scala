@@ -213,26 +213,30 @@ object Relational {
   val q9 = QuerySpec(
     "q9_window_frames",
     (s, d) => {
+      // three consumers below (year totals, helper tails, frame input)
+      // — persist or the orders scan+agg reruns per branch
       val daily = orders(s, d)
         .groupBy(col("o_orderdate").cast("date").as("d"))
         .agg(sum(col("o_totalprice").cast(dec4)).as("total"))
         .withColumn("yr", year(col("d")))
-      // phase 1: per-year windows (partitioned — parallel across years)
-      val wInYear = Window.partitionBy(col("yr")).orderBy(col("d"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val perYear = daily.withColumn("run_in_year", sum(col("total")).over(wInYear))
-      // phase 2a: cumulative offset of strictly-prior years — #years
-      // rows, joined via tiny theta join then broadcast back
+        .persist()
+      // cumulative offset of strictly-prior years — #years rows via a
+      // tiny theta join, broadcast back at the end
       val yearTotals = daily.groupBy(col("yr")).agg(sum(col("total")).as("yr_total"))
       val a = yearTotals.select(col("yr"))
       val b = yearTotals.select(col("yr").as("yr2"), col("yr_total"))
       val offsets = a.join(b, col("yr2") < col("yr"))
         .groupBy(col("yr")).agg(sum(col("yr_total")).as("offset"))
-      val run = perYear.join(broadcast(offsets), Seq("yr"), "left_outer")
-        .withColumn("running_total",
-          (col("run_in_year") + coalesce(col("offset"), lit(0).cast(dec4))).cast("double"))
-      // phase 2b: moving frame — replicate each year's last 6 rows into
-      // the NEXT year's partition as frame-only helpers
+      // replicate each year's last 6 rows into the NEXT year's
+      // partition as frame-only helper rows (the 7-row frame's maximum
+      // reach-back); helpers sort before all real rows of their
+      // partition (their dates are smaller), so one windowed cumsum
+      // over the augmented partition serves BOTH outputs:
+      //   running_in_year = cum - (cumulative helper sum, which at any
+      //                            real row equals the full helper sum)
+      //   moving frame    = plain -6..0 frame over augmented rows
+      // — all four aggregates share one (partition, order) spec, i.e.
+      // ONE WindowExec and one exchange.
       val wYearDesc = Window.partitionBy(col("yr")).orderBy(col("d").desc)
       val helpers = daily.withColumn("rdesc", row_number().over(wYearDesc))
         .filter(col("rdesc") <= 6).drop("rdesc")
@@ -240,18 +244,22 @@ object Relational {
         .withColumn("helper", lit(true))
       val aug = daily.withColumn("part_yr", col("yr")).withColumn("helper", lit(false))
         .unionByName(helpers)
-      val w7 = Window.partitionBy(col("part_yr")).orderBy(col("d")).rowsBetween(-6, 0)
-      val mv = aug
+      val wPart = Window.partitionBy(col("part_yr")).orderBy(col("d"))
+      val w7 = wPart.rowsBetween(-6, 0)
+      val wCum = wPart.rowsBetween(Window.unboundedPreceding, 0)
+      aug
         .withColumn("mv_sum", sum(col("total")).over(w7))
         .withColumn("mv_cnt", count(lit(1)).over(w7))
+        .withColumn("cum_aug", sum(col("total")).over(wCum))
+        .withColumn("helper_sum", sum(when(col("helper"), col("total"))).over(wCum))
         .filter(!col("helper"))
-        .select(col("d"), (col("mv_sum").cast("double") / col("mv_cnt")).as("moving_avg"))
-      run.join(mv, "d")
+        .join(broadcast(offsets), Seq("yr"), "left_outer")
         .select(
           col("d"),
           col("total").cast("double").as("day_total"),
-          col("running_total"),
-          col("moving_avg"))
+          (col("cum_aug") - coalesce(col("helper_sum"), lit(0).cast(dec4))
+            + coalesce(col("offset"), lit(0).cast(dec4))).cast("double").as("running_total"),
+          (col("mv_sum").cast("double") / col("mv_cnt")).as("moving_avg"))
         .orderBy(col("d"))
     },
     Some("""WITH daily AS (

@@ -287,8 +287,11 @@ object Pipeline {
   val p13 = QuerySpec(
     "p13_neardup_clusters",
     (s, d) =>
+      // persist: Dedup reads the pair list through BOTH union branches
+      // of its edge list — without this the candidate/verify joins
+      // (everything past minhashPairs' cached leaves) run twice
       graft.ops.Dedup.connectedComponents(
-          minhashPairs(s, d).select(col("da"), col("db")), "da", "db")
+          minhashPairs(s, d).select(col("da"), col("db")).persist(), "da", "db")
         .orderBy(col("cluster_rep"), col("member")),
     Some(s"""WITH RECURSIVE $duckPairCtes,
             |edges AS (SELECT da AS v, db AS w FROM pairs
@@ -397,13 +400,16 @@ object Pipeline {
         .persist() // bucket+norm computed once, reused by both join sides
       val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("bkt"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("bkt").as("bkt2"), col("nrm").as("nb"))
-      // threshold on the ROUNDED cosine: the oracle's SUM-based dot
-      // accumulates in unspecified order, so the raw doubles may differ
-      // in the last ulp — 6dp is the contract's float granularity
+      // threshold semantics = rounded cosine >= 0.30 (the oracle's
+      // SUM-based dot can differ in the last ulp, 6dp is the contract's
+      // float granularity) — but rounding is HALF_UP-monotone, so the
+      // raw-value filter `cos >= 0.2999995` selects the identical rows
+      // without paying a BigDecimal round on every candidate pair;
+      // only survivors get rounded
       a.join(b, col("bkt") === col("bkt2") && col("va") < col("vb"))
-        .withColumn("cos", round(expr(VectorFns.fastDotExpr("ea", "eb")) / (col("na") * col("nb")), 6))
-        .filter(col("cos") >= 0.30)
-        .select(col("va"), col("vb"), col("cos").as("cosine"))
+        .withColumn("cos", expr(VectorFns.fastDotExpr("ea", "eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.2999995)
+        .select(col("va"), col("vb"), round(col("cos"), 6).as("cosine"))
         .orderBy(col("va"), col("vb"))
     },
     Some(s"""WITH e AS (SELECT vec_id, $duckBkt AS bkt FROM embeddings),

@@ -22,6 +22,37 @@ class PipelineSpec extends SparkSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("connected components: chain + triangle + pair resolve to min-id clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, exercises pointer doubling), triangle
+    // 10-11-12 with a redundant edge, isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("da", "db")
+    val cc = graft.ops.Dedup.connectedComponents(pairs, "da", "db")
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val surv = graft.ops.Dedup.survivors(
+      graft.ops.Dedup.connectedComponents(pairs, "da", "db"))
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 10L, 20L))
+  }
+
+  test("p13 clusters are consistent with p6 pairs: every pair co-clusters") {
+    val pairs = Pipeline.p6.fn(spark, sf).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = Pipeline.p13.fn(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(pairs.nonEmpty && cluster.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // every representative is a member of its own cluster
+    cluster.values.foreach(rep => assert(cluster(rep) == rep))
+  }
+
   test("simhash is 16 bits of 0/1 and identical for identical token streams") {
     val rows = Pipeline.p8.fn(spark, sf).collect()
     assert(rows.length == 500)
