@@ -349,37 +349,48 @@ object Pipeline {
   // wins harder as the corpus grows. explode_outer keeps empty docs:
   // zero votes → every bit ties at 0 → all-ones hash; the oracle must
   // COALESCE its empty-list list_sum (NULL in DuckDB) to 0 to agree.
+  /** Per-document SimHash as a '0'/'1' string, one vote per md5 hex
+    * nibble (width <= 32). Shared by p8 (16-bit hash report) and p15
+    * (32-bit banded near-dup pairs — the wider hash keeps random
+    * collisions out of the candidate set as the corpus grows). */
+  private def simhashDf(s: SparkSession, d: String, bits: Int): DataFrame = {
+    val inst = documents(s, d)
+      .select(col("doc_id"), explode_outer(expr(toks)).as("t"))
+    val dict = inst.select(col("t")).where(col("t").isNotNull).distinct()
+      .withColumn("h", md5(col("t")))
+      .withColumn("votes", expr(
+        s"""transform(sequence(1, $bits), j ->
+           |  CASE WHEN substring(h, j, 1) IN ('8','9','a','b','c','d','e','f')
+           |       THEN 1 ELSE -1 END)""".stripMargin))
+      .select(col("t"), col("votes"))
+    val sums = (0 until bits).map(i =>
+      sum(coalesce(col("votes")(i), lit(0))).as(s"s$i"))
+    val bitsCol = concat((0 until bits).map(i =>
+      when(col(s"s$i") >= 0, lit("1")).otherwise(lit("0"))): _*)
+    inst.join(dict, Seq("t"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), bitsCol.as("simhash"))
+  }
+
+  /** Oracle-side CTE chain ending in `sh(doc_id, simhash)` — shared by
+    * the p8 and p15 oracles (width-parameterized like [[simhashDf]]). */
+  private def duckSimhashCte(bits: Int): String =
+    s"""base AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+       |th AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS h FROM base),
+       |sh AS (SELECT doc_id,
+       |       array_to_string(list_transform(range(1, ${bits + 1}), j ->
+       |         CASE WHEN COALESCE(list_sum(list_transform(h, x ->
+       |                CASE WHEN substr(x, CAST(j AS INT), 1) IN ('8','9','a','b','c','d','e','f')
+       |                     THEN 1 ELSE -1 END)), 0) >= 0
+       |              THEN '1' ELSE '0' END), '') AS simhash
+       |FROM th)""".stripMargin
+
   val p8 = QuerySpec(
     "p8_simhash",
-    (s, d) => {
-      val inst = documents(s, d)
-        .select(col("doc_id"), explode_outer(expr(toks)).as("t"))
-      val dict = inst.select(col("t")).where(col("t").isNotNull).distinct()
-        .withColumn("h", md5(col("t")))
-        .withColumn("votes", expr(
-          """transform(sequence(1, 16), j ->
-            |  CASE WHEN substring(h, j, 1) IN ('8','9','a','b','c','d','e','f')
-            |       THEN 1 ELSE -1 END)""".stripMargin))
-        .select(col("t"), col("votes"))
-      val sums = (0 until 16).map(i =>
-        sum(coalesce(col("votes")(i), lit(0))).as(s"s$i"))
-      val bits = concat((0 until 16).map(i =>
-        when(col(s"s$i") >= 0, lit("1")).otherwise(lit("0"))): _*)
-      inst.join(dict, Seq("t"), "left_outer")
-        .groupBy(col("doc_id"))
-        .agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), bits.as("simhash"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
-           |th AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS h FROM base)
-           |SELECT doc_id,
-           |       array_to_string(list_transform(range(1, 17), j ->
-           |         CASE WHEN COALESCE(list_sum(list_transform(h, x ->
-           |                CASE WHEN substr(x, CAST(j AS INT), 1) IN ('8','9','a','b','c','d','e','f')
-           |                     THEN 1 ELSE -1 END)), 0) >= 0
-           |              THEN '1' ELSE '0' END), '') AS simhash
-           |FROM th ORDER BY doc_id""".stripMargin))
+    (s, d) => simhashDf(s, d, 16).orderBy(col("doc_id")),
+    Some(s"""WITH ${duckSimhashCte(16)}
+            |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin))
 
   private val nPlanes = 4
   private val dim = 64
@@ -570,5 +581,150 @@ object Pipeline {
             |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, m1)
+  // p14 — dedup END TO END: the corpus after cluster resolution. p13's
+  // components keep the minimum doc_id per cluster; everything else is
+  // removed via a LEFT ANTI join (removed list ≪ corpus — at 100 TB the
+  // anti join shuffles only ids, never text). Output: per-language
+  // corpus size before/after — the number a curation run reports.
+  val p14 = QuerySpec(
+    "p14_dedup_survivors",
+    (s, d) => {
+      val comps = graft.ops.Dedup.connectedComponents(
+        minhashPairs(s, d).select(col("da"), col("db")).persist(), "da", "db")
+      val removed = comps.filter(col("member") =!= col("cluster_rep"))
+        .select(col("member").as("doc_id"))
+      val docs = documents(s, d).select(col("doc_id"), col("lang")).persist()
+      val total = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      val kept = docs.join(removed, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_survivors"))
+      total.join(kept, "lang")
+        .select(col("lang"), col("n_total"), col("n_survivors"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH RECURSIVE $duckPairCtes,
+            |edges AS (SELECT da AS v, db AS w FROM pairs
+            |          UNION ALL SELECT db, da FROM pairs),
+            |walk(v, lbl) AS (
+            |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+            |  UNION
+            |  SELECT e.v, wk.lbl FROM edges e JOIN walk wk ON wk.v = e.w),
+            |comp AS (SELECT v, MIN(lbl) AS rep FROM walk GROUP BY v),
+            |removed AS (SELECT v FROM comp WHERE v <> rep)
+            |SELECT lang, COUNT(*) AS n_total,
+            |       CAST(SUM(CASE WHEN doc_id IN (SELECT v FROM removed)
+            |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_survivors
+            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  // p15 — SimHash near-dup pairs: a 32-bit hash banded into 2 bands of
+  // 16, equi-joined on band value; k+1 bands catch every pair within
+  // Hamming distance k (pigeonhole), so 2 bands give an EXACT guarantee
+  // at distance <= 1 — verified by the explicit 32-position Hamming
+  // count. Width and band count are the two scale dials: more bits keep
+  // random collisions out of the buckets (16 bits drowned in them by
+  // 5k docs), more bands widen the distance guarantee at ~n²/2^b
+  // candidates per b-bit band. Same bucket-join shape as p6/p9 — never
+  // an all-pairs product.
+  val p15 = QuerySpec(
+    "p15_simhash_pairs",
+    (s, d) => {
+      // band rows carry BOTH halves (bv = matched half, ov = the
+      // other): a band match means the matched 16 bits are literally
+      // equal, so the pair's total Hamming distance IS the other
+      // half's distance — no join back to the hash table, and 16
+      // comparisons instead of 32. A pair matching both bands appears
+      // twice with the same (zero) distance; min() collapses it.
+      val sh = simhashDf(s, d, 32).persist() // feeds both band branches
+      val bands = sh.select(col("doc_id"), lit(0).as("band_id"),
+          substring(col("simhash"), 1, 16).as("bv"), substring(col("simhash"), 17, 16).as("ov"))
+        .unionByName(sh.select(col("doc_id"), lit(1).as("band_id"),
+          substring(col("simhash"), 17, 16).as("bv"), substring(col("simhash"), 1, 16).as("ov")))
+      val a = bands.select(col("doc_id").as("da"), col("band_id"), col("bv"), col("ov").as("ova"))
+      val b = bands.select(col("doc_id").as("db"), col("band_id").as("band_id2"), col("bv").as("bv2"), col("ov").as("ovb"))
+      val ham = (1 to 16).map(j =>
+        when(substring(col("ova"), j, 1) =!= substring(col("ovb"), j, 1), 1).otherwise(0))
+        .reduce(_ + _)
+      a.join(b,
+          col("band_id") === col("band_id2") && col("bv") === col("bv2") && col("da") < col("db"))
+        .select(col("da"), col("db"), ham.as("h"))
+        .groupBy(col("da"), col("db")).agg(min(col("h")).as("hamming"))
+        .filter(col("hamming") <= 1)
+        .orderBy(col("da"), col("db"))
+    },
+    Some {
+      val ham = (1 to 16).map(j =>
+        s"(CASE WHEN substr(a.ov, $j, 1) <> substr(b.ov, $j, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH ${duckSimhashCte(32)},
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, substr(simhash, 1, 16) AS bv, substr(simhash, 17, 16) AS ov FROM sh
+         |  UNION ALL
+         |  SELECT doc_id, 1, substr(simhash, 17, 16), substr(simhash, 1, 16) FROM sh),
+         |h AS (SELECT a.doc_id AS da, b.doc_id AS db, $ham AS h
+         |      FROM bands a JOIN bands b
+         |        ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |g AS (SELECT da, db, MIN(h) AS hamming FROM h GROUP BY da, db)
+         |SELECT da, db, hamming FROM g WHERE hamming <= 1 ORDER BY da, db""".stripMargin
+    })
+
+  // p16 — benchmark decontamination: flag training docs sharing >= 3
+  // distinct 3-token shingles with any benchmark doc (here: doc_id < 20
+  // stands in for the benchmark set). The benchmark side is tiny by
+  // definition, so its shingle set BROADCASTS — the 100 TB corpus
+  // streams past it with no shuffle of the training side.
+  val p16 = QuerySpec(
+    "p16_decontaminate",
+    (s, d) => {
+      val ss = documents(s, d)
+        .withColumn("toks", expr(toks))
+        .select(col("doc_id"), explode(array_distinct(expr(TextFns.shinglesExpr("toks")))).as("s"))
+      val bench = ss.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bench_id"), col("s"))
+      val train = ss.filter(col("doc_id") >= 20)
+      train.join(broadcast(bench), "s")
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("doc_id"), col("bench_id"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+            |shs AS (SELECT doc_id, $duckShingles AS sh FROM base),
+            |ss AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shs),
+            |bench AS (SELECT doc_id AS bench_id, s FROM ss WHERE doc_id < 20),
+            |train AS (SELECT doc_id, s FROM ss WHERE doc_id >= 20)
+            |SELECT doc_id, bench_id, COUNT(*) AS n_shared
+            |FROM train JOIN bench USING (s)
+            |GROUP BY doc_id, bench_id HAVING COUNT(*) >= 3
+            |ORDER BY doc_id, bench_id""".stripMargin))
+
+  // p17 — deterministic stratified sampling: per-language keep rates
+  // (en 30%, rest 10%) decided by a content-independent md5 hash of the
+  // doc id — reproducible across runs, engines, and cluster sizes (no
+  // RNG state), the property a training-data sample must have. One
+  // linear pass; the sample decision is a scan-level filter at scale.
+  val p17 = QuerySpec(
+    "p17_stratified_sample",
+    (s, d) => {
+      val bucket = expr(s"${TextFns.md5IntScalarExpr("CAST(doc_id AS STRING)")} % 100")
+      documents(s, d)
+        .select(col("lang"), bucket.as("bucket"))
+        .withColumn("rate", when(col("lang") === "en", 30).otherwise(10))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("bucket") < col("rate"), 1).otherwise(0)).as("n_sampled"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH b AS (SELECT lang,
+            |       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % ${TextFns.minhashP} % 100 AS bucket,
+            |       CASE WHEN lang = 'en' THEN 30 ELSE 10 END AS rate
+            |       FROM documents)
+            |SELECT lang, COUNT(*) AS n_total,
+            |       CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+            |FROM b GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Test hook: the exact 32-bit hash table p15 bands over. */
+  def simhash32ForTest(s: SparkSession, d: String): DataFrame = simhashDf(s, d, 32)
+
+  val all: Seq[QuerySpec] =
+    Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1)
 }

@@ -53,6 +53,36 @@ class PipelineSpec extends SparkSuite {
     cluster.values.foreach(rep => assert(cluster(rep) == rep))
   }
 
+  test("p15 banding finds EXACTLY the brute-force hamming<=1 simhash pairs") {
+    // the 2-bands-for-distance-1 pigeonhole guarantee, checked against
+    // an all-pairs scan of the collected 32-bit hashes
+    val hashes = Pipeline.p8.fn(spark, sf).collect() // 16-bit report ≠ p15's width
+    assert(hashes.length == 500)
+    val sh32 = Pipeline.p15.fn(spark, sf) // exercise the query first
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(sh32.forall(_._3 <= 1))
+    // brute force over the same 32-bit hashes the query uses
+    val h = graft.queries.Pipeline.simhash32ForTest(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val brute = for {
+      i <- h.indices; j <- (i + 1) until h.length
+      ham = h(i)._2.zip(h(j)._2).count { case (x, y) => x != y }
+      if ham <= 1
+    } yield (h(i)._1, h(j)._1, ham)
+    assert(sh32.toSet == brute.toSet,
+      s"banded=${sh32.length} brute=${brute.length}")
+  }
+
+  test("p14 survivors reconcile with p13 components per corpus") {
+    val comps = Pipeline.p13.fn(spark, sf).collect()
+    val nRemoved = comps.count(r => r.getLong(0) != r.getLong(1))
+    val sums = Pipeline.p14.fn(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val (total, surv) = sums.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(total - surv == nRemoved,
+      s"total=$total survivors=$surv removed-by-components=$nRemoved")
+  }
+
   test("simhash is 16 bits of 0/1 and identical for identical token streams") {
     val rows = Pipeline.p8.fn(spark, sf).collect()
     assert(rows.length == 500)
