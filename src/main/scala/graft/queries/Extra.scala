@@ -394,6 +394,72 @@ object Extra {
            |SELECT window_start, event_type, COUNT(*) AS cnt
            |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // q36 — UNPIVOT/melt (B.4's pivot inverse): three measure columns
+  // fold into (metric, val) rows via the stack() generator — a single
+  // narrow pass, no shuffle until the contract ORDER BY. The oracle
+  // spells it as the equivalent UNION ALL (the portable form; values
+  // pass through untouched, so doubles stay bit-identical).
+  val q35 = QuerySpec(
+    "q35_unpivot",
+    (s, d) =>
+      lineitem(s, d)
+        .selectExpr("l_orderkey", "l_linenumber",
+          "stack(3, 'discount', l_discount, 'price', l_extendedprice, 'tax', l_tax) AS (metric, val)")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+    Some("""SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS val FROM lineitem
+           |UNION ALL
+           |SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+           |UNION ALL
+           |SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+           |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin))
+
+  // q37 — window extras (B.5): IGNORE NULLS first/last, nth_value,
+  // lag with default, and a RANGE frame (value-based — unlike q9's
+  // ROWS frames it contracts over gaps in the day sequence). Values
+  // pass through without arithmetic, so no rounding is needed.
+  val q36 = QuerySpec(
+    "q36_window_extras",
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("user_id"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("dn", datediff(col("d"), lit("2024-01-01").cast("date")))
+        .withColumn("v", when(col("cnt") % 3 === 0, col("cnt").cast("double")))
+      val wo = Window.partitionBy(col("user_id")).orderBy(col("dn"))
+      val wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wr = wo.rangeBetween(-6, 0)
+      daily.select(
+          col("user_id"), col("d"), col("cnt"),
+          first(col("v"), ignoreNulls = true).over(wf).as("first_nn"),
+          last(col("v"), ignoreNulls = true).over(wf).as("last_nn"),
+          nth_value(col("v"), 2).over(wf).as("nth2"),
+          lag(col("v"), 1, -1.0).over(wo).as("prev_v"),
+          sum(col("cnt")).over(wr).as("range_sum"),
+          count(lit(1)).over(wr).as("range_cnt"))
+        .orderBy(col("user_id"), col("d"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |base AS (SELECT *, DATE_DIFF('day', DATE '2024-01-01', d) AS dn,
+           |                CASE WHEN cnt % 3 = 0 THEN CAST(cnt AS DOUBLE) END AS v
+           |         FROM daily)
+           |SELECT user_id, d, cnt,
+           |       FIRST_VALUE(v IGNORE NULLS) OVER wf AS first_nn,
+           |       LAST_VALUE(v IGNORE NULLS) OVER wf AS last_nn,
+           |       NTH_VALUE(v, 2) OVER wf AS nth2,
+           |       LAG(v, 1, -1.0) OVER wo AS prev_v,
+           |       CAST(SUM(cnt) OVER wr AS BIGINT) AS range_sum,
+           |       COUNT(*) OVER wr AS range_cnt
+           |FROM base
+           |WINDOW wf AS (PARTITION BY user_id ORDER BY dn
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           |       wo AS (PARTITION BY user_id ORDER BY dn),
+           |       wr AS (PARTITION BY user_id ORDER BY dn
+           |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           |ORDER BY user_id, d""".stripMargin))
+
   val all: Seq[QuerySpec] =
-    Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28, q29, q30, q30b, q31, q32, q33, q34)
+    Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28, q29, q30, q30b, q31, q32, q33, q34,
+      q35, q36)
 }

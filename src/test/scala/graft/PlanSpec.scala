@@ -105,6 +105,38 @@ class PlanSpec extends SparkSuite {
       s"decorrelation must not fall back to a nested loop:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // one hot key carries ~all probe rows; with the skew thresholds
+    // scaled to test data, AQE must mark the sort-merge join skewed and
+    // split the hot partition instead of serializing it on one task —
+    // the runtime half of the salting strategy (ops/Layout.saltedJoin
+    // covers the shapes AQE can't reach)
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val probe = spark.range(0, 200000)
+        .select(when(col("id") % 10 === 0, col("id") % 7).otherwise(lit(0L)).as("k"),
+          col("id").as("payload"))
+      val build = spark.range(0, 7).select(col("id").as("k"), (col("id") * 10).as("dim"))
+      val j = probe.join(build, "k")
+      j.collect() // execute THIS QueryExecution — a noop write plans a separate one
+      val plan = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the hot key's partition:\n${plan.take(1500)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("AQE coalesces post-shuffle partitions at runtime") {
     // coalesce by advisory size, not local parallelism, so tiny test
     // data exhibits the same re-plan a production shuffle would

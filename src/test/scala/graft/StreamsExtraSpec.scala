@@ -21,6 +21,36 @@ class StreamsExtraSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("stateful aggregation is provider-agnostic: RocksDB state store matches batch") {
+    // At production state sizes (billions of keys) the default
+    // HDFS-backed in-heap store OOMs; RocksDB spills state to local
+    // disk with incremental checkpointing. Same query, same answer —
+    // only the state backend changes.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val raw = spark.read.schema(Envelope.schema).json(Fixture.materialize())
+      val dir = java.nio.file.Files.createTempDirectory("graft_rocks_src")
+      raw.write.mode("overwrite").json(dir.toString)
+      val stream = spark.readStream.schema(Envelope.schema).json(dir.toString)
+      val counts = Envelope.project(stream)
+        .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+      Streams.runToMemory(counts, "t_rocks", OutputMode.Complete())
+        .awaitTermination()
+      val expected = Envelope.project(raw)
+        .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = spark.table("t_rocks")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("rate source produces rows under AvailableNow") {
     val q = Streams.rateSource(spark, rowsPerSecond = 100)
       .writeStream.format("memory").queryName("t_rate")
