@@ -93,6 +93,43 @@ object Streams {
       }
   }
 
+  /** transformWithState (B.6, the Spark 4 arbitrary-state API that
+    * supersedes mapGroupsWithState): per-user running event counter on
+    * a named ValueState. Requires the RocksDB state store provider —
+    * the handle API (value/list/map states, TTL, timers) is built for
+    * state that outgrows the heap. Output per input batch is the
+    * updated running count; the final row per user equals the batch
+    * count (asserted in StreamsExtraSpec). */
+  final case class UserCount(userId: Long, n: Long)
+
+  private class CountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), UserCount] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCount] = {
+      val prev = if (count.exists()) count.get() else 0L
+      val n = prev + rows.size
+      count.update(n)
+      Iterator(UserCount(key, n))
+    }
+  }
+
+  def userEventCountsTws(events: DataFrame)(implicit spark: SparkSession): Dataset[UserCount] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_id")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new CountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** flatMapGroupsWithState (B.6): per-user error-burst detector —
     * emits one row per burst of >= `threshold` consecutive errors
     * (zero-or-many output per group per batch, which mapGroups can't

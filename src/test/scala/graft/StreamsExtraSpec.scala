@@ -51,6 +51,38 @@ class StreamsExtraSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState running counts converge to the batch groupBy (RocksDB-backed)") {
+    // the Spark 4 arbitrary-state API only runs on RocksDB; Update
+    // mode emits the running count each batch, so the max per user is
+    // the final state and must equal the batch count
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val raw = spark.read.schema(Envelope.schema).json(Fixture.materialize())
+        .withColumn("user_id", coalesce(col("new.id"), col("old.id")))
+        .where(col("user_id").isNotNull) // non-DML envelope rows carry no image
+        .withColumn("event_id", monotonically_increasing_id())
+        .select(col("user_id"), col("event_id"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_tws_src")
+      raw.write.mode("overwrite").json(dir.toString)
+      val stream = spark.readStream
+        .schema("user_id LONG, event_id LONG").json(dir.toString)
+      Streams.runToMemory(Streams.userEventCountsTws(stream).toDF(),
+        "t_tws", OutputMode.Update()).awaitTermination()
+      val got = spark.table("t_tws")
+        .groupBy(col("userId")).agg(max(col("n")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = raw.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("rate source produces rows under AvailableNow") {
     val q = Streams.rateSource(spark, rowsPerSecond = 100)
       .writeStream.format("memory").queryName("t_rate")
