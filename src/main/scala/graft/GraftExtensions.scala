@@ -17,8 +17,10 @@ import graft.expressions.FloatDotProduct
   * notebooks attached to an existing session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.DimensionBroadcast)
+  }
 }
 
 object GraftExtensions {

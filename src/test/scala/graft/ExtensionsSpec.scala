@@ -21,4 +21,36 @@ class ExtensionsSpec extends SparkSuite {
       SparkSession.setActiveSession(orig)
     }
   }
+
+  test("DimensionBroadcast rule auto-broadcasts a dimension scan with no hint in the query") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // kill size-based broadcast
+      import org.apache.spark.sql.functions.col
+      def plan(s: SparkSession) = {
+        val j = graft.sources.Tables.customer(s, sf)
+          .join(graft.sources.Tables.nation(s, sf), col("c_nationkey") === col("n_nationkey"))
+        j.collect()
+        j.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.toString
+          case p => p.toString
+        }
+      }
+      assert(plan(s2).contains("BroadcastHashJoin"),
+        "rule session should broadcast the nation scan without an explicit hint")
+      // control: same join, same conf, session without the rule
+      val prev = orig.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      orig.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try assert(!plan(orig).contains("BroadcastHashJoin"),
+        "control session must not broadcast, or the assertion above proves nothing")
+      finally orig.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
 }
