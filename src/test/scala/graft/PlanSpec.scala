@@ -62,6 +62,12 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
 
+  test("p16: the benchmark shingle side broadcasts — the corpus side never shuffles for the join") {
+    val plan = finalPlan(graft.queries.Pipeline.p16.fn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"decontamination must broadcast the benchmark side:\n${plan.take(800)}")
+  }
+
   test("q2: aggregation runs partial+final (map-side combine before the shuffle)") {
     val plan = finalPlan(Relational.q2.fn(spark, sf))
     assert(plan.contains("partial_"),

@@ -39,6 +39,43 @@ class SourcesSpec extends SparkSuite {
       s"ORC scan should carry pushed filters:\n$scan")
   }
 
+  test("PERMISSIVE json scan captures malformed lines in _corrupt_record, keeps good rows") {
+    // a 100 TB ingest WILL contain broken lines; the contract is: never
+    // fail the job, never silently drop — quarantine with the payload
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
+    java.nio.file.Files.write(dir.resolve("part-0.json"),
+      java.util.Arrays.asList(
+        """{"id": 1, "name": "ok"}""",
+        """{"id": 2, "name": "also ok"}""",
+        """{"id": oops not json""",
+        """{"id": "3", "name": "wrong type id"}"""))
+    val schema = "id LONG, name STRING, _corrupt_record STRING"
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+      .cache() // corrupt-record column requires the same scan to serve both filters
+    try {
+      assert(df.filter(col("_corrupt_record").isNull).count() == 2)
+      val bad = df.filter(col("_corrupt_record").isNotNull).collect()
+      assert(bad.length == 2)
+      assert(bad.forall(r => r.getString(2).nonEmpty), "quarantined rows keep the raw payload")
+    } finally df.unpersist()
+  }
+
+  test("DROPMALFORMED csv scan drops broken rows, FAILFAST raises") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    java.nio.file.Files.write(dir.resolve("part-0.csv"),
+      java.util.Arrays.asList("1,alpha", "2,beta", "not-a-long,gamma"))
+    val schema = "id LONG, name STRING"
+    // collect(), not count(): CSV column pruning means count() parses
+    // ZERO columns, so no conversion ever fails and nothing is dropped
+    val dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(dir.toString)
+    assert(dropped.collect().length == 2)
+    val failing = spark.read.schema(schema).option("mode", "FAILFAST").csv(dir.toString)
+    intercept[org.apache.spark.SparkException] { failing.collect() }
+  }
+
   test("observe() surfaces per-query metrics without a second pass") {
     val observed = graft.sources.Tables.orders(spark, sf)
       .observe("m", count(lit(1)).as("rows"), max(col("o_totalprice")).as("max_price"))
