@@ -76,6 +76,56 @@ object Layout {
     big.filter(mightContain(col(key))).join(small, key)
   }
 
+  /** Z-order (Morton) clustered write: interleave the bits of two
+    * integer key columns and range-cluster on the result, so parquet
+    * min/max footer stats skip files for predicates on EITHER column —
+    * single-column clustering ([[clusteredWrite]]) only serves its own
+    * column. Keys are clamped to 21 bits each (non-negative), which
+    * keeps the interleaved value inside a long; columns with a wider
+    * domain should be bucketized first (the standard Z-order recipe).
+    * The payload is written unchanged — only file placement moves.
+    * (Clamp is 31 bits per key: the interleave is 62 bits, staying in
+    * a positive long.) */
+  def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int): Unit = {
+    val z = zorderCol(col(colA), col(colB))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Morton interleave of two non-negative ints (31 bits each) as a
+    * codegen-friendly closed-form column expression. */
+  def zorderCol(a: Column, b: Column): Column = {
+    // spread bits to even positions: the classic 2D mask-shift cascade
+    def spread(c: Column): Column = {
+      var x = c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))
+      x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+      x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Compact a directory of small files (the streaming-sink residue
+    * problem: every micro-batch writes a file per partition, and a
+    * 100 TB table of kilobyte files destroys scan throughput and
+    * driver/namenode metadata). Rewrites `path` into
+    * ceil(bytes / targetFileBytes) files into `out`. Coalesce, not
+    * repartition: merging files needs no shuffle. */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      out: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val bytes = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val files = math.max(1, ((bytes + targetFileBytes - 1) / targetFileBytes).toInt)
+    spark.read.parquet(path).coalesce(files)
+      .write.mode("overwrite").parquet(out)
+  }
+
   /** Salted equi-join for skewed build keys. AQE's skew-join split
     * already handles sort-merge skew at runtime; this is the manual
     * pattern for plans AQE can't reach (e.g. skewed stream-static or

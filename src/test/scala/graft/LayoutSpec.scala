@@ -62,6 +62,54 @@ class LayoutSpec extends SparkSuite {
     assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
   }
 
+  test("z-order write: predicates on EITHER key column skip files via footer ranges") {
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val o = graft.sources.Tables.orders(spark, sf)
+      .select((col("o_orderkey") % 256).cast("int").as("ka"),
+        (col("o_custkey") % 256).cast("int").as("kb"),
+        col("o_totalprice"))
+    Layout.zorderWrite(o, out, "ka", "kb", numFiles = 16)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 16)
+    // a narrow predicate on each dimension must leave some files with
+    // a provably non-matching min/max range (i.e., skippable)
+    def skippable(colName: String, v: Int): Int = files.count { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col(colName)), max(col(colName))).first()
+      v < r.getInt(0) || v > r.getInt(1)
+    }
+    assert(skippable("ka", 3) > 0, "some files must exclude ka=3 by range")
+    assert(skippable("kb", 3) > 0, "some files must exclude kb=3 by range")
+    // and the data round-trips unchanged
+    assert(spark.read.parquet(out).count() == o.count())
+  }
+
+  test("zorderCol interleaves bits (locality sanity)") {
+    import spark.implicits._
+    val rows = Seq((0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0x7FFFFFFF, 0x7FFFFFFF))
+      .toDF("a", "b")
+      .select(Layout.zorderCol(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(0L, 1L, 2L, 3L, 4L, 0x3FFFFFFFFFFFFFFFL))
+  }
+
+  test("compactSmallFiles merges a many-small-files directory to the target count") {
+    val smallDir = java.nio.file.Files.createTempDirectory("graft_small").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/out"
+    val o = graft.sources.Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    o.repartition(40).write.mode("overwrite").parquet(smallDir) // streaming-sink residue
+    val small = new java.io.File(smallDir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(small.length == 40)
+    val total = small.map(_.length()).sum
+    Layout.compactSmallFiles(spark, smallDir, outDir, targetFileBytes = (total + 1) / 2)
+    val compacted = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(compacted.length == 2, s"expected 2 files, got ${compacted.length}")
+    assert(spark.read.parquet(outDir).exceptAll(o).isEmpty)
+    assert(o.exceptAll(spark.read.parquet(outDir)).isEmpty)
+  }
+
   test("bloomPrunedJoin with expectedNumItems runs one fewer job than the count fallback") {
     val big = graft.sources.Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"))
