@@ -68,6 +68,22 @@ class PlanSpec extends SparkSuite {
       s"decontamination must broadcast the benchmark side:\n${plan.take(800)}")
   }
 
+  test("q8: per-group top-k shuffles at most k rows per group per task (partial WindowGroupLimit)") {
+    // Filter(row_number <= k) over a partitioned window plans a
+    // Partial WindowGroupLimit BEFORE the exchange — each map task
+    // forwards only its own top-k per group, the same shuffle-volume
+    // bound a hand-built heap operator would give. Custom-strategy
+    // work here would duplicate what the planner already does; this
+    // test pins that the contract shape keeps qualifying.
+    val plan = finalPlan(Relational.q8.fn(spark, sf))
+    // tree text prints children below parents, so the map-side node
+    // ("Partial") must appear and sit deeper than the "Final" one
+    val partial = plan.indexOf("row_number(), 3, Partial")
+    val fin = plan.indexOf("row_number(), 3, Final")
+    assert(fin >= 0 && partial > fin,
+      s"expected Final above Partial WindowGroupLimit:\n${plan.take(900)}")
+  }
+
   test("q2: aggregation runs partial+final (map-side combine before the shuffle)") {
     val plan = finalPlan(Relational.q2.fn(spark, sf))
     assert(plan.contains("partial_"),
