@@ -55,6 +55,29 @@ object Multimodal {
       }
   }
 
+  /** Resize stub: nearest-neighbor downsample of the payload to at
+    * most `targetBytes` (stands in for image resize — the payload
+    * shrinks IN PLACE before any shuffle or feature pass, which is the
+    * property that matters at scale: resize-early turns a 100 TB media
+    * scan into a few-TB feature pipeline). Deterministic; payloads
+    * already at or under the target pass through untouched. */
+  def resize(media: DataFrame, targetBytes: Int = 256)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, mime) =>
+          val out =
+            if (bytes == null || bytes.length <= targetBytes) bytes
+            else Array.tabulate(targetBytes)(i =>
+              bytes(((i.toLong * bytes.length) / targetBytes).toInt))
+          (id, out, mime)
+        }
+      }
+      .toDF("doc_id", "media", "mime")
+  }
+
   /** Frame sampling stub: every k-th fixed-size chunk of the payload
     * (stands in for video frame extraction; preserves the
     * one-in→many-out generator shape via flatMap). */

@@ -126,6 +126,24 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: resize caps payload size, passes small payloads through, stays deterministic") {
+    val media = Multimodal.toMedia(Tables.documents(spark, sf).limit(50))
+    val sizes = media.select(col("doc_id"), octet_length(col("media")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val resized = Multimodal.resize(media, targetBytes = 100)
+    val out = resized.select(col("doc_id"), col("media")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    out.foreach { case (id, bytes) =>
+      if (sizes(id) <= 100) assert(bytes.length == sizes(id), s"doc $id must pass through")
+      else assert(bytes.length == 100, s"doc $id must cap at target")
+    }
+    val again = Multimodal.resize(media, targetBytes = 100)
+      .select(col("doc_id"), col("media")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(out.keySet == again.keySet &&
+      out.forall { case (id, b) => java.util.Arrays.equals(b, again(id)) })
+  }
+
   test("multimodal: frame sampling emits every k-th fixed-size chunk") {
     val media = Multimodal.toMedia(Tables.documents(spark, sf).limit(10))
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, everyK = 4)
