@@ -88,4 +88,52 @@ class PropertySpec extends SparkSuite {
       .agg(sum(col("cnt"))).collect()(0).getLong(0)
     assert(windowed == total)
   }
+
+  test("connectedComponents equals union-find on random graphs") {
+    // reference: in-test weighted-less union-find over the same edges
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id representative per component
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = verts.groupBy(find)
+      byRoot.flatMap { case (_, vs) => val m = vs.min; vs.map(_ -> m) }.toMap
+    }
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 29L); b <- Gen.choose(0L, 29L) if a != b
+    } yield (a, b))
+    samples(edgeGen, 6).foreach { edges =>
+      val got = graft.ops.Dedup.connectedComponents(
+          edges.toDF("da", "db"), "da", "db")
+        .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+      assert(got == unionFind(edges), s"edges=$edges")
+    }
+  }
+
+  test("zorderCol matches a reference bit-interleave on random pairs") {
+    def ref(a: Int, b: Int): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 31) {
+        z |= ((a.toLong >> i) & 1L) << (2 * i)
+        z |= ((b.toLong >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val pairs = samples(Gen.zip(Gen.choose(0, Int.MaxValue), Gen.choose(0, Int.MaxValue)), 50)
+    val got = pairs.toDF("a", "b")
+      .select(graft.ops.Layout.zorderCol(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    pairs.zip(got).foreach { case ((a, b), z) =>
+      assert(z == ref(a, b), s"($a,$b)")
+    }
+  }
 }
