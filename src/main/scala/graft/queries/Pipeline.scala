@@ -226,6 +226,14 @@ object Pipeline {
     val cand = a.join(b,
         col("band_id") === col("band_id2") && col("band_val") === col("band_val2") && col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
+    // Verify-stage shape: the exact-Jaccard join STARTS from `cand`
+    // (tiny — near-dups are a sliver of the corpus by construction), so
+    // AQE broadcasts the candidate side of both joins below and the
+    // full instance table `ss` is scanned, never shuffled. An explicit
+    // pre-prune (broadcast semi-join of candidate ids into ss) was
+    // A/B'd and LOST: it serializes the DAG behind a broadcast barrier
+    // for shuffle volume AQE already avoids. At cluster scale the same
+    // plan holds — scans stay linear, shuffled rows stay O(candidates).
     val ss = shs.select(col("doc_id"), explode(array_distinct(col("sh"))).as("s")).persist()
     val sz = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val ssa = ss.select(col("doc_id").as("da"), col("s"))
