@@ -459,7 +459,42 @@ object Extra {
            |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
            |ORDER BY user_id, d""".stripMargin))
 
+  // q37 — DataFrameNaFunctions battery (B.2): nulls injected
+  // deterministically, then na.fill (per-column defaults), na.drop
+  // (subset), na.replace (value mapping) — the standard
+  // missing-data-cleanup surface, all integer/string so the oracle is
+  // trivially exact.
+  val q37 = QuerySpec(
+    "q37_na_fns",
+    (s, d) => {
+      val base = orders(s, d).select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status"),
+        when(col("o_orderkey") % 7 =!= 0, col("o_custkey")).as("cust"))
+      val filled = base.na.fill(Map("status" -> "unknown", "cust" -> -1L))
+        .na.replace("status", Map("F" -> "finished"))
+      val dropped = base.na.drop(Seq("cust"))
+      filled.select(col("o_orderkey"), col("status"), col("cust"))
+        .join(
+          dropped.select(col("o_orderkey"), lit(1).as("kept")),
+          Seq("o_orderkey"), "left_outer")
+        .select(col("o_orderkey"), col("status"), col("cust"),
+          coalesce(col("kept"), lit(0)).as("kept"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey,
+           |         NULLIF(o_orderstatus, 'P') AS status,
+           |         CASE WHEN o_orderkey % 7 <> 0 THEN o_custkey END AS cust
+           |  FROM orders)
+           |SELECT o_orderkey,
+           |       CASE COALESCE(status, 'unknown')
+           |            WHEN 'F' THEN 'finished' ELSE COALESCE(status, 'unknown') END AS status,
+           |       COALESCE(cust, -1) AS cust,
+           |       CASE WHEN cust IS NULL THEN 0 ELSE 1 END AS kept
+           |FROM base ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28, q29, q30, q30b, q31, q32, q33, q34,
-      q35, q36)
+      q35, q36, q37)
 }
