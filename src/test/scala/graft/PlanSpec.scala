@@ -159,6 +159,38 @@ class PlanSpec extends SparkSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("SQL /*+ BROADCAST */ hint reaches the physical plan through the front door") {
+    graft.sources.Tables.registerAll(spark, sf)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(spark.sql(
+        """SELECT /*+ BROADCAST(nation) */ n_name, COUNT(*) AS n
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"SQL hint should force the broadcast with size-based selection off:\n${plan.take(600)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ANALYZE TABLE statistics feed the planner's size estimates under CBO") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    graft.sources.Tables.customer(spark, sf).write.mode("overwrite")
+      .option("path", s"$wh/cust_stats").saveAsTable("cust_stats")
+    spark.conf.set("spark.sql.cbo.enabled", "true") // row counts flow only with CBO
+    try {
+      spark.sql("ANALYZE TABLE cust_stats COMPUTE STATISTICS")
+      val stats = spark.table("cust_stats").queryExecution.optimizedPlan.stats
+      val actual = spark.table("cust_stats").count()
+      assert(stats.rowCount.exists(_.longValue == actual),
+        s"row-count statistic should match: ${stats.rowCount} vs $actual")
+      assert(stats.sizeInBytes > 0)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS cust_stats")
+    }
+  }
+
   test("AQE coalesces post-shuffle partitions at runtime") {
     // coalesce by advisory size, not local parallelism, so tiny test
     // data exhibits the same re-plan a production shuffle would
