@@ -494,7 +494,40 @@ object Extra {
            |       CASE WHEN cust IS NULL THEN 0 ELSE 1 END AS kept
            |FROM base ORDER BY o_orderkey""".stripMargin))
 
+  // q38 — datetime battery (B.2, beyond q13's year/month/datediff):
+  // calendar navigation fns with cross-engine traps pinned — DuckDB's
+  // dayofweek is 0-based (Sunday=0) vs Spark's 1-based, and DuckDB's
+  // `+ INTERVAL 1 MONTH` clamps end-of-month exactly like add_months
+  // (verified on Jan-31/leap-Feb edges). weekofyear/months_between are
+  // deliberately excluded: their conventions genuinely diverge across
+  // engines and a contract query must not depend on them.
+  val q38 = QuerySpec(
+    "q38_datetime",
+    (s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+        .select(
+          col("o_orderkey"),
+          dayofweek(col("d")).as("dow"),
+          dayofmonth(col("d")).as("dom"),
+          dayofyear(col("d")).as("doy"),
+          quarter(col("d")).as("qtr"),
+          last_day(col("d")).as("month_end"),
+          add_months(col("d"), 1).as("plus_1m"),
+          date_trunc("quarter", col("d")).cast("date").as("qtr_start"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+           |       CAST(dayofweek(d) + 1 AS INTEGER) AS dow,
+           |       CAST(day(d) AS INTEGER) AS dom,
+           |       CAST(dayofyear(d) AS INTEGER) AS doy,
+           |       CAST(quarter(d) AS INTEGER) AS qtr,
+           |       last_day(d) AS month_end,
+           |       CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+           |       CAST(date_trunc('quarter', d) AS DATE) AS qtr_start
+           |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+           |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28, q29, q30, q30b, q31, q32, q33, q34,
-      q35, q36, q37)
+      q35, q36, q37, q38)
 }
