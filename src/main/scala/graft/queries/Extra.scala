@@ -527,7 +527,49 @@ object Extra {
            |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
            |ORDER BY o_orderkey""".stripMargin))
 
+  // q39 — extended string battery (B.2, beyond q13's basics): padding,
+  // repetition, reversal, translate, edit distance, token addressing,
+  // substring addressing, global regex replace, printf-style
+  // formatting. Portability notes: DuckDB regexp_replace needs the 'g'
+  // flag to match Spark's replace-all default; format_string ≙ printf;
+  // initcap is excluded (absent in DuckDB 1.0).
+  val q39 = QuerySpec(
+    "q39_string_battery2",
+    (s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          lpad(col("o_orderstatus"), 5, "*").as("padded_l"),
+          rpad(col("o_orderstatus"), 5, "*").as("padded_r"),
+          repeat(col("o_orderstatus"), 3).as("repeated"),
+          reverse(col("o_orderpriority")).as("reversed"),
+          translate(col("o_orderpriority"), "AEIOU", "aeiou").as("translated"),
+          levenshtein(col("o_orderpriority"), lit("1-URGENT")).as("edit_dist"),
+          expr("split_part(o_orderpriority, '-', 2)").as("pri_word"),
+          instr(col("o_orderpriority"), "R").as("r_pos"),
+          expr("left(o_orderpriority, 3)").as("head3"),
+          expr("right(o_orderpriority, 3)").as("tail3"),
+          regexp_replace(col("o_orderpriority"), "[0-9]", "#").as("masked"),
+          format_string("%s/%s", col("o_orderstatus"), col("o_orderpriority")).as("formatted"),
+          ascii(col("o_orderstatus")).as("status_ascii"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+           |       LPAD(o_orderstatus, 5, '*') AS padded_l,
+           |       RPAD(o_orderstatus, 5, '*') AS padded_r,
+           |       REPEAT(o_orderstatus, 3) AS repeated,
+           |       REVERSE(o_orderpriority) AS reversed,
+           |       TRANSLATE(o_orderpriority, 'AEIOU', 'aeiou') AS translated,
+           |       CAST(LEVENSHTEIN(o_orderpriority, '1-URGENT') AS INTEGER) AS edit_dist,
+           |       SPLIT_PART(o_orderpriority, '-', 2) AS pri_word,
+           |       CAST(INSTR(o_orderpriority, 'R') AS INTEGER) AS r_pos,
+           |       LEFT(o_orderpriority, 3) AS head3,
+           |       RIGHT(o_orderpriority, 3) AS tail3,
+           |       REGEXP_REPLACE(o_orderpriority, '[0-9]', '#', 'g') AS masked,
+           |       PRINTF('%s/%s', o_orderstatus, o_orderpriority) AS formatted,
+           |       CAST(ASCII(o_orderstatus) AS INTEGER) AS status_ascii
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(q22, q23, q24, q25, p11, q26, q26b, q27, q28, q29, q30, q30b, q31, q32, q33, q34,
-      q35, q36, q37, q38)
+      q35, q36, q37, q38, q39)
 }
