@@ -92,7 +92,10 @@ object Dedup {
       stepped.unpersist()
       val nextSum = lblSum(next)
       labels = next
-      converged = prevSum != null && nextSum.compareTo(prevSum) == 0
+      // null sum = empty graph (no pairs at all): converged trivially,
+      // or the loop would burn all maxRounds on empty DataFrames
+      converged = nextSum == null ||
+        (prevSum != null && nextSum.compareTo(prevSum) == 0)
       prevSum = nextSum
       rounds += 1
     }

@@ -80,12 +80,10 @@ object Layout {
     * integer key columns and range-cluster on the result, so parquet
     * min/max footer stats skip files for predicates on EITHER column —
     * single-column clustering ([[clusteredWrite]]) only serves its own
-    * column. Keys are clamped to 21 bits each (non-negative), which
-    * keeps the interleaved value inside a long; columns with a wider
-    * domain should be bucketized first (the standard Z-order recipe).
-    * The payload is written unchanged — only file placement moves.
-    * (Clamp is 31 bits per key: the interleave is 62 bits, staying in
-    * a positive long.) */
+    * column. Keys are clamped to 31 bits each (non-negative), so the
+    * interleave is 62 bits and stays in a positive long; columns with
+    * a wider domain should be bucketized first (the standard Z-order
+    * recipe). The payload is written unchanged — only placement moves. */
   def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
       numFiles: Int): Unit = {
     val z = zorderCol(col(colA), col(colB))
@@ -116,11 +114,15 @@ object Layout {
     * 100 TB table of kilobyte files destroys scan throughput and
     * driver/namenode metadata). Rewrites `path` into
     * ceil(bytes / targetFileBytes) files into `out`. Coalesce, not
-    * repartition: merging files needs no shuffle. */
+    * repartition: merging files needs no shuffle. Sizes come from the
+    * Hadoop FileSystem for `path`'s scheme, so hdfs://, s3a:// and
+    * local paths all work. */
   def compactSmallFiles(spark: org.apache.spark.sql.SparkSession, path: String,
       out: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    val bytes = new java.io.File(path).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val files = math.max(1, ((bytes + targetFileBytes - 1) / targetFileBytes).toInt)
     spark.read.parquet(path).coalesce(files)
       .write.mode("overwrite").parquet(out)

@@ -394,7 +394,7 @@ object Extra {
            |SELECT window_start, event_type, COUNT(*) AS cnt
            |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  // q36 — UNPIVOT/melt (B.4's pivot inverse): three measure columns
+  // q35 — UNPIVOT/melt (B.4's pivot inverse): three measure columns
   // fold into (metric, val) rows via the stack() generator — a single
   // narrow pass, no shuffle until the contract ORDER BY. The oracle
   // spells it as the equivalent UNION ALL (the portable form; values
@@ -413,7 +413,7 @@ object Extra {
            |SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
            |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin))
 
-  // q37 — window extras (B.5): IGNORE NULLS first/last, nth_value,
+  // q36 — window extras (B.5): IGNORE NULLS first/last, nth_value,
   // lag with default, and a RANGE frame (value-based — unlike q9's
   // ROWS frames it contracts over gaps in the day sequence). Values
   // pass through without arithmetic, so no rounding is needed.

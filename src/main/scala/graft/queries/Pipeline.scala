@@ -421,13 +421,16 @@ object Pipeline {
       val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("bkt").as("bkt2"), col("nrm").as("nb"))
       // threshold semantics = rounded cosine >= 0.30 (the oracle's
       // SUM-based dot can differ in the last ulp, 6dp is the contract's
-      // float granularity) — but rounding is HALF_UP-monotone, so the
-      // raw-value filter `cos >= 0.2999995` selects the identical rows
-      // without paying a BigDecimal round on every candidate pair;
-      // only survivors get rounded
+      // float granularity) — but rounding is HALF_UP-monotone, so a
+      // raw-value filter selects the identical rows without paying a
+      // BigDecimal round on every candidate pair; only survivors get
+      // rounded. STRICT >: the literal 0.2999995 is binary
+      // 0.29999949999…, which itself rounds DOWN to 0.299999 — `>=`
+      // would admit that one boundary double the oracle rejects, while
+      // every double strictly above it rounds to >= 0.30.
       a.join(b, col("bkt") === col("bkt2") && col("va") < col("vb"))
         .withColumn("cos", expr(VectorFns.fastDotExpr("ea", "eb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.2999995)
+        .filter(col("cos") > 0.2999995)
         .select(col("va"), col("vb"), round(col("cos"), 6).as("cosine"))
         .orderBy(col("va"), col("vb"))
     },
@@ -605,8 +608,11 @@ object Pipeline {
       val total = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
       val kept = docs.join(removed, Seq("doc_id"), "left_anti")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_survivors"))
-      total.join(kept, "lang")
-        .select(col("lang"), col("n_total"), col("n_survivors"))
+      // left_outer: a language whose every doc was deduplicated away
+      // must still report (lang, n_total, 0), as the oracle does
+      total.join(kept, Seq("lang"), "left_outer")
+        .select(col("lang"), col("n_total"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"))
         .orderBy(col("lang"))
     },
     Some(s"""WITH RECURSIVE $duckPairCtes,

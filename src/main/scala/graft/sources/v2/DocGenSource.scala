@@ -74,12 +74,14 @@ object DocGen {
   def textOf(docId: Long): String = {
     val lg = langOf(docId)
     val words = vocab(lg)
-    val n = 20 + (mix(docId * 31 + 7).abs % 30).toInt
+    // >>> 1, never .abs: Long.MinValue.abs is negative and would index
+    // out of bounds (and break the >=20-words invariant)
+    val n = 20 + ((mix(docId * 31 + 7) >>> 1) % 30).toInt
     val sb = new StringBuilder
     var i = 0
     while (i < n) {
       if (i > 0) sb.append(' ')
-      sb.append(words((mix(docId * 1315423911L + i).abs % words.size).toInt))
+      sb.append(words(((mix(docId * 1315423911L + i) >>> 1) % words.size).toInt))
       i += 1
     }
     sb.toString

@@ -11,8 +11,16 @@ import org.apache.spark.sql.execution.window.WindowExec
   * are allowed: the contract uses them only with provably tiny
   * broadcast sides (band tables, 5 query vectors, K centroids), and
   * Catalyst picks BNLJ over cartesian exactly because one side
-  * broadcasts. Plans are inspected statically (no execution), so this
-  * audits every query on every run cheaply.
+  * broadcasts.
+  *
+  * Plans are inspected without writing output, which is cheap for
+  * almost every query. Two caveats, accepted: p13/p14 EXECUTE their
+  * iterative component rounds during plan construction (localCheckpoint
+  * is eager), and only their FINAL plan over the checkpointed labels is
+  * audited here — the per-round join shapes are instead covered by
+  * Dedup's own specs (PipelineSpec consistency + PropertySpec
+  * union-find equivalence), whose joins are plain equi-joins by
+  * construction.
   */
 class PlanAuditSpec extends SparkSuite {
 

@@ -24,12 +24,20 @@ import duckdb
 
 
 def canon(df):
-    """Sort columns by name, stringify raw pandas values, sort rows."""
+    """Sort columns by name, stringify raw pandas values, sort rows.
+
+    Per-column .tolist(), NOT iterrows(): iterrows upcasts each row to a
+    common dtype, so an all-numeric frame with int64 + float64 columns
+    would stringify ints as "3.0" on BOTH sides and mask exactly the
+    HUGEINT->float64 divergence this tool exists to catch.
+    """
     cols = sorted(df.columns)
+    col_vals = [df[c].tolist() for c in cols]
     out = []
-    for _, r in df[cols].iterrows():
+    for i in range(len(df)):
         vals = []
-        for v in r:
+        for cv in col_vals:
+            v = cv[i]
             if isinstance(v, float) and v == 0:
                 v = 0.0  # normalize -0.0: equal under IEEE, differs as text
             vals.append(str(v))
