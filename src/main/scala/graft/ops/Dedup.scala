@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   *
   * `localCheckpoint` truncates the per-round lineage: without it each
   * iteration's plan embeds all previous iterations and planning cost
-  * grows exponentially.
+  * grows exponentially. Superseded checkpoint blocks are reclaimed by
+  * the ContextCleaner once the previous round's Dataset is
+  * unreachable; the live retention is O(candidate vertices) per round
+  * for O(log diameter) rounds — small by construction, since the
+  * vertex set is the near-dup pair list, not the corpus.
   */
 object Dedup {
 
