@@ -42,7 +42,10 @@ object Dedup {
     *         the component; every id that appears in `pairs` shows up
     *         exactly once as `member`. Ids absent from `pairs` are
     *         singletons and are not emitted (their cluster is
-    *         themselves).
+    *         themselves). The result is backed by an already-materialized
+    *         `localCheckpoint`, so it no longer depends on `pairs`'
+    *         lineage — a caller that persisted `pairs` should unpersist
+    *         it as soon as this returns.
     */
   def connectedComponents(pairs: DataFrame, a: String, b: String): DataFrame = {
     val spark = pairs.sparkSession
@@ -50,8 +53,14 @@ object Dedup {
     // (near-dups are the exception, not the rule), but each round is
     // several shuffles — let AQE coalesce them below the session
     // parallelism or every round pays full-width task overhead
+    // NOTE the conf change below is session-visible for the duration of
+    // the loop (RuntimeConfig has no statement scope): a previously-unset
+    // key is restored by unset(), not re-set as an explicit value, and
+    // callers running CONCURRENT queries on the same session should pass
+    // pairs through `spark.newSession()` to isolate it. The single-query
+    // Verify/Bench drivers run queries sequentially, so this is safe there.
     val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    val prevPf = spark.conf.get(pfKey)
+    val prevPf = spark.conf.getOption(pfKey)
     spark.conf.set(pfKey, "false")
     try {
     // no distinct() on edges: duplicate edges are harmless under the
@@ -105,7 +114,10 @@ object Dedup {
     }
     edges.unpersist()
     labels.select(col("lbl").as("cluster_rep"), col("v").as("member"))
-    } finally spark.conf.set(pfKey, prevPf)
+    } finally prevPf match {
+      case Some(v) => spark.conf.set(pfKey, v)
+      case None => spark.conf.unset(pfKey)
+    }
   }
 
   /** Survivor selection: keep the representative (minimum id) of each

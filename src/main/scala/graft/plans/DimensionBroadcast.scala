@@ -34,13 +34,26 @@ object DimensionBroadcast extends Rule[LogicalPlan] {
   val dimensionFiles: Set[String] =
     graft.sources.Tables.broadcastable.map(n => s"$n.parquet")
 
+  /** Size-gate conf key for the hint (bytes). A strategy=BROADCAST hint
+    * bypasses `autoBroadcastJoinThreshold` and AQE never demotes it, so
+    * the basename allowlist alone is unsafe: `supplier` grows linearly
+    * with scale factor, and any unrelated file that happens to share a
+    * dimension basename would be force-broadcast. The default (32 MiB
+    * on-disk ≈ a few hundred MiB of rows after decompression) is far
+    * below executor memory at any sane config; above it the rule stays
+    * silent and Spark's own size-based join selection decides. */
+  val maxBytesKey = "graft.broadcast.maxBytes"
+  private def maxBytes: Long =
+    conf.getConfString(maxBytesKey, (32L << 20).toString).toLong
+
   private def isDimScan(plan: LogicalPlan): Boolean = plan match {
     case Project(_, child) => isDimScan(child)
     case Filter(_, child) => isDimScan(child)
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
         fs.location.rootPaths.nonEmpty &&
-          fs.location.rootPaths.forall(p => dimensionFiles.contains(p.getName))
+          fs.location.rootPaths.forall(p => dimensionFiles.contains(p.getName)) &&
+          fs.sizeInBytes <= maxBytes
       case _ => false
     }
     case _ => false

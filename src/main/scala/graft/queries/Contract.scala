@@ -227,20 +227,29 @@ object Relational {
       val b = yearTotals.select(col("yr").as("yr2"), col("yr_total"))
       val offsets = a.join(b, col("yr2") < col("yr"))
         .groupBy(col("yr")).agg(sum(col("yr_total")).as("offset"))
-      // replicate each year's last 6 rows into the NEXT year's
+      // replicate each year's last 6 rows into the NEXT PRESENT year's
       // partition as frame-only helper rows (the 7-row frame's maximum
-      // reach-back); helpers sort before all real rows of their
-      // partition (their dates are smaller), so one windowed cumsum
-      // over the augmented partition serves BOTH outputs:
+      // reach-back). "Next present" — not yr+1 — because a year absent
+      // from the data (sparse datasets, tiny SFs) would otherwise orphan
+      // the helpers in an empty partition while the year that actually
+      // follows starts its frames 6 rows short of the oracle's global
+      // frame. The successor map is #years rows via a tiny theta join,
+      // broadcast into the helper branch. Helpers sort before all real
+      // rows of their partition (their dates are smaller), so one
+      // windowed cumsum over the augmented partition serves BOTH outputs:
       //   running_in_year = cum - (cumulative helper sum, which at any
       //                            real row equals the full helper sum)
       //   moving frame    = plain -6..0 frame over augmented rows
       // — all four aggregates share one (partition, order) spec, i.e.
       // ONE WindowExec and one exchange.
+      val succ = a.join(b.select(col("yr2")), col("yr2") > col("yr"))
+        .groupBy(col("yr")).agg(min(col("yr2")).as("part_yr"))
       val wYearDesc = Window.partitionBy(col("yr")).orderBy(col("d").desc)
+      // inner join: the last year has no successor, so it contributes no
+      // helpers — exactly right, nothing reaches back into it from above
       val helpers = daily.withColumn("rdesc", row_number().over(wYearDesc))
         .filter(col("rdesc") <= 6).drop("rdesc")
-        .withColumn("part_yr", col("yr") + 1)
+        .join(broadcast(succ), Seq("yr"))
         .withColumn("helper", lit(true))
       val aug = daily.withColumn("part_yr", col("yr")).withColumn("helper", lit(false))
         .unionByName(helpers)

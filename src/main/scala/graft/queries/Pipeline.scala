@@ -294,13 +294,17 @@ object Pipeline {
   // the identical pair list.
   val p13 = QuerySpec(
     "p13_neardup_clusters",
-    (s, d) =>
+    (s, d) => {
       // persist: Dedup reads the pair list through BOTH union branches
       // of its edge list — without this the candidate/verify joins
       // (everything past minhashPairs' cached leaves) run twice
-      graft.ops.Dedup.connectedComponents(
-          minhashPairs(s, d).select(col("da"), col("db")).persist(), "da", "db")
-        .orderBy(col("cluster_rep"), col("member")),
+      val pairList = minhashPairs(s, d).select(col("da"), col("db")).persist()
+      val comps = graft.ops.Dedup.connectedComponents(pairList, "da", "db")
+      // comps is checkpoint-backed (eager) — the pair cache is dead weight
+      // from here on; dropping it keeps long-lived sessions leak-free
+      pairList.unpersist()
+      comps.orderBy(col("cluster_rep"), col("member"))
+    },
     Some(s"""WITH RECURSIVE $duckPairCtes,
             |edges AS (SELECT da AS v, db AS w FROM pairs
             |          UNION ALL SELECT db, da FROM pairs),
@@ -600,8 +604,9 @@ object Pipeline {
   val p14 = QuerySpec(
     "p14_dedup_survivors",
     (s, d) => {
-      val comps = graft.ops.Dedup.connectedComponents(
-        minhashPairs(s, d).select(col("da"), col("db")).persist(), "da", "db")
+      val pairList = minhashPairs(s, d).select(col("da"), col("db")).persist()
+      val comps = graft.ops.Dedup.connectedComponents(pairList, "da", "db")
+      pairList.unpersist() // comps is checkpoint-backed — cache no longer needed
       val removed = comps.filter(col("member") =!= col("cluster_rep"))
         .select(col("member").as("doc_id"))
       val docs = documents(s, d).select(col("doc_id"), col("lang")).persist()

@@ -41,10 +41,16 @@ class DocGenSource extends TableProvider
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val opts = properties.asScala
-    new DocGenTable(
-      rows = opts.getOrElse("rows", "1000").toLong,
-      numPartitions = opts.getOrElse("numpartitions",
-        opts.getOrElse("numPartitions", "8")).toInt)
+    val rows = opts.getOrElse("rows", "1000").toLong
+    val numPartitions = opts.getOrElse("numpartitions",
+      opts.getOrElse("numPartitions", "8")).toInt
+    // fail at table resolution, not at partition planning: numPartitions=0
+    // would otherwise surface as a divide-by-zero deep in planInputPartitions
+    // and negative rows as a silently-empty scan
+    require(rows >= 0, s"graft-docs: rows must be >= 0, got $rows")
+    require(numPartitions >= 1,
+      s"graft-docs: numPartitions must be >= 1, got $numPartitions")
+    new DocGenTable(rows, numPartitions)
   }
 }
 
@@ -115,13 +121,16 @@ private[v2] class DocGenScanBuilder(rows: Long, numPartitions: Int)
       case IsNotNull("doc_id") => true // non-nullable: vacuously handled
       case _ => false
     }
+    // saturating +1: `doc_id = Long.MaxValue` / `> MaxValue` must clamp,
+    // not overflow to Long.MinValue (which would silently widen the range)
+    def incSat(x: Long): Long = if (x == Long.MaxValue) x else x + 1
     handled.foreach {
       case EqualTo(_, v) =>
-        val x = v.toString.toLong; lo = math.max(lo, x); hi = math.min(hi, x + 1)
-      case GreaterThan(_, v) => lo = math.max(lo, v.toString.toLong + 1)
+        val x = v.toString.toLong; lo = math.max(lo, x); hi = math.min(hi, incSat(x))
+      case GreaterThan(_, v) => lo = math.max(lo, incSat(v.toString.toLong))
       case GreaterThanOrEqual(_, v) => lo = math.max(lo, v.toString.toLong)
       case LessThan(_, v) => hi = math.min(hi, v.toString.toLong)
-      case LessThanOrEqual(_, v) => hi = math.min(hi, v.toString.toLong + 1)
+      case LessThanOrEqual(_, v) => hi = math.min(hi, incSat(v.toString.toLong))
       case _ => ()
     }
     pushed = handled

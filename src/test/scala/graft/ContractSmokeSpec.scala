@@ -24,4 +24,29 @@ class ContractSmokeSpec extends SparkSuite {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("q9 frames survive a missing calendar year (ADVICE r2: helper rows follow the next PRESENT year)") {
+    // 1992 and 1994 populated, 1993 absent: the old part_yr = yr + 1 rule
+    // would orphan 1992's helper rows in an empty 1993 partition and the
+    // first 6 rows of 1994 would silently diverge from the global frame
+    val dir = java.nio.file.Files.createTempDirectory("graft_q9gap").toString
+    import spark.implicits._
+    val rows = ((1 to 10).map(i => (s"1992-03-", i)) ++ (1 to 10).map(i => (s"1994-07-", i)))
+      .map { case (m, i) => (java.sql.Date.valueOf(f"$m${i}%02d"), (100.0 + 7 * i)) }
+    rows.toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q9_window_frames")(spark, dir).collect().toSeq
+    // reference: the oracle's single global frame, computed directly
+    spark.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("orders_gap")
+    val exp = spark.sql(
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |                      SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        |               FROM orders_gap GROUP BY 1)
+        |SELECT d, CAST(total AS DOUBLE) AS day_total,
+        |       CAST(SUM(total) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |       CAST(SUM(total) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         / COUNT(*) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_avg
+        |FROM daily ORDER BY d""".stripMargin).collect().toSeq
+    assert(got == exp, "two-phase q9 must match the global frame across the year gap")
+  }
 }

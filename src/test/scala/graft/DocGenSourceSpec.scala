@@ -50,4 +50,17 @@ class DocGenSourceSpec extends SparkSuite {
     assert(one.count() == 1)
     assert(one.first().getLong(0) == 4242)
   }
+
+  test("invalid options fail at table resolution, not deep in planning (ADVICE r2)") {
+    val e1 = intercept[IllegalArgumentException](docs(1000, parts = 0).count())
+    assert(e1.getMessage.contains("numPartitions"))
+    val e2 = intercept[IllegalArgumentException](docs(-5).count())
+    assert(e2.getMessage.contains("rows"))
+  }
+
+  test("doc_id = Long.MaxValue clamps instead of overflowing the pushed range") {
+    assert(docs(1000).filter(col("doc_id") === Long.MaxValue).count() == 0)
+    assert(docs(1000).filter(col("doc_id") > Long.MaxValue - 1).count() == 0)
+    assert(docs(1000).filter(col("doc_id") <= Long.MaxValue).count() == 1000)
+  }
 }

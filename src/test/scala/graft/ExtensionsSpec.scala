@@ -53,4 +53,33 @@ class ExtensionsSpec extends SparkSuite {
       SparkSession.setActiveSession(orig)
     }
   }
+
+  test("DimensionBroadcast hint is size-gated (ADVICE r2: basename alone is unsafe)") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // shrink the gate below any real file: the rule must now stay silent
+      // even though nation.parquet is on the basename allowlist
+      s2.conf.set(graft.plans.DimensionBroadcast.maxBytesKey, "1")
+      import org.apache.spark.sql.functions.col
+      try {
+        val j = graft.sources.Tables.customer(s2, sf)
+          .join(graft.sources.Tables.nation(s2, sf), col("c_nationkey") === col("n_nationkey"))
+        j.collect()
+        val plan = j.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.toString
+          case p => p.toString
+        }
+        assert(!plan.contains("BroadcastHashJoin"),
+          "a dimension scan above graft.broadcast.maxBytes must not be force-broadcast")
+      } finally s2.conf.unset(graft.plans.DimensionBroadcast.maxBytesKey)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
 }
