@@ -13,7 +13,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def specs: Seq[QuerySpec] = Relational.all ++ Advanced.all ++ Pipeline.all ++ Extra.all
+  private def specs: Seq[QuerySpec] =
+    Relational.all ++ Advanced.all ++ Pipeline.all ++ Extra.all ++ Curation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

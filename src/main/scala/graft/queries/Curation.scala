@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.sources.Tables._
+
+/** Round-3 additions: deeper training-data curation signals (Gopher-
+  * style repetition, normalization/redaction, frame sampling) and the
+  * relational surface around them (LATERAL joins, MERGE upsert,
+  * date-spine gap fill).
+  *
+  * Same oracle discipline as [[Pipeline]]: every hash is md5/sha-based,
+  * every float is a single IEEE division of exact integers or a
+  * decimal-interior sum cast to double at the edge, and the DuckDB SQL
+  * is rendered alongside the Spark program so the two can't drift.
+  */
+object Curation {
+
+  private val toks = TextFns.tokensExpr("text")
+  private val duckToks = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  // p18 — repetition signals (Gopher-style quality rules): fraction of
+  // duplicated 2-grams and the most-frequent-token share, the two
+  // cheapest detectors of degenerate (looping / boilerplate) text. The
+  // bigram stats are per-row array ops (no shuffle); the top-token
+  // share is two partial-aggregated shuffles keyed by doc_id — linear,
+  // skew-free (a doc's token instances all land in one group but a doc
+  // is bounded, not corpus-sized). Output stays per-doc so a curation
+  // run can threshold it; `is_repetitive` shows the decision column
+  // (int, not boolean, for cross-engine hashing).
+  val p18 = QuerySpec(
+    "p18_repetition_signals",
+    (s, d) => {
+      val base = documents(s, d)
+        .withColumn("toks", expr(toks))
+        .withColumn("bigs", expr(TextFns.shinglesExpr("toks", 2)))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tok"),
+          size(col("bigs")).as("n_big"),
+          size(array_distinct(col("bigs"))).as("n_big_dist"))
+      val topTok = documents(s, d)
+        .withColumn("toks", expr(toks))
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+      base.join(topTok, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tok"),
+          when(col("n_big") > 0,
+            (col("n_big") - col("n_big_dist")).cast("double") / col("n_big"))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"),
+          when(col("n_tok") > 0,
+            coalesce(col("top_c"), lit(0L)).cast("double") / col("n_tok"))
+            .otherwise(lit(0.0)).as("top_token_frac"))
+        // single-division doubles are bit-identical cross-engine, so a
+        // strict threshold compare is deterministic too
+        .withColumn("is_repetitive",
+          (col("dup_bigram_frac") > 0.1 || col("top_token_frac") > 0.2).cast("int"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+            |st AS (SELECT doc_id, len(toks) AS n_tok,
+            |         list_transform(range(greatest(len(toks)-1, 0)),
+            |                        i -> toks[i+1] || ' ' || toks[i+2]) AS bigs,
+            |         toks FROM base),
+            |stats AS (SELECT doc_id, n_tok, len(bigs) AS n_big,
+            |                 len(list_distinct(bigs)) AS n_big_dist FROM st),
+            |inst AS (SELECT doc_id, unnest(toks) AS t FROM base),
+            |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM inst GROUP BY 1, 2),
+            |top AS (SELECT doc_id, MAX(c) AS top_c FROM tc GROUP BY 1),
+            |fr AS (SELECT s.doc_id, s.n_tok,
+            |         CASE WHEN n_big > 0
+            |              THEN CAST(n_big - n_big_dist AS DOUBLE) / n_big
+            |              ELSE 0.0 END AS dup_bigram_frac,
+            |         CASE WHEN s.n_tok > 0
+            |              THEN CAST(COALESCE(top_c, 0) AS DOUBLE) / s.n_tok
+            |              ELSE 0.0 END AS top_token_frac
+            |       FROM stats s LEFT JOIN top ON s.doc_id = top.doc_id)
+            |SELECT doc_id, n_tok, dup_bigram_frac, top_token_frac,
+            |       CAST(CASE WHEN dup_bigram_frac > 0.1 OR top_token_frac > 0.2
+            |                 THEN 1 ELSE 0 END AS INTEGER) AS is_repetitive
+            |FROM fr ORDER BY doc_id""".stripMargin))
+
+  // p19 — normalization + PII/URL redaction: the scrub pass a crawl
+  // corpus goes through before training (lowercase, redact URLs and
+  // emails, collapse whitespace). The harness text is clean, so
+  // deterministic "dirt" (a URL and an email derived from doc_id) is
+  // appended first — the redaction patterns then have real work to do
+  // and the oracle verifies byte-identical output via md5. Regexes stay
+  // in the Java∩RE2 common subset; DuckDB's regexp_replace needs the
+  // 'g' flag to match Spark's replace-all default (q39 note). Linear
+  // scan, no shuffle — at 100 TB this is a map-only pass.
+  val p19 = QuerySpec(
+    "p19_normalize_redact",
+    (s, d) => {
+      val urlPat = "https?://[^ ]+"
+      val emailPat = "[a-z0-9.]+@[a-z0-9.]+"
+      documents(s, d)
+        .withColumn("dirty",
+          concat(col("text"), lit("  Visit HTTPS://EXAMPLE.COM/p/"), col("doc_id"),
+            lit(" or mail Doc"), col("doc_id"), lit("@Crawl.NET now")))
+        .withColumn("low", lower(col("dirty")))
+        .withColumn("clean",
+          trim(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("low"), emailPat, "<email>"),
+              urlPat, "<url>"),
+            " +", " ")))
+        .select(col("doc_id"),
+          length(col("dirty")).as("n_raw"),
+          length(col("clean")).as("n_clean"),
+          size(regexp_extract_all(col("low"), lit(urlPat), lit(0))).as("n_urls"),
+          size(regexp_extract_all(col("low"), lit(emailPat), lit(0))).as("n_emails"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dirt AS (SELECT doc_id,
+           |         text || '  Visit HTTPS://EXAMPLE.COM/p/' || CAST(doc_id AS VARCHAR)
+           |              || ' or mail Doc' || CAST(doc_id AS VARCHAR) || '@Crawl.NET now' AS dirty
+           |       FROM documents),
+           |low AS (SELECT doc_id, dirty, lower(dirty) AS low FROM dirt),
+           |cl AS (SELECT doc_id, dirty, low,
+           |         trim(regexp_replace(
+           |           regexp_replace(
+           |             regexp_replace(low, '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g'),
+           |             'https?://[^ ]+', '<url>', 'g'),
+           |           ' +', ' ', 'g')) AS clean
+           |       FROM low)
+           |SELECT doc_id,
+           |       length(dirty) AS n_raw,
+           |       length(clean) AS n_clean,
+           |       len(regexp_extract_all(low, 'https?://[^ ]+')) AS n_urls,
+           |       len(regexp_extract_all(low, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails,
+           |       md5(clean) AS clean_md5
+           |FROM cl ORDER BY doc_id""".stripMargin))
+
+  // m2 — multimodal frame sampling: the video/audio analog of m1's
+  // decode plumbing. The payload is an opaque binary column; frames are
+  // fixed-stride slices (offset grid 32, frame 16 bytes) hashed for
+  // verification — at 100 TB the slicing is a map-only generator with
+  // no shuffle, and the payload bytes never leave the scan task. A real
+  // codec replaces the slice with a decode call (Multimodal.stubDecode);
+  // the harness text is ASCII so DuckDB's VARCHAR sha256 hashes the
+  // identical bytes and the plumbing is hash-verifiable end to end.
+  val m2 = QuerySpec(
+    "m2_frame_sample",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          explode(expr("sequence(1, octet_length(payload), 32)")).as("off"),
+          col("payload"))
+        .select(col("doc_id"), col("n_bytes"), col("off"),
+          sha2(expr("substring(payload, off, 16)"), 256).as("frame_sha"))
+        .orderBy(col("doc_id"), col("off")),
+    Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes, off,
+           |       sha256(substr(text, CAST(off AS INTEGER), 16)) AS frame_sha
+           |FROM documents,
+           |     UNNEST(range(1, octet_length(encode(text)) + 1, 32)) AS u(off)
+           |ORDER BY doc_id, off""".stripMargin))
+
+  // q40 — LATERAL join (B.3 addendum): a correlated derived table per
+  // outer row — the SQL-standard form of "top-N per key" that q8 does
+  // with a window. Spark decorrelates the LIMIT subquery into a ranked
+  // join (no per-row re-execution), so the plan is the same shape as
+  // q8's: one shuffle on the correlation key, then a per-group limit.
+  val q40 = QuerySpec(
+    "q40_lateral_join",
+    (s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+              |FROM customer c,
+              |     LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+              |              WHERE o_custkey = c.c_custkey
+              |              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+              |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    },
+    Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+           |FROM customer c,
+           |     LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+           |              WHERE o_custkey = c.c_custkey
+           |              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+           |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin))
+
+  // q41 — MERGE upsert (ops.Merge): CDC apply as a batch operator. The
+  // change set is derived deterministically from orders (per-customer
+  // decimal balance; every 10th key a delete, every 7th≡3 key re-keyed
+  // as an insert), then folded into the customer snapshot with
+  // full-outer MERGE semantics. Decimal interior, double at the edge.
+  val q41 = QuerySpec(
+    "q41_merge_upsert",
+    (s, d) => {
+      val dec4 = "decimal(18,4)"
+      val base = customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal").cast(dec4).as("bal"))
+      val agg = orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(dec4)).as("bal"))
+        .select(col("o_custkey").as("c_custkey"), col("bal"))
+      val upd = agg.withColumn("op",
+        when(col("c_custkey") % 10 === 0, lit("D")).otherwise(lit("U")))
+      val ins = agg.filter(col("c_custkey") % 7 === 3)
+        .select((col("c_custkey") + 100000).as("c_custkey"), col("bal"), lit("I").as("op"))
+      graft.ops.Merge.upsert(base, upd.unionByName(ins), "c_custkey", "op")
+        .select(col("c_custkey"), col("bal").cast("double").as("bal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH agg AS (SELECT o_custkey AS c_custkey,
+           |                    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS bal
+           |             FROM orders GROUP BY 1),
+           |upd AS (SELECT c_custkey, bal,
+           |               CASE WHEN c_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+           |        FROM agg),
+           |ins AS (SELECT c_custkey + 100000 AS c_custkey, bal, 'I' AS op
+           |        FROM agg WHERE c_custkey % 7 = 3),
+           |chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+           |base AS (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+           |         FROM customer)
+           |SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+           |       CAST(COALESCE(c.bal, b.bal) AS DOUBLE) AS bal
+           |FROM base b FULL OUTER JOIN chg c ON b.c_custkey = c.c_custkey
+           |WHERE c.op IS NULL OR c.op <> 'D'
+           |ORDER BY c_custkey""".stripMargin))
+
+  // q42 — date-spine gap fill: a generated calendar (sequence /
+  // generate_series TVF) left-joined to daily counts so missing days
+  // report 0 — the densification step every time-series report needs
+  // and a bare GROUP BY can't provide. The spine is 90 rows: Spark
+  // broadcasts the aggregated side or the spine, never shuffles the
+  // fact table beyond the one groupBy.
+  val q42 = QuerySpec(
+    "q42_date_spine",
+    (s, d) => {
+      val spine = s.range(1).select(
+        explode(expr("sequence(to_date('1996-01-01'), to_date('1996-03-31'), interval 1 day)"))
+          .as("day"))
+      val daily = orders(s, d)
+        .select(col("o_orderdate").cast("date").as("day"))
+        .filter(col("day").between("1996-01-01", "1996-03-31"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_orders"))
+      spine.join(daily, Seq("day"), "left_outer")
+        .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH spine AS (SELECT CAST(unnest(generate_series(
+           |         DATE '1996-01-01', DATE '1996-03-31', INTERVAL 1 DAY)) AS DATE) AS day),
+           |daily AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+           |          FROM orders
+           |          WHERE CAST(o_orderdate AS DATE)
+           |                BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+           |          GROUP BY 1)
+           |SELECT s.day, COALESCE(n_orders, 0) AS n_orders
+           |FROM spine s LEFT JOIN daily USING (day)
+           |ORDER BY day""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(p18, p19, m2, q40, q41, q42)
+}

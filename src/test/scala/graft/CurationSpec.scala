@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-3 curation operators: MERGE upsert semantics (ops.Merge),
+  * repetition signals, redaction, frame sampling, and date-spine gap
+  * fill on crafted inputs (the oracle gate covers the harness tables;
+  * these tests pin the EDGE semantics the generated data can't reach).
+  */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("Merge.upsert: D deletes (matched or not), non-D upserts, absent keys pass through") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, "D", null.asInstanceOf[java.lang.Double]), // delete existing
+      (9L, "D", java.lang.Double.valueOf(99.0)),      // delete absent key: no-op
+      (3L, "U", java.lang.Double.valueOf(33.0)),      // update
+      (4L, "I", java.lang.Double.valueOf(40.0)))      // insert
+      .toDF("k", "op", "v")
+    val out = graft.ops.Merge.upsert(base, changes, "k", "op")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a", 10.0), (3L, "c", 33.0), (4L, null, 40.0)))
+  }
+
+  test("Merge.upsert: NULL change value means 'not provided' and keeps the base value") {
+    val base = Seq((1L, "a", 10.0)).toDF("k", "name", "v")
+    val changes = Seq((1L, "U", null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "op", "v")
+    val out = graft.ops.Merge.upsert(base, changes, "k", "op").collect()
+    assert(out.head.getDouble(2) == 10.0, "partial image must not clobber base with null")
+    assert(out.head.getString(1) == "a", "columns absent from changes pass through")
+  }
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur").toString
+    rows.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("p18 flags a degenerate looping doc and passes diverse text") {
+    val dir = writeDocs(Seq(
+      (1L, "en", "spam spam spam spam spam spam spam spam"), // all-one-token
+      (2L, "en", "alpha beta gamma delta epsilon zeta eta theta"))) // all distinct
+    val r = SparkEntry.queries("p18_repetition_signals")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(r(1L) == 1, "repeated-token doc must be flagged")
+    assert(r(2L) == 0, "diverse doc must pass")
+    val fracs = SparkEntry.queries("p18_repetition_signals")(spark, dir)
+      .filter(col("doc_id") === 1L).head()
+    assert(fracs.getDouble(2) == 6.0 / 7.0, "7 bigrams, 1 distinct -> dup frac 6/7")
+    assert(fracs.getDouble(3) == 1.0, "every token is the top token")
+  }
+
+  test("p19 redacts the URL and email and collapses runs of spaces") {
+    val dir = writeDocs(Seq((5L, "en", "hello world")))
+    val out = SparkEntry.queries("p19_normalize_redact")(spark, dir).head()
+    assert(out.getInt(3) == 1 && out.getInt(4) == 1, "one URL + one email found")
+    // reconstruct the expected clean string independently
+    val clean = "hello world visit <url> or mail <email> now"
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.getString(5) == expectedMd5,
+      s"clean text must normalize to '$clean'")
+  }
+
+  test("m2 samples ceil(n_bytes/32) frames per doc and hashes the exact slice") {
+    val text = "x" * 70 // 70 bytes -> offsets 1, 33, 65 -> 3 frames
+    val dir = writeDocs(Seq((7L, "en", text)))
+    val frames = SparkEntry.queries("m2_frame_sample")(spark, dir).collect()
+    assert(frames.length == 3)
+    assert(frames.map(_.getInt(2)).toSeq == Seq(1, 33, 65))
+    val lastSha = frames.last.getString(3)
+    val expect = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(text.substring(64).getBytes("UTF-8")) // offset 65, only 6 bytes left
+      .map("%02x".format(_)).mkString
+    assert(lastSha == expect, "tail frame hashes only the remaining bytes")
+  }
+
+  test("q42 spine reports zero for days with no orders") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spine").toString
+    Seq(("1996-01-05", 1.0), ("1996-01-05", 2.0), ("1996-03-31", 3.0))
+      .map { case (dt, v) => (java.sql.Date.valueOf(dt), v) }
+      .toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q42_date_spine")(spark, dir).collect()
+    assert(out.length == 91, "Jan 1 .. Mar 31 1996 (leap year) = 91 days")
+    val m = out.map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(m("1996-01-05") == 2L)
+    assert(m("1996-03-31") == 1L)
+    assert(m("1996-02-29") == 0L, "gap day (incl. leap day) must be zero-filled")
+    assert(out.map(_.getLong(1)).sum == 3L)
+  }
+}
