@@ -96,16 +96,28 @@ object Fixture {
   }
 
   /** Same events as one chunk per micro-batch, for file-stream replay
-    * tests (one file == one batch under AvailableNow + maxFilesPerTrigger). */
+    * tests (one file == one batch under AvailableNow + maxFilesPerTrigger).
+    *
+    * Chunk files carry strictly increasing modification times:
+    * FileStreamSource orders pending files by mod time, and files
+    * written in the same clock tick would otherwise replay in arbitrary
+    * order — order-sensitive consumers (e.g. `Streams.materializeCdc`,
+    * which applies each batch as a CDC transport would deliver it) then
+    * see deletes before their inserts. LSN-windowed replay (q19) is
+    * order-insensitive and never noticed. */
   def materializeChunks(nChunks: Int, duplicateChunk: Option[Int] = None): String = {
     val dir = Files.createTempDirectory("graft_cdc_chunks")
     val per = math.max(1, jsonLines.size / nChunks)
+    val t0 = System.currentTimeMillis() - 1000L * jsonLines.size
     jsonLines.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
-      Files.write(dir.resolve(f"chunk_$i%04d.jsonl"),
-        chunk.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      if (duplicateChunk.contains(i))
-        Files.write(dir.resolve(f"chunk_${i}%04d_dup.jsonl"),
-          chunk.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val f = dir.resolve(f"chunk_$i%04d.jsonl")
+      Files.write(f, chunk.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      f.toFile.setLastModified(t0 + i * 2000L)
+      if (duplicateChunk.contains(i)) {
+        val fd = dir.resolve(f"chunk_${i}%04d_dup.jsonl")
+        Files.write(fd, chunk.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        fd.toFile.setLastModified(t0 + i * 2000L + 1000L)
+      }
     }
     dir.toString
   }

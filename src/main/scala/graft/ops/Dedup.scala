@@ -73,7 +73,11 @@ object Dedup {
       .localCheckpoint(true)
     // labels only ever decrease, so the label sum is a strictly
     // decreasing convergence witness — one cheap aggregate per round
-    // instead of a self-join diff (decimal: immune to int64 overflow)
+    // instead of a self-join diff (decimal: immune to int64 overflow).
+    // The witness rides the CHECKPOINT job as an observe() metric, so a
+    // round costs one action, not two (per-action floor ~0.3s in
+    // local[*] dominates this loop's wall-clock; fallback scan below
+    // keeps correctness if the metric ever fails to materialize).
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
     // null = "no previous sum yet": round 1 always runs, so the
@@ -96,14 +100,19 @@ object Dedup {
         .persist()
       // pointer doubling: lbl := lbl(lbl). Labels are vertex ids, and
       // lbl(u) <= u, so the looked-up label can only improve ours.
-      val next = stepped
+      val obsName = s"cc_conv_$rounds"
+      val nextObs = stepped
         .join(stepped.select(col("v").as("pv"), col("lbl").as("plbl")),
           stepped("lbl") === col("pv"), "left_outer")
         .select(stepped("v"),
           least(stepped("lbl"), coalesce(col("plbl"), stepped("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .observe(obsName, sum(col("lbl").cast("decimal(38,0)")).as("s"))
+      val next = nextObs.localCheckpoint(true)
       stepped.unpersist()
-      val nextSum = lblSum(next)
+      val nextSum = nextObs.queryExecution.observedMetrics.get(obsName) match {
+        case Some(row) => row.getDecimal(0)
+        case None => lblSum(next)
+      }
       labels = next
       // null sum = empty graph (no pairs at all): converged trivially,
       // or the loop would burn all maxRounds on empty DataFrames

@@ -239,4 +239,52 @@ object Streams {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming CDC MATERIALIZATION — the reference's whole loop as one
+    * operator: envelope stream → per-batch last-image reduce → MERGE
+    * into a queryable parquet state table ([[graft.ops.Merge]]). This
+    * is what the reference's Event Hub consumer would do with the
+    * events it receives (`/root/reference/src/main.ts:69-90` stops at
+    * the send); q19 proves replay-to-state equivalence in batch, this
+    * keeps the state table continuously current.
+    *
+    * Each micro-batch: project (A4/A5), reduce to the latest image per
+    * key (deletes become op 'D'), full-outer MERGE against the current
+    * state, write-new-then-swap. The swap is delete+rename — atomic per
+    * FS operation but not transactional across the pair; a production
+    * deployment points the same foreachBatch at a transactional table
+    * format and drops the swap. Restart safety comes from the
+    * checkpoint: a replayed batch re-MERGEs the same reduced change
+    * set, which is idempotent (same keys, same winning images).
+    *
+    * Batches apply in ARRIVAL order — the in-order delivery a CDC
+    * transport guarantees per partition (the reference's Event Hub,
+    * Kafka). A file-replay harness must present files in LSN order
+    * (`Fixture.materializeChunks` stamps mod times for this); an
+    * out-of-order transport would need the LSN kept in the state table
+    * and a compare-and-swap merge condition instead.
+    */
+  def materializeCdc(envelopes: DataFrame, checkpoint: String,
+      statePath: String): StreamingQuery =
+    runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
+      val spark = batch.sparkSession
+      val projected = Envelope.project(batch)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("lsn").desc)
+      val changes = projected
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .withColumn("op", when(col("tag") === "delete", lit("D")).otherwise(lit("U")))
+        .drop("__rn", "lsn", "tag")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val state = new org.apache.hadoop.fs.Path(statePath)
+      val fs = state.getFileSystem(hconf)
+      val base =
+        if (fs.exists(state)) spark.read.parquet(statePath)
+        else changes.drop("op").limit(0) // first batch: empty state, same schema
+      val merged = graft.ops.Merge.upsert(base, changes, "id", "op")
+      val tmp = new org.apache.hadoop.fs.Path(s"${statePath}__swap_$batchId")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(state, true)
+      fs.rename(tmp, state)
+    })
 }

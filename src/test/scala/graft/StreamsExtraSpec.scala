@@ -311,4 +311,26 @@ class StreamsExtraSpec extends SparkSuite {
       snapshot.filter(!col("id").isin(touched.toSeq: _*)))
     assert(merged.exceptAll(expected).isEmpty && expected.exceptAll(merged).isEmpty)
   }
+
+  test("materializeCdc keeps a queryable state table current across micro-batches (A8+A9 end-to-end)") {
+    val in = Fixture.materializeChunks(5)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mat_ckpt").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_mat").toString + "/students"
+    val q = Streams.materializeCdc(
+      Streams.envelopeStream(spark, in), ckpt, state)
+    q.awaitTermination()
+    val got = spark.read.parquet(state)
+    // the incrementally-merged state must equal the batch replay (q19 path)
+    val expected = Envelope.lastImageByKey(Envelope.project(
+      spark.read.schema(Envelope.schema).json(in)))
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "incremental MERGE state must equal last-image batch replay")
+    // restart on the same checkpoint: nothing new to process, state unchanged
+    val before = got.orderBy("id").collect().toSeq
+    Streams.materializeCdc(Streams.envelopeStream(spark, in), ckpt, state)
+      .awaitTermination()
+    val after = spark.read.parquet(state).orderBy("id").collect().toSeq
+    assert(after == before, "restart with no new data must not change the state")
+  }
 }
