@@ -253,5 +253,29 @@ object Curation {
            |FROM spine s LEFT JOIN daily USING (day)
            |ORDER BY day""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(p18, p19, m2, q40, q41, q42)
+  // q43 — ordered-set aggregates (B.4 addendum): median plus the
+  // SQL-standard PERCENTILE_DISC / PERCENTILE_CONT ... WITHIN GROUP
+  // (ORDER BY ...) syntax, complementing q26's function-form
+  // percentiles. DISC returns an actual element (no float risk); CONT
+  // interpolates over a decimal interior with the double cast at the
+  // edge. Exact percentiles sort within each group — fine at any group
+  // count since groups partition the shuffle; a single-group global
+  // percentile at 100 TB would use approx_percentile (q26b) instead.
+  val q43 = QuerySpec(
+    "q43_ordered_set_aggs",
+    (s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""SELECT l_returnflag,
+              |  CAST(median(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS med_qty,
+              |  CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS q1_disc,
+              |  CAST(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS q3_cont
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+    Some("""SELECT l_returnflag,
+           |  CAST(median(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS med_qty,
+           |  CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS q1_disc,
+           |  CAST(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS q3_cont
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(p18, p19, m2, q40, q41, q42, q43)
 }

@@ -54,6 +54,31 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("CartesianGuard rejects unhinted cartesians at analysis, allows hinted/escaped ones") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+      import org.apache.spark.sql.functions.broadcast
+      val a = s2.range(10).toDF("x")
+      val b = s2.range(10).toDF("y")
+      val e = intercept[Exception](a.crossJoin(b))
+      assert(e.getMessage.contains("cartesian product"), e.getMessage)
+      // the deliberate pattern — broadcast-hinted scalar side — passes
+      assert(a.crossJoin(broadcast(b)).count() == 100)
+      // escape hatch
+      s2.conf.set(graft.plans.CartesianGuard.allowKey, "true")
+      try assert(a.crossJoin(b).count() == 100)
+      finally s2.conf.unset(graft.plans.CartesianGuard.allowKey)
+      // equi-joins unaffected
+      assert(a.join(b, a("x") === b("y")).count() == 10)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("DimensionBroadcast hint is size-gated (ADVICE r2: basename alone is unsafe)") {
     val orig = spark
     SparkSession.clearActiveSession()

@@ -23,6 +23,31 @@ class LayoutSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("MERGE upsert over bucketed base+changes plans no exchange (100 TB incremental apply)") {
+    // the materializeCdc scale path: when the state table and the
+    // reduced change set are bucketed on the merge key, the full-outer
+    // MERGE is a co-located sort-merge join — no shuffle of the base
+    val base = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val changes = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") * 2).as("c_acctbal"),
+        when(col("c_custkey") % 9 === 0, "D").otherwise("U").as("op"))
+    Layout.bucketWrite(base, "b_merge_base", 4, Seq("c_custkey"))
+    Layout.bucketWrite(changes, "b_merge_chg", 4, Seq("c_custkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = graft.ops.Merge.upsert(
+        spark.table("b_merge_base"), spark.table("b_merge_chg"), "c_custkey", "op")
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed MERGE must not shuffle either side:\n$plan")
+      val expected = base.count() - changes.filter(col("op") === "D").count()
+      assert(merged.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned write prunes partitions under a partition-column filter") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     val o = graft.sources.Tables.orders(spark, sf)
