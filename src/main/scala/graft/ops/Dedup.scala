@@ -54,11 +54,16 @@ object Dedup {
     // several shuffles — let AQE coalesce them below the session
     // parallelism or every round pays full-width task overhead
     // NOTE the conf change below is session-visible for the duration of
-    // the loop (RuntimeConfig has no statement scope): a previously-unset
-    // key is restored by unset(), not re-set as an explicit value, and
-    // callers running CONCURRENT queries on the same session should pass
-    // pairs through `spark.newSession()` to isolate it. The single-query
-    // Verify/Bench drivers run queries sequentially, so this is safe there.
+    // the loop (RuntimeConfig has no statement scope): callers running
+    // CONCURRENT queries on the same session should pass pairs through
+    // `spark.newSession()` to isolate it. The single-query Verify/Bench
+    // drivers run queries sequentially, so this is safe there. Restore
+    // nuance: for a conf with a registered default (this one),
+    // getOption returns Some(default) even when never explicitly set —
+    // the public API cannot distinguish unset-with-default from
+    // explicitly-set-to-default — so the finally block re-sets the same
+    // VALUE the session observed before; the unset() branch only fires
+    // for defaultless keys. Observable behavior round-trips either way.
     val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     val prevPf = spark.conf.getOption(pfKey)
     spark.conf.set(pfKey, "false")

@@ -35,16 +35,27 @@ object Merge {
     * @param key     equi-merge key column present on both sides
     * @param opCol   change-operation column on `changes`: 'D' deletes,
     *                anything else upserts
+    * @param partialImages when true (default), a NULL value column in a
+    *                change means "not provided" and the base value
+    *                survives — wire formats that send only touched
+    *                columns. When false, changes carry FULL row images
+    *                and their values win verbatim, NULLs included —
+    *                required for last-image semantics (a full-image
+    *                update that sets a nullable column to NULL must
+    *                clear it, not resurrect the stale base value).
     */
-  def upsert(base: DataFrame, changes: DataFrame, key: String, opCol: String): DataFrame = {
+  def upsert(base: DataFrame, changes: DataFrame, key: String, opCol: String,
+      partialImages: Boolean = true): DataFrame = {
     val valueCols = base.columns.filter(_ != key).toSeq
     val changeCols = changes.columns.toSet
     val merged = base.alias("b").join(changes.alias("c"), Seq(key), "full_outer")
+    val matched = col(s"c.$opCol").isNotNull
     merged
-      .filter(col(s"c.$opCol").isNull || col(s"c.$opCol") =!= "D")
+      .filter(!matched || col(s"c.$opCol") =!= "D")
       .select(col(key) +: valueCols.map { v =>
-        if (changeCols.contains(v)) coalesce(col(s"c.$v"), col(s"b.$v")).as(v)
-        else col(s"b.$v").as(v)
+        if (!changeCols.contains(v)) col(s"b.$v").as(v)
+        else if (partialImages) coalesce(col(s"c.$v"), col(s"b.$v")).as(v)
+        else when(matched, col(s"c.$v")).otherwise(col(s"b.$v")).as(v)
       }: _*)
   }
 }

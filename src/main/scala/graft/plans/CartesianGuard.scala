@@ -1,7 +1,9 @@
 package graft.plans
 
+import scala.annotation.tailrec
+
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, ResolvedHint, SubqueryAlias}
 import org.apache.spark.sql.internal.SQLConf
 
 /** Analyzer CHECK rule (`SparkSessionExtensions.injectCheckRule`) — the
@@ -29,8 +31,20 @@ object CartesianGuard {
 
   val allowKey = "graft.guard.allowCartesian"
 
-  private def hinted(p: LogicalPlan): Boolean =
-    p.collectFirst { case h: ResolvedHint => h }.isDefined
+  /** A hint counts only at the TOP of the join side (through
+    * row-preserving wrappers) — `broadcast(df)` as the cross-join input.
+    * A hint buried inside a nested join belongs to THAT join and says
+    * nothing about this side's size; accepting it anywhere in the
+    * subtree would waive the guard for
+    * `big1.join(broadcast(dim), k).crossJoin(big2)`. */
+  @tailrec
+  private def hinted(p: LogicalPlan): Boolean = p match {
+    case _: ResolvedHint => true
+    case Project(_, child) => hinted(child)
+    case Filter(_, child) => hinted(child)
+    case SubqueryAlias(_, child) => hinted(child)
+    case _ => false
+  }
 
   def check(plan: LogicalPlan): Unit = {
     if (SQLConf.get.getConfString(allowKey, "false").toBoolean) return

@@ -31,15 +31,23 @@ object Curation {
   val p18 = QuerySpec(
     "p18_repetition_signals",
     (s, d) => {
-      val base = documents(s, d)
+      // tokenize ONCE and persist: both branches below consume the token
+      // arrays, and a fused single-pass form is a trap — sibling array
+      // expressions next to an explode get inlined past the Generate by
+      // CollapseProject and recomputed per token INSTANCE (A/B'd: 2x
+      // slower). Two branches over a cached tokenization is the shape
+      // that scales: one scan, one tokenize, array stats shuffle-free.
+      val tokd = documents(s, d)
         .withColumn("toks", expr(toks))
+        .select(col("doc_id"), col("toks"))
+        .persist()
+      val base = tokd
         .withColumn("bigs", expr(TextFns.shinglesExpr("toks", 2)))
         .select(col("doc_id"),
           size(col("toks")).as("n_tok"),
           size(col("bigs")).as("n_big"),
           size(array_distinct(col("bigs"))).as("n_big_dist"))
-      val topTok = documents(s, d)
-        .withColumn("toks", expr(toks))
+      val topTok = tokd
         .select(col("doc_id"), explode(col("toks")).as("t"))
         .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
@@ -148,7 +156,11 @@ object Curation {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .select(col("doc_id"),
           octet_length(col("payload")).as("n_bytes"),
-          explode(expr("sequence(1, octet_length(payload), 32)")).as("off"),
+          // empty payload guard: sequence(1, 0) throws (it would count
+          // backwards — same trap as TextFns.shinglesExpr); an empty
+          // doc contributes zero frames, matching the oracle's range()
+          explode(expr(
+            "CASE WHEN octet_length(payload) >= 1 THEN sequence(1, octet_length(payload), 32) ELSE CAST(array() AS ARRAY<INT>) END")).as("off"),
           col("payload"))
         .select(col("doc_id"), col("n_bytes"), col("off"),
           sha2(expr("substring(payload, off, 16)"), 256).as("frame_sha"))
@@ -187,6 +199,11 @@ object Curation {
   // decimal balance; every 10th key a delete, every 7th≡3 key re-keyed
   // as an insert), then folded into the customer snapshot with
   // full-outer MERGE semantics. Decimal interior, double at the edge.
+  // Insert keys are NEGATED (-(k+1)): custkeys are non-negative at
+  // every scale factor, so the insert namespace can never collide with
+  // a real key — an additive offset would collide once the corpus
+  // outgrows it, producing duplicate change keys and a nondeterministic
+  // merge.
   val q41 = QuerySpec(
     "q41_merge_upsert",
     (s, d) => {
@@ -197,10 +214,12 @@ object Curation {
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast(dec4)).as("bal"))
         .select(col("o_custkey").as("c_custkey"), col("bal"))
+        .persist() // consumed by BOTH change branches (upd + ins) — without
+                   // this the orders scan+agg runs once per union branch
       val upd = agg.withColumn("op",
         when(col("c_custkey") % 10 === 0, lit("D")).otherwise(lit("U")))
       val ins = agg.filter(col("c_custkey") % 7 === 3)
-        .select((col("c_custkey") + 100000).as("c_custkey"), col("bal"), lit("I").as("op"))
+        .select((-(col("c_custkey") + 1)).as("c_custkey"), col("bal"), lit("I").as("op"))
       graft.ops.Merge.upsert(base, upd.unionByName(ins), "c_custkey", "op")
         .select(col("c_custkey"), col("bal").cast("double").as("bal"))
         .orderBy(col("c_custkey"))
@@ -211,7 +230,7 @@ object Curation {
            |upd AS (SELECT c_custkey, bal,
            |               CASE WHEN c_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
            |        FROM agg),
-           |ins AS (SELECT c_custkey + 100000 AS c_custkey, bal, 'I' AS op
+           |ins AS (SELECT -(c_custkey + 1) AS c_custkey, bal, 'I' AS op
            |        FROM agg WHERE c_custkey % 7 = 3),
            |chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
            |base AS (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,4)) AS bal
@@ -225,7 +244,7 @@ object Curation {
   // q42 — date-spine gap fill: a generated calendar (sequence /
   // generate_series TVF) left-joined to daily counts so missing days
   // report 0 — the densification step every time-series report needs
-  // and a bare GROUP BY can't provide. The spine is 90 rows: Spark
+  // and a bare GROUP BY can't provide. The spine is 91 rows: Spark
   // broadcasts the aggregated side or the spine, never shuffles the
   // fact table beyond the one groupBy.
   val q42 = QuerySpec(
@@ -257,25 +276,85 @@ object Curation {
   // SQL-standard PERCENTILE_DISC / PERCENTILE_CONT ... WITHIN GROUP
   // (ORDER BY ...) syntax, complementing q26's function-form
   // percentiles. DISC returns an actual element (no float risk); CONT
-  // interpolates over a decimal interior with the double cast at the
-  // edge. Exact percentiles sort within each group — fine at any group
-  // count since groups partition the shuffle; a single-group global
-  // percentile at 100 TB would use approx_percentile (q26b) instead.
+  // and median interpolate over RAW DOUBLES on both sides — q26's
+  // proven parity shape. Decimal interiors are WRONG here, unlike
+  // everywhere else: DuckDB interpolates DECIMAL exactly while Spark
+  // converts to double first, so a decimal ORDER BY diverges in the
+  // last float digits (found by the oracle gate). Exact percentiles
+  // sort within each group and a group is ONE task — orders/
+  // o_orderpriority (tens of k rows per group) is the right harness
+  // shape; a huge-group or global exact percentile at 100 TB uses
+  // approx_percentile (q26b) or a pre-bucketed histogram.
   val q43 = QuerySpec(
     "q43_ordered_set_aggs",
     (s, d) => {
       graft.sources.Tables.registerAll(s, d)
-      s.sql("""SELECT l_returnflag,
-              |  CAST(median(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS med_qty,
-              |  CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS q1_disc,
-              |  CAST(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS q3_cont
-              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      s.sql("""SELECT o_orderpriority,
+              |  median(o_totalprice) AS med_price,
+              |  PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1_disc,
+              |  PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q3_cont
+              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
-    Some("""SELECT l_returnflag,
-           |  CAST(median(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS med_qty,
-           |  CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS q1_disc,
-           |  CAST(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS q3_cont
-           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+    Some("""SELECT o_orderpriority,
+           |  median(o_totalprice) AS med_price,
+           |  PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1_disc,
+           |  PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q3_cont
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(p18, p19, m2, q40, q41, q42, q43)
+  // q44 — generator battery (B.2 addendum beyond bare explode):
+  // posexplode's ordinal output and LATERAL VIEW OUTER's null-row
+  // preservation (a doc with no matching elements still appears once,
+  // with NULL — the outer-join of generators). DuckDB has neither
+  // posexplode nor OUTER generators; the oracle emulates them with
+  // range(len(arr)) subscripts and a CASE-wrapped [NULL] list, pinning
+  // the exact semantics rather than approximating them.
+  val q44 = QuerySpec(
+    "q44_generator_battery",
+    (s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""WITH base AS (SELECT doc_id, filter(split(text, ' '), t -> t <> '') AS toks
+              |             FROM documents)
+              |SELECT doc_id, 'pos' AS src, i, x
+              |FROM base LATERAL VIEW posexplode(slice(toks, 1, 3)) t AS i, x
+              |UNION ALL
+              |SELECT doc_id, 'outer' AS src, CAST(NULL AS INT) AS i, x
+              |FROM base LATERAL VIEW OUTER explode(filter(toks, t -> length(t) > 8)) t AS x
+              |ORDER BY doc_id, src, i NULLS FIRST, x NULLS FIRST""".stripMargin)
+    },
+    Some("""WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           |              FROM documents),
+           |pos AS (SELECT doc_id, 'pos' AS src, CAST(u.i AS INTEGER) AS i, arr[u.i+1] AS x
+           |        FROM (SELECT doc_id, toks[1:3] AS arr FROM base) t,
+           |             UNNEST(range(len(arr))) AS u(i)),
+           |outr AS (SELECT doc_id, 'outer' AS src, CAST(NULL AS INTEGER) AS i, u.x AS x
+           |         FROM (SELECT doc_id,
+           |                 CASE WHEN len(list_filter(toks, t -> length(t) > 8)) = 0
+           |                      THEN [CAST(NULL AS VARCHAR)]
+           |                      ELSE list_filter(toks, t -> length(t) > 8) END AS arr
+           |               FROM base) t,
+           |              UNNEST(arr) AS u(x))
+           |SELECT * FROM (SELECT * FROM pos UNION ALL SELECT * FROM outr)
+           |ORDER BY doc_id, src, i NULLS FIRST, x NULLS FIRST""".stripMargin))
+
+  // q45 — ordered string aggregation (B.4 addendum): listagg (Spark 4)
+  // vs string_agg (DuckDB), DISTINCT + WITHIN GROUP ordering, plus an
+  // md5 over a fully-ordered large concatenation — proving the element
+  // ORDER inside the aggregate, not just the membership, matches.
+  val q45 = QuerySpec(
+    "q45_listagg",
+    (s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""SELECT o_orderpriority,
+              |  listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+              |  md5(listagg(CAST(o_orderkey AS STRING), '|') WITHIN GROUP (ORDER BY o_orderkey)) AS keys_md5,
+              |  count(*) AS n
+              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+    Some("""SELECT o_orderpriority,
+           |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           |  md5(string_agg(CAST(o_orderkey AS VARCHAR), '|' ORDER BY o_orderkey)) AS keys_md5,
+           |  count(*) AS n
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(p18, p19, m2, q40, q41, q42, q43, q44, q45)
 }

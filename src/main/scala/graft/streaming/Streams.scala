@@ -281,7 +281,11 @@ object Streams {
       val base =
         if (fs.exists(state)) spark.read.parquet(statePath)
         else changes.drop("op").limit(0) // first batch: empty state, same schema
-      val merged = graft.ops.Merge.upsert(base, changes, "id", "op")
+      // partialImages=false: pgoutput new-images are FULL rows, so a
+      // change's NULL is a real NULL and must clear the base value —
+      // coalesce semantics would diverge from last-image batch replay
+      val merged = graft.ops.Merge.upsert(base, changes, "id", "op",
+        partialImages = false)
       val tmp = new org.apache.hadoop.fs.Path(s"${statePath}__swap_$batchId")
       merged.write.mode("overwrite").parquet(tmp.toString)
       fs.delete(state, true)

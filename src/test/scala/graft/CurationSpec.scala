@@ -33,6 +33,23 @@ class CurationSpec extends SparkSuite {
     assert(out.head.getString(1) == "a", "columns absent from changes pass through")
   }
 
+  test("Merge.upsert full-image mode: a change's NULL is a real NULL and clears the base value") {
+    val base = Seq((1L, "a", java.lang.Double.valueOf(10.0)),
+      (2L, "b", java.lang.Double.valueOf(20.0))).toDF("k", "name", "v")
+    val changes = Seq((1L, "U", null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "op", "v")
+    val out = graft.ops.Merge.upsert(base, changes, "k", "op", partialImages = false)
+      .orderBy("k").collect()
+    assert(out(0).isNullAt(2), "full-image update setting NULL must clear, not resurrect")
+    assert(out(1).getDouble(2) == 20.0, "untouched keys keep base values")
+  }
+
+  test("m2 contributes zero frames for an empty document instead of failing") {
+    val dir = writeDocs(Seq((1L, "en", ""), (2L, "en", "abcd")))
+    val frames = SparkEntry.queries("m2_frame_sample")(spark, dir).collect()
+    assert(frames.map(_.getLong(0)).toSeq == Seq(2L), "empty doc yields no frames, others unaffected")
+  }
+
   private def writeDocs(rows: Seq[(Long, String, String)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_cur").toString
     rows.toDF("doc_id", "lang", "text")

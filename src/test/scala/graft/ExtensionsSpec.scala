@@ -73,6 +73,13 @@ class ExtensionsSpec extends SparkSuite {
       finally s2.conf.unset(graft.plans.CartesianGuard.allowKey)
       // equi-joins unaffected
       assert(a.join(b, a("x") === b("y")).count() == 10)
+      // a hint buried in a NESTED join must not waive the guard for an
+      // outer cartesian — the hint speaks for the inner join only
+      val dim = s2.range(10).toDF("k")
+      val inner = a.join(broadcast(dim), a("x") === dim("k"))
+      val e2 = intercept[Exception](inner.crossJoin(b))
+      assert(e2.getMessage.contains("cartesian product"),
+        "nested broadcast hint must not waive the outer cartesian guard")
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
