@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import graft.queries.{Advanced, Extra, Relational}
+import graft.queries.{Advanced, Curation, Extra, Relational}
 
 /** Plan-shape regressions (the 100 TB review items from the charter):
   * filters/projections must reach the scan, small sides must broadcast,
@@ -125,6 +125,28 @@ class PlanSpec extends SparkSuite {
       s"EXISTS/NOT EXISTS should decorrelate to semi/anti joins:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"decorrelation must not fall back to a nested loop:\n$plan")
+  }
+
+  test("q40: LATERAL-with-LIMIT decorrelates to WindowGroupLimit, never per-row re-execution") {
+    val plan = finalPlan(Curation.q40.fn(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"correlated ORDER BY+LIMIT should plan the partial per-group limit:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral must not fall back to a product:\n$plan")
+  }
+
+  test("q41: MERGE change set broadcasts; the base snapshot is never shuffled for the join") {
+    val plan = finalPlan(Curation.q41.fn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("SortMergeJoin"), s"merge must be a join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q42: the generated spine joins without a cartesian; daily agg is partial+final") {
+    val plan = finalPlan(Curation.q42.fn(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"daily counts should combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
