@@ -17,10 +17,19 @@ import org.apache.spark.sql.functions._
   *    (insert-or-update — CDC upsert);
   *  - key with no change: base row passes through unchanged.
   *
-  * Scale shape: ONE shuffle on the merge key (or zero when both sides
-  * are bucketed on it — `Layout.bucketWrite`); the change set is
-  * typically ≪ base, so AQE broadcasts it and the base is scanned, not
-  * shuffled. No driver-side state, no collect.
+  * Scale shape — two paths, because a FULL OUTER join cannot broadcast
+  * (neither side's unmatched rows are recoverable from a streamed
+  * probe), so the general `upsert` must co-partition BOTH sides:
+  *
+  *  - `upsert`: one shuffle of each side on the merge key — or zero
+  *    when both are bucketed on it (`Layout.bucketWrite`; LayoutSpec
+  *    proves the bucketed apply exchange-free). The right form when
+  *    base and changes are comparable in size or already co-located.
+  *  - `upsertSmallChanges`: the CDC shape (changes ≪ base). The change
+  *    set broadcasts; the base is SCANNED twice (pass-through anti
+  *    join + matched inner join) and never shuffled — at a 100 TB base
+  *    two scans beat one full shuffle by the width of the cluster
+  *    network. No driver-side state, no collect.
   */
 object Merge {
 
@@ -48,14 +57,63 @@ object Merge {
       partialImages: Boolean = true): DataFrame = {
     val valueCols = base.columns.filter(_ != key).toSeq
     val changeCols = changes.columns.toSet
-    val merged = base.alias("b").join(changes.alias("c"), Seq(key), "full_outer")
-    val matched = col(s"c.$opCol").isNotNull
+    // Presence of a change row must be its own witness, not inferred
+    // from a non-null op: a NULL opCol is "anything else" (upsert) per
+    // the contract, and inferring presence from it would silently treat
+    // the row as absent in full-image mode.
+    val presentCol = "__graft_change_present"
+    val merged = base.alias("b")
+      .join(changes.withColumn(presentCol, lit(true)).alias("c"), Seq(key), "full_outer")
+    val matched = col(s"c.$presentCol").isNotNull
     merged
-      .filter(!matched || col(s"c.$opCol") =!= "D")
+      .filter(!(matched && (col(s"c.$opCol") <=> lit("D"))))
       .select(col(key) +: valueCols.map { v =>
         if (!changeCols.contains(v)) col(s"b.$v").as(v)
         else if (partialImages) coalesce(col(s"c.$v"), col(s"b.$v")).as(v)
         else when(matched, col(s"c.$v")).otherwise(col(s"b.$v")).as(v)
       }: _*)
+  }
+
+  /** Same MERGE semantics as [[upsert]], planned for a change set that
+    * is ≪ the base (the CDC apply shape): every join broadcasts the
+    * change side, so the base snapshot is scanned — twice — but never
+    * hash-partitioned. Output row set is identical to `upsert` on the
+    * same inputs (CurationSpec asserts parity on the edge cases).
+    */
+  def upsertSmallChanges(base: DataFrame, changes: DataFrame, key: String, opCol: String,
+      partialImages: Boolean = true): DataFrame = {
+    val valueCols = base.columns.filter(_ != key).toSeq
+    val changeCols = changes.columns.toSet
+    val isDelete = col(opCol) <=> lit("D")
+    // base rows whose key has no change: pass through (scan + broadcast anti)
+    val untouched = base
+      .join(broadcast(changes.select(col(key))), Seq(key), "left_anti")
+      .select(col(key) +: valueCols.map(col): _*)
+    // matched (key in both): merge per column; D drops the row. The
+    // result is ≤ |changes| rows and feeds BOTH the applied branch and
+    // the insert anti-probe — persist so the base contributes exactly
+    // two scans (released by the session-level clearCache teardown the
+    // engine's drivers run between queries, as with q41's own persist).
+    val matched = base.alias("b")
+      .join(broadcast(changes.alias("c")), Seq(key), "inner")
+      .persist()
+    val applied = matched
+      .filter(!(col(s"c.$opCol") <=> lit("D")))
+      .select(col(key) +: valueCols.map { v =>
+        if (!changeCols.contains(v)) col(s"b.$v").as(v)
+        else if (partialImages) coalesce(col(s"c.$v"), col(s"b.$v")).as(v)
+        else col(s"c.$v").as(v)
+      }: _*)
+    // inserts: change keys absent from base. The matched-key set is
+    // ≤ |changes| rows, so the anti probe broadcasts it — the base
+    // contributes only through the (unshuffled) inner join above.
+    val inserts = changes
+      .join(broadcast(matched.select(col(key))), Seq(key), "left_anti")
+      .filter(!isDelete)
+      .select(col(key) +: valueCols.map { v =>
+        if (changeCols.contains(v)) col(v).as(v)
+        else lit(null).cast(base.schema(v).dataType).as(v)
+      }: _*)
+    untouched.unionByName(applied).unionByName(inserts)
   }
 }

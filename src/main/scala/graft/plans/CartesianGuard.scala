@@ -3,7 +3,7 @@ package graft.plans
 import scala.annotation.tailrec
 
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, ResolvedHint, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedHint, UnaryNode}
 import org.apache.spark.sql.internal.SQLConf
 
 /** Analyzer CHECK rule (`SparkSessionExtensions.injectCheckRule`) — the
@@ -23,26 +23,29 @@ import org.apache.spark.sql.internal.SQLConf
   * in this engine (`crossJoin(broadcast(scalarAgg))` in q17/q18/p12)
   * carries a broadcast hint, which is exactly the "I know this side is
   * small" signal. Hints are still `ResolvedHint` nodes at check time
-  * (EliminateResolvedHint runs in the optimizer), so the guard looks
-  * for them in the subtrees. Escape hatch for everything else:
-  * `SET graft.guard.allowCartesian=true`.
+  * (EliminateResolvedHint runs in the optimizer), so the guard walks
+  * each join side's unary spine looking for one — the same traversal
+  * Spark's own hint extraction uses, so exactly the hints Spark will
+  * honor at this join waive the guard. Escape hatch for everything
+  * else: `SET graft.guard.allowCartesian=true`.
   */
 object CartesianGuard {
 
   val allowKey = "graft.guard.allowCartesian"
 
-  /** A hint counts only at the TOP of the join side (through
-    * row-preserving wrappers) — `broadcast(df)` as the cross-join input.
-    * A hint buried inside a nested join belongs to THAT join and says
-    * nothing about this side's size; accepting it anywhere in the
-    * subtree would waive the guard for
-    * `big1.join(broadcast(dim), k).crossJoin(big2)`. */
+  /** A hint counts anywhere on the join side's UNARY spine —
+    * `broadcast(df)`, `broadcast(df).distinct()`, `broadcast(df)
+    * .limit(k)` all carry a hint Spark's `EliminateResolvedHint
+    * .extractHintsFromPlan` propagates to this join, so the guard must
+    * accept exactly those (recursing through any `UnaryNode` mirrors
+    * that traversal). The walk stops at binary nodes: a hint buried
+    * inside a NESTED join belongs to that join and says nothing about
+    * this side's size, so `big1.join(broadcast(dim), k).crossJoin(big2)`
+    * still trips the guard. */
   @tailrec
   private def hinted(p: LogicalPlan): Boolean = p match {
     case _: ResolvedHint => true
-    case Project(_, child) => hinted(child)
-    case Filter(_, child) => hinted(child)
-    case SubqueryAlias(_, child) => hinted(child)
+    case u: UnaryNode => hinted(u.child)
     case _ => false
   }
 

@@ -197,8 +197,10 @@ object Curation {
   // q41 — MERGE upsert (ops.Merge): CDC apply as a batch operator. The
   // change set is derived deterministically from orders (per-customer
   // decimal balance; every 10th key a delete, every 7th≡3 key re-keyed
-  // as an insert), then folded into the customer snapshot with
-  // full-outer MERGE semantics. Decimal interior, double at the edge.
+  // as an insert), then folded into the customer snapshot via the
+  // small-changes MERGE path (change set broadcasts, the base snapshot
+  // is scanned, never shuffled — the full-outer form can't broadcast).
+  // Decimal interior, double at the edge.
   // Insert keys are NEGATED (-(k+1)): custkeys are non-negative at
   // every scale factor, so the insert namespace can never collide with
   // a real key — an additive offset would collide once the corpus
@@ -220,7 +222,7 @@ object Curation {
         when(col("c_custkey") % 10 === 0, lit("D")).otherwise(lit("U")))
       val ins = agg.filter(col("c_custkey") % 7 === 3)
         .select((-(col("c_custkey") + 1)).as("c_custkey"), col("bal"), lit("I").as("op"))
-      graft.ops.Merge.upsert(base, upd.unionByName(ins), "c_custkey", "op")
+      graft.ops.Merge.upsertSmallChanges(base, upd.unionByName(ins), "c_custkey", "op")
         .select(col("c_custkey"), col("bal").cast("double").as("bal"))
         .orderBy(col("c_custkey"))
     },
@@ -312,7 +314,7 @@ object Curation {
     "q44_generator_battery",
     (s, d) => {
       graft.sources.Tables.registerAll(s, d)
-      s.sql("""WITH base AS (SELECT doc_id, filter(split(text, ' '), t -> t <> '') AS toks
+      s.sql(s"""WITH base AS (SELECT doc_id, $toks AS toks
               |             FROM documents)
               |SELECT doc_id, 'pos' AS src, i, x
               |FROM base LATERAL VIEW posexplode(slice(toks, 1, 3)) t AS i, x
@@ -321,7 +323,7 @@ object Curation {
               |FROM base LATERAL VIEW OUTER explode(filter(toks, t -> length(t) > 8)) t AS x
               |ORDER BY doc_id, src, i NULLS FIRST, x NULLS FIRST""".stripMargin)
     },
-    Some("""WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    Some(s"""WITH base AS (SELECT doc_id, $duckToks AS toks
            |              FROM documents),
            |pos AS (SELECT doc_id, 'pos' AS src, CAST(u.i AS INTEGER) AS i, arr[u.i+1] AS x
            |        FROM (SELECT doc_id, toks[1:3] AS arr FROM base) t,

@@ -44,6 +44,44 @@ class CurationSpec extends SparkSuite {
     assert(out(1).getDouble(2) == 20.0, "untouched keys keep base values")
   }
 
+  test("Merge.upsert: a NULL op is 'anything else' — upserts identically in both image modes") {
+    val base = Seq((1L, "a", java.lang.Double.valueOf(10.0))).toDF("k", "name", "v")
+    val changes = Seq(
+      (1L, null.asInstanceOf[String], java.lang.Double.valueOf(11.0)), // present key
+      (5L, null.asInstanceOf[String], java.lang.Double.valueOf(50.0))) // absent key
+      .toDF("k", "op", "v")
+    for (partial <- Seq(true, false)) {
+      val out = graft.ops.Merge.upsert(base, changes, "k", "op", partialImages = partial)
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(2)))
+      assert(out.toSeq == Seq((1L, 11.0), (5L, 50.0)),
+        s"partialImages=$partial: NULL op must upsert, not drop or blank the row")
+    }
+  }
+
+  test("Merge.upsertSmallChanges: row-identical to the full-outer upsert on every edge case") {
+    val base = Seq((1L, "a", java.lang.Double.valueOf(10.0)),
+      (2L, "b", java.lang.Double.valueOf(20.0)),
+      (3L, "c", java.lang.Double.valueOf(30.0))).toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, "D", null.asInstanceOf[java.lang.Double]),  // delete existing
+      (9L, "D", java.lang.Double.valueOf(99.0)),       // delete absent: no-op
+      (3L, "U", null.asInstanceOf[java.lang.Double]),  // update with NULL value
+      (4L, "I", java.lang.Double.valueOf(40.0)),       // insert
+      (5L, null.asInstanceOf[String], java.lang.Double.valueOf(50.0))) // NULL op: upsert
+      .toDF("k", "op", "v")
+    for (partial <- Seq(true, false)) {
+      val a = graft.ops.Merge.upsert(base, changes, "k", "op", partial)
+      val b = graft.ops.Merge.upsertSmallChanges(base, changes, "k", "op", partial)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"partialImages=$partial: broadcast path diverged from full-outer path")
+      // nullability may differ (full outer marks the key nullable; the
+      // broadcast path's inner/anti joins keep it non-null) — names and
+      // types must not
+      assert(a.schema.map(f => (f.name, f.dataType)) == b.schema.map(f => (f.name, f.dataType)),
+        s"partialImages=$partial: schema drift")
+    }
+  }
+
   test("m2 contributes zero frames for an empty document instead of failing") {
     val dir = writeDocs(Seq((1L, "en", ""), (2L, "en", "abcd")))
     val frames = SparkEntry.queries("m2_frame_sample")(spark, dir).collect()

@@ -67,6 +67,11 @@ class ExtensionsSpec extends SparkSuite {
       assert(e.getMessage.contains("cartesian product"), e.getMessage)
       // the deliberate pattern — broadcast-hinted scalar side — passes
       assert(a.crossJoin(broadcast(b)).count() == 100)
+      // a hint below row-reducing unary ops (distinct = Aggregate,
+      // limit) is still propagated to this join by Spark's own hint
+      // extraction, so the guard must accept it too
+      assert(a.crossJoin(broadcast(b).distinct()).count() == 100)
+      assert(a.crossJoin(broadcast(b).limit(5)).count() == 50)
       // escape hatch
       s2.conf.set(graft.plans.CartesianGuard.allowKey, "true")
       try assert(a.crossJoin(b).count() == 100)

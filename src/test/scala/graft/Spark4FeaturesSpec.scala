@@ -61,10 +61,12 @@ class Spark4FeaturesSpec extends SparkSuite {
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice").cast("double") * (lit(1.0) - col("l_discount").cast("double"))).as("p"))
     assert(viaUdf.exceptAll(classic).isEmpty && classic.exceptAll(viaUdf).isEmpty)
-    // the SQL body is expression-inlined, not a black-box call: the filter
-    // on the UDF result still prunes/pushes like a plain expression would
-    val plan = viaUdf.filter(col("p") > 0).queryExecution.executedPlan.toString
-    assert(!plan.toLowerCase.contains("batchevalpython"), plan)
+    // the SQL body is expression-inlined at analysis, not kept as a
+    // black-box call: the function name dissolves into plain arithmetic
+    // (a ScalaUDF/black-box node would carry "disc_price" in the plan)
+    val plan = viaUdf.queryExecution.executedPlan.toString
+    assert(!plan.contains("disc_price"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
   }
 
   test("parameterized sql: named markers bind literals without string splicing") {
