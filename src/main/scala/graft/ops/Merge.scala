@@ -80,8 +80,16 @@ object Merge {
     * hash-partitioned. Output row set is identical to `upsert` on the
     * same inputs (CurationSpec asserts parity on the edge cases).
     */
+  /** @param cacheMatched persist the (≤ |changes|-row) matched set so
+    *               the base contributes two scans instead of three.
+    *               Callers whose session teardown runs `clearCache()`
+    *               between queries (Bench/Verify) keep the default;
+    *               long-lived loops that merge repeatedly on one
+    *               session (foreachBatch materialization) pass false —
+    *               an un-released persist per batch is a slow leak.
+    */
   def upsertSmallChanges(base: DataFrame, changes: DataFrame, key: String, opCol: String,
-      partialImages: Boolean = true): DataFrame = {
+      partialImages: Boolean = true, cacheMatched: Boolean = true): DataFrame = {
     val valueCols = base.columns.filter(_ != key).toSeq
     val changeCols = changes.columns.toSet
     val isDelete = col(opCol) <=> lit("D")
@@ -94,9 +102,9 @@ object Merge {
     // the insert anti-probe — persist so the base contributes exactly
     // two scans (released by the session-level clearCache teardown the
     // engine's drivers run between queries, as with q41's own persist).
-    val matched = base.alias("b")
+    val matchedJoin = base.alias("b")
       .join(broadcast(changes.alias("c")), Seq(key), "inner")
-      .persist()
+    val matched = if (cacheMatched) matchedJoin.persist() else matchedJoin
     val applied = matched
       .filter(!(col(s"c.$opCol") <=> lit("D")))
       .select(col(key) +: valueCols.map { v =>

@@ -283,9 +283,12 @@ object Streams {
         else changes.drop("op").limit(0) // first batch: empty state, same schema
       // partialImages=false: pgoutput new-images are FULL rows, so a
       // change's NULL is a real NULL and must clear the base value —
-      // coalesce semantics would diverge from last-image batch replay
-      val merged = graft.ops.Merge.upsert(base, changes, "id", "op",
-        partialImages = false)
+      // coalesce semantics would diverge from last-image batch replay.
+      // Small-changes path: a micro-batch is ≪ the accumulated state,
+      // so the change set broadcasts and the state table is scanned,
+      // never shuffled — per-batch latency stays flat as state grows.
+      val merged = graft.ops.Merge.upsertSmallChanges(base, changes, "id", "op",
+        partialImages = false, cacheMatched = false)
       val tmp = new org.apache.hadoop.fs.Path(s"${statePath}__swap_$batchId")
       merged.write.mode("overwrite").parquet(tmp.toString)
       fs.delete(state, true)
