@@ -20,7 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.DimensionBroadcast)
-    ext.injectCheckRule(_ => graft.plans.CartesianGuard.check)
+    ext.injectPlannerStrategy(graft.plans.CartesianGuard.apply)
   }
 }
 

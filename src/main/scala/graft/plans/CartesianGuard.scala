@@ -1,66 +1,68 @@
 package graft.plans
 
-import scala.annotation.tailrec
-
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedHint, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
 
-/** Analyzer CHECK rule (`SparkSessionExtensions.injectCheckRule`) — the
-  * third rung of the extension ladder after the `float_dot` expression
-  * and the `DimensionBroadcast` optimizer rule: reject condition-less
-  * inner/cross joins at ANALYSIS time unless some side is explicitly
-  * hinted.
+/** Planner-time guard (`SparkSessionExtensions.injectPlannerStrategy`):
+  * reject condition-less inner/cross joins at physical-planning time
+  * unless a side carries an explicit join hint.
   *
   * Why: at 100 TB an accidental cartesian product is not a slow query,
   * it is a cluster outage — |L|×|R| rows materialize before anyone
   * notices the missing join key. Spark's legacy `crossJoin.enabled`
-  * guard was removed, and by the time the optimizer or AQE sees the
-  * plan the query is already accepted. Failing in the analyzer names
-  * the mistake at submission, when it costs nothing.
+  * guard was removed; this restores it as an opt-out check, placed the
+  * same way Spark's old `CheckCartesianProducts` was: AFTER the
+  * optimizer, right as the physical plan is chosen.
+  *
+  * Planning time (not analysis time — where round 3 put it) because by
+  * then the plan has settled into its true shape:
+  *
+  *  - `PushDownPredicates` has run, so the standard comma-join form
+  *    `SELECT … FROM a, b WHERE a.k = b.k` — analyzed as a Filter above
+  *    a condition-less Join — has become an equi-join and is correctly
+  *    waived. The same goes for `df1.join(df2).where(cond)`, which an
+  *    analysis-time check rule rejects at `.join()` before `.where` can
+  *    even attach.
+  *  - `EliminateResolvedHint` has folded every `broadcast(df)` (and
+  *    any other join-strategy hint) into the adjacent Join's
+  *    `JoinHint`, using Spark's own hint-propagation traversal — so
+  *    the guard waives exactly the joins Spark itself treats as
+  *    hinted, with no hand-rolled spine walk to keep in sync. A hint
+  *    buried in a NESTED join attaches to that join, not this one, so
+  *    `big1.join(broadcast(dim), k).crossJoin(big2)` still trips.
   *
   * Deliberate tiny crosses stay expressible — every legitimate pattern
   * in this engine (`crossJoin(broadcast(scalarAgg))` in q17/q18/p12)
   * carries a broadcast hint, which is exactly the "I know this side is
-  * small" signal. Hints are still `ResolvedHint` nodes at check time
-  * (EliminateResolvedHint runs in the optimizer), so the guard walks
-  * each join side's unary spine looking for one — the same traversal
-  * Spark's own hint extraction uses, so exactly the hints Spark will
-  * honor at this join waive the guard. Escape hatch for everything
-  * else: `SET graft.guard.allowCartesian=true`.
+  * small" signal. Escape hatch for everything else:
+  * `SET graft.guard.allowCartesian=true`.
+  *
+  * The strategy never plans anything (returns Nil) — it only inspects
+  * each logical subtree the planner visits and throws on a violation,
+  * so join selection itself is untouched.
   */
-object CartesianGuard {
+case class CartesianGuard(session: SparkSession) extends SparkStrategy {
 
-  val allowKey = "graft.guard.allowCartesian"
-
-  /** A hint counts anywhere on the join side's UNARY spine —
-    * `broadcast(df)`, `broadcast(df).distinct()`, `broadcast(df)
-    * .limit(k)` all carry a hint Spark's `EliminateResolvedHint
-    * .extractHintsFromPlan` propagates to this join, so the guard must
-    * accept exactly those (recursing through any `UnaryNode` mirrors
-    * that traversal). The walk stops at binary nodes: a hint buried
-    * inside a NESTED join belongs to that join and says nothing about
-    * this side's size, so `big1.join(broadcast(dim), k).crossJoin(big2)`
-    * still trips the guard. */
-  @tailrec
-  private def hinted(p: LogicalPlan): Boolean = p match {
-    case _: ResolvedHint => true
-    case u: UnaryNode => hinted(u.child)
-    case _ => false
-  }
-
-  def check(plan: LogicalPlan): Unit = {
-    if (SQLConf.get.getConfString(allowKey, "false").toBoolean) return
-    plan.foreach {
-      case j @ Join(l, r, Inner | Cross, None, hint)
-          if hint.leftHint.isEmpty && hint.rightHint.isEmpty &&
-            !hinted(l) && !hinted(r) =>
-        throw new IllegalStateException(
-          s"[graft] cartesian product with no join condition and no size hint — " +
-            s"at scale this materializes |left|x|right| rows. Broadcast the small " +
-            s"side (crossJoin(broadcast(df))) or SET $allowKey=true if the product " +
-            s"is intended. Join: ${j.simpleString(3)}")
-      case _ => ()
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = {
+    if (!SQLConf.get.getConfString(CartesianGuard.allowKey, "false").toBoolean) {
+      plan match {
+        case j @ Join(_, _, Inner | Cross, None, hint)
+            if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
+          throw new IllegalStateException(
+            s"[graft] cartesian product with no join condition and no size hint — " +
+              s"at scale this materializes |left|x|right| rows. Broadcast the small " +
+              s"side (crossJoin(broadcast(df))) or SET ${CartesianGuard.allowKey}=true " +
+              s"if the product is intended. Join: ${j.simpleString(3)}")
+        case _ => ()
+      }
     }
+    Nil
   }
+}
+
+object CartesianGuard {
+  val allowKey = "graft.guard.allowCartesian"
 }

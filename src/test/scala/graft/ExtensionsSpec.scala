@@ -54,7 +54,7 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
-  test("CartesianGuard rejects unhinted cartesians at analysis, allows hinted/escaped ones") {
+  test("CartesianGuard rejects unhinted cartesians at planning, allows hinted/escaped ones") {
     val orig = spark
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -63,7 +63,10 @@ class ExtensionsSpec extends SparkSuite {
       import org.apache.spark.sql.functions.broadcast
       val a = s2.range(10).toDF("x")
       val b = s2.range(10).toDF("y")
-      val e = intercept[Exception](a.crossJoin(b))
+      // planner-time, not analysis-time: building the Dataset is legal
+      // (the guard fires when a plan is actually chosen for execution)
+      val cross = a.crossJoin(b)
+      val e = intercept[Exception](cross.count())
       assert(e.getMessage.contains("cartesian product"), e.getMessage)
       // the deliberate pattern — broadcast-hinted scalar side — passes
       assert(a.crossJoin(broadcast(b)).count() == 100)
@@ -74,15 +77,28 @@ class ExtensionsSpec extends SparkSuite {
       assert(a.crossJoin(broadcast(b).limit(5)).count() == 50)
       // escape hatch
       s2.conf.set(graft.plans.CartesianGuard.allowKey, "true")
-      try assert(a.crossJoin(b).count() == 100)
+      try assert(cross.count() == 100)
       finally s2.conf.unset(graft.plans.CartesianGuard.allowKey)
       // equi-joins unaffected
       assert(a.join(b, a("x") === b("y")).count() == 10)
+      // ADVICE r3: the comma-join forms whose equi-predicate arrives via
+      // a Filter ABOVE the join must NOT trip the guard — pushdown turns
+      // them into equi-joins before the planner sees them
+      assert(a.join(b).where(a("x") === b("y")).count() == 10)
+      a.createOrReplaceTempView("guard_a")
+      b.createOrReplaceTempView("guard_b")
+      assert(s2.sql(
+        "SELECT * FROM guard_a, guard_b WHERE guard_a.x = guard_b.y").count() == 10)
+      // ...but a join whose only "condition" is side-local predicates is
+      // still a cartesian after pushdown strips them, and must trip
+      val e3 = intercept[Exception](
+        a.join(b).where(a("x") > 3 && b("y") < 5).count())
+      assert(e3.getMessage.contains("cartesian product"), e3.getMessage)
       // a hint buried in a NESTED join must not waive the guard for an
       // outer cartesian — the hint speaks for the inner join only
       val dim = s2.range(10).toDF("k")
       val inner = a.join(broadcast(dim), a("x") === dim("k"))
-      val e2 = intercept[Exception](inner.crossJoin(b))
+      val e2 = intercept[Exception](inner.crossJoin(b).count())
       assert(e2.getMessage.contains("cartesian product"),
         "nested broadcast hint must not waive the outer cartesian guard")
     } finally {
