@@ -108,8 +108,14 @@ object Fixture {
   def materializeChunks(nChunks: Int, duplicateChunk: Option[Int] = None): String = {
     val dir = Files.createTempDirectory("graft_cdc_chunks")
     val per = math.max(1, jsonLines.size / nChunks)
-    val t0 = System.currentTimeMillis() - 1000L * jsonLines.size
-    jsonLines.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+    val chunks = jsonLines.grouped(per).toVector
+    // Budget t0 from the ACTUAL chunk count at the 2000 ms stamp stride
+    // (grouped() can emit more than nChunks chunks when `per` rounds
+    // down), so even the last chunk's +1000 ms dup stamp lands strictly
+    // in the past — FileStreamSource happens to tolerate future mod
+    // times today, but replay order must not depend on that.
+    val t0 = System.currentTimeMillis() - 2000L * (chunks.size + 1)
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
       val f = dir.resolve(f"chunk_$i%04d.jsonl")
       Files.write(f, chunk.mkString("\n").getBytes(StandardCharsets.UTF_8))
       f.toFile.setLastModified(t0 + i * 2000L)

@@ -33,6 +33,26 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Witness column injected by [[upsert]]; reserved — inputs carrying
+    * it would silently corrupt the matched/unmatched split. */
+  private[graft] val presentCol = "__graft_change_present"
+
+  /** Fail fast with a named-column message instead of letting a typo'd
+    * key surface as an opaque analysis error three operators later (or,
+    * for a pre-existing sentinel column, as a silently wrong split). */
+  private def validate(base: DataFrame, changes: DataFrame,
+      key: String, opCol: String): Unit = {
+    def cols(df: DataFrame) = df.columns.mkString("[", ", ", "]")
+    require(base.columns.contains(key),
+      s"[graft] MERGE key '$key' is not a column of base ${cols(base)}")
+    require(changes.columns.contains(key),
+      s"[graft] MERGE key '$key' is not a column of changes ${cols(changes)}")
+    require(changes.columns.contains(opCol),
+      s"[graft] MERGE op column '$opCol' is not a column of changes ${cols(changes)}")
+    require(!base.columns.contains(presentCol) && !changes.columns.contains(presentCol),
+      s"[graft] column name '$presentCol' is reserved by MERGE — rename it on the input")
+  }
+
   /** Apply `changes` to `base` with MERGE semantics.
     *
     * @param base    snapshot; one row per `key`
@@ -55,13 +75,13 @@ object Merge {
     */
   def upsert(base: DataFrame, changes: DataFrame, key: String, opCol: String,
       partialImages: Boolean = true): DataFrame = {
+    validate(base, changes, key, opCol)
     val valueCols = base.columns.filter(_ != key).toSeq
     val changeCols = changes.columns.toSet
     // Presence of a change row must be its own witness, not inferred
     // from a non-null op: a NULL opCol is "anything else" (upsert) per
     // the contract, and inferring presence from it would silently treat
     // the row as absent in full-image mode.
-    val presentCol = "__graft_change_present"
     val merged = base.alias("b")
       .join(changes.withColumn(presentCol, lit(true)).alias("c"), Seq(key), "full_outer")
     val matched = col(s"c.$presentCol").isNotNull
@@ -90,6 +110,7 @@ object Merge {
     */
   def upsertSmallChanges(base: DataFrame, changes: DataFrame, key: String, opCol: String,
       partialImages: Boolean = true, cacheMatched: Boolean = true): DataFrame = {
+    validate(base, changes, key, opCol)
     val valueCols = base.columns.filter(_ != key).toSeq
     val changeCols = changes.columns.toSet
     val isDelete = col(opCol) <=> lit("D")

@@ -250,12 +250,21 @@ object Streams {
     *
     * Each micro-batch: project (A4/A5), reduce to the latest image per
     * key (deletes become op 'D'), full-outer MERGE against the current
-    * state, write-new-then-swap. The swap is delete+rename — atomic per
-    * FS operation but not transactional across the pair; a production
-    * deployment points the same foreachBatch at a transactional table
-    * format and drops the swap. Restart safety comes from the
-    * checkpoint: a replayed batch re-MERGEs the same reduced change
-    * set, which is idempotent (same keys, same winning images).
+    * state, write-new-then-swap. The swap is rename-aside: the current
+    * state is renamed to `__prev` (never deleted) before the freshly
+    * written `__swap_<batchId>` dir is renamed into place, so EVERY
+    * crash point leaves either the old state or a completed swap dir on
+    * disk. [[recoverCdcState]] runs at each batch start and promotes a
+    * completed swap (or a stranded `__prev`) back to `state` before
+    * merging, then sweeps stale swap/prev dirs — without it, a crash
+    * between the two renames would make the replayed batch merge into
+    * an EMPTY base and silently truncate the state to that batch's
+    * keys. A production deployment points the same foreachBatch at a
+    * transactional table format and drops the swap entirely. Restart
+    * safety then comes from the checkpoint: a replayed batch re-MERGEs
+    * the same reduced change set, which is idempotent (same keys, same
+    * winning images) whether it lands on the pre-batch state or on a
+    * recovered post-batch swap.
     *
     * Batches apply in ARRIVAL order — the in-order delivery a CDC
     * transport guarantees per partition (the reference's Event Hub,
@@ -278,6 +287,7 @@ object Streams {
       val hconf = spark.sparkContext.hadoopConfiguration
       val state = new org.apache.hadoop.fs.Path(statePath)
       val fs = state.getFileSystem(hconf)
+      recoverCdcState(fs, statePath)
       val base =
         if (fs.exists(state)) spark.read.parquet(statePath)
         else changes.drop("op").limit(0) // first batch: empty state, same schema
@@ -291,7 +301,54 @@ object Streams {
         partialImages = false, cacheMatched = false)
       val tmp = new org.apache.hadoop.fs.Path(s"${statePath}__swap_$batchId")
       merged.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(state, true)
+      // Rename-aside swap: `state` is moved, never deleted, before its
+      // replacement lands — each individual rename is atomic on a local
+      // FS / HDFS, so a crash at any point leaves a recoverable dir for
+      // recoverCdcState (old state at __prev, or the completed tmp).
+      val prev = new org.apache.hadoop.fs.Path(s"${statePath}__prev")
+      if (fs.exists(state)) {
+        fs.delete(prev, true)
+        fs.rename(state, prev)
+      }
       fs.rename(tmp, state)
+      fs.delete(prev, true)
     })
+
+  /** Crash recovery for [[materializeCdc]]'s state swap, run at the
+    * start of every micro-batch. If `state` is missing (a crash hit
+    * between the swap's two renames), promote the newest COMPLETED
+    * `__swap_<batchId>` dir — one whose parquet commit wrote
+    * `_SUCCESS` — or, failing that, the renamed-aside `__prev` dir.
+    * Either choice is consistent: the interrupted batch never reached
+    * its checkpoint commit, so it replays, and the MERGE is idempotent
+    * against both the pre-batch state (`__prev`) and the post-batch
+    * result (the swap). Whatever remains is a stale artifact of a
+    * completed or abandoned swap and is swept so orphan dirs don't
+    * accumulate next to the state table.
+    */
+  private[graft] def recoverCdcState(fs: org.apache.hadoop.fs.FileSystem,
+      statePath: String): Unit = {
+    val state = new org.apache.hadoop.fs.Path(statePath)
+    val prev = new org.apache.hadoop.fs.Path(s"${statePath}__prev")
+    val swapPrefix = state.getName + "__swap_"
+    val parent = state.getParent
+    val swaps: Seq[org.apache.hadoop.fs.Path] =
+      if (parent != null && fs.exists(parent))
+        fs.listStatus(parent).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(swapPrefix))
+          .map(_.getPath)
+      else Seq.empty
+    if (!fs.exists(state)) {
+      val completed = swaps.filter(p =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      if (completed.nonEmpty) {
+        val newest = completed.maxBy(_.getName.stripPrefix(swapPrefix).toLong)
+        fs.rename(newest, state)
+      } else if (fs.exists(prev)) {
+        fs.rename(prev, state)
+      }
+    }
+    swaps.filter(fs.exists(_)).foreach(fs.delete(_, true))
+    if (fs.exists(prev)) fs.delete(prev, true)
+  }
 }

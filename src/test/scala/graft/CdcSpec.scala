@@ -86,4 +86,21 @@ class CdcSpec extends SparkSuite {
     assert(byId.values.exists(evs =>
       evs.map(_.tag).containsSlice(Seq("delete", "insert"))))
   }
+
+  test("materializeChunks stamps every chunk strictly in the past, even at max chunk count") {
+    // one line per chunk is the worst case for the stamp budget: the
+    // most chunks, the widest stride span (incl. duplicate-chunk +1s)
+    val dir = Fixture.materializeChunks(Fixture.jsonLines.size,
+      duplicateChunk = Some(Fixture.jsonLines.size - 1))
+    val now = System.currentTimeMillis()
+    val files = new java.io.File(dir).listFiles().toSeq
+    assert(files.size == Fixture.jsonLines.size + 1, "precondition: per=1 chunking + dup")
+    val future = files.filter(_.lastModified() >= now)
+    assert(future.isEmpty,
+      s"chunk mod times must be strictly past, got future stamps: ${future.map(_.getName)}")
+    // and still strictly increasing in replay order (mod-time ordering
+    // is what FileStreamSource sorts pending files by)
+    val ordered = files.sortBy(_.getName).map(_.lastModified())
+    assert(ordered == ordered.sorted && ordered.distinct == ordered)
+  }
 }

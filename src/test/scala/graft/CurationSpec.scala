@@ -24,6 +24,26 @@ class CurationSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, "a", 10.0), (3L, "c", 33.0), (4L, null, 40.0)))
   }
 
+  test("Merge validates its inputs: misnamed key/op and reserved sentinel fail fast by name") {
+    val base = Seq((1L, 10.0)).toDF("k", "v")
+    val changes = Seq((1L, "U", 11.0)).toDF("k", "op", "v")
+    for (entry <- Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String) => org.apache.spark.sql.DataFrame](
+      graft.ops.Merge.upsert(_, _, _, _),
+      graft.ops.Merge.upsertSmallChanges(_, _, _, _))) {
+      val eKey = intercept[IllegalArgumentException](entry(base, changes, "key_typo", "op"))
+      assert(eKey.getMessage.contains("key_typo") && eKey.getMessage.contains("base"))
+      val eCKey = intercept[IllegalArgumentException](
+        entry(base, changes.withColumnRenamed("k", "id"), "k", "op"))
+      assert(eCKey.getMessage.contains("'k'") && eCKey.getMessage.contains("changes"))
+      val eOp = intercept[IllegalArgumentException](entry(base, changes, "k", "operation"))
+      assert(eOp.getMessage.contains("operation") && eOp.getMessage.contains("changes"))
+      val eSentinel = intercept[IllegalArgumentException](
+        entry(base, changes.withColumn("__graft_change_present", lit(true)), "k", "op"))
+      assert(eSentinel.getMessage.contains("reserved"), eSentinel.getMessage)
+    }
+  }
+
   test("Merge.upsert: NULL change value means 'not provided' and keeps the base value") {
     val base = Seq((1L, "a", 10.0)).toDF("k", "name", "v")
     val changes = Seq((1L, "U", null.asInstanceOf[java.lang.Double]))

@@ -94,6 +94,17 @@ class ExtensionsSpec extends SparkSuite {
       val e3 = intercept[Exception](
         a.join(b).where(a("x") > 3 && b("y") < 5).count())
       assert(e3.getMessage.contains("cartesian product"), e3.getMessage)
+      // ADVICE r4: only product-authorizing hints waive the guard. A
+      // merge/shuffle-hash hint carries no size signal — Spark ignores
+      // it without equi-keys and plans a cartesian anyway — so a
+      // condition-less join wearing one must still trip
+      for (h <- Seq("merge", "shuffle_hash")) {
+        val eh = intercept[Exception](a.join(b.hint(h)).count())
+        assert(eh.getMessage.contains("cartesian product"),
+          s"a '$h' hint must not waive the guard: ${eh.getMessage}")
+      }
+      // ...while shuffle_replicate_nl is the explicit cartesian opt-in
+      assert(a.join(b.hint("shuffle_replicate_nl")).count() == 100)
       // a hint buried in a NESTED join must not waive the guard for an
       // outer cartesian — the hint speaks for the inner join only
       val dim = s2.range(10).toDF("k")

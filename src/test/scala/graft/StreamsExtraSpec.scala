@@ -333,4 +333,48 @@ class StreamsExtraSpec extends SparkSuite {
     val after = spark.read.parquet(state).orderBy("id").collect().toSeq
     assert(after == before, "restart with no new data must not change the state")
   }
+
+  test("materializeCdc recovers a completed swap dir after a crash inside the state swap") {
+    import java.nio.file.Files
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_crash_in")
+    val lines = Fixture.jsonLines
+    val (phase1, phase2) = lines.splitAt(lines.size / 2)
+    val now = System.currentTimeMillis()
+    def writeChunk(name: String, ls: Seq[String], mtime: Long): Unit = {
+      val f = dir.resolve(name)
+      Files.write(f, ls.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+    }
+    writeChunk("chunk_0000.jsonl", phase1, now - 60000L)
+    val ckpt = Files.createTempDirectory("graft_crash_ckpt").toString
+    val stateDir = Files.createTempDirectory("graft_crash_state").toString
+    val state = stateDir + "/students"
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state)
+      .awaitTermination()
+    // a clean run must leave no __swap_*/__prev artifacts next to the state
+    assert(new java.io.File(stateDir).list().toSeq == Seq("students"),
+      "clean run must leave only the state dir")
+    // Simulate the crash window: the old state was renamed aside for the
+    // swap but the process died before the replacement landed — all that
+    // survives on disk is a COMPLETED swap dir (its parquet commit wrote
+    // _SUCCESS). Before the recovery fix, the next batch saw no state and
+    // silently rebuilt it from that batch's keys alone.
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new Path(state), new Path(state + "__swap_999"))
+    assert(!fs.exists(new Path(state)) &&
+      fs.exists(new Path(state + "__swap_999", "_SUCCESS")), "crash simulation precondition")
+    // new data arrives; the restarted stream must promote the swap before merging
+    writeChunk("chunk_0001.jsonl", phase2, now - 30000L)
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state)
+      .awaitTermination()
+    val got = spark.read.parquet(state)
+    val expected = Envelope.lastImageByKey(Envelope.project(
+      spark.read.schema(Envelope.schema).json(dir.toString)))
+    assert(got.count() == expected.count(),
+      "state rebuilt after a mid-swap crash must contain ALL keys, not just the new batch's")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(new java.io.File(stateDir).list().toSeq == Seq("students"),
+      "recovery must sweep swap/prev artifacts")
+  }
 }
