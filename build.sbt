@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench prints one machine-parsed JSON line; sbt's default LoggedOutput
+// prefixes every forked-stdout line with "[info] ", which defeats a
+// line-wise json parse of the captured output (every recorded bench so
+// far shows parsed:null). Inherit sbt's stdout instead — no prefix.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -72,9 +72,18 @@ object Bench {
         } else best
         name -> v
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 3-decimal times (trailing zeros stripped), locale-fixed: raw
+    // Double.toString put the 70-query line over the driver's 2000-byte
+    // tail capture (r4–r6 all recorded a truncated head → parsed:null).
+    // ~7 chars saved per entry keeps the whole line inside the window
+    // with ~150 bytes to spare for sbt's trailing [success] line.
+    def fmt(v: Double): String = {
+      val s = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,19 +39,37 @@ object Merge {
 
   /** Fail fast with a named-column message instead of letting a typo'd
     * key surface as an opaque analysis error three operators later (or,
-    * for a pre-existing sentinel column, as a silently wrong split). */
+    * for a pre-existing sentinel column, as a silently wrong split).
+    *
+    * Matches the ANALYZER's resolution rules: under the default
+    * `spark.sql.caseSensitive=false` a call like `upsert(df, ch, "ID",
+    * "op")` against a column named `id` resolves fine in Spark, so a
+    * case-exact precondition would regress it. Returns the STORED
+    * names for key (base's casing) and opCol (changes' casing) so
+    * every downstream reference binds to one unambiguous spelling. */
   private def validate(base: DataFrame, changes: DataFrame,
-      key: String, opCol: String): Unit = {
-    def cols(df: DataFrame) = df.columns.mkString("[", ", ", "]")
-    require(base.columns.contains(key),
-      s"[graft] MERGE key '$key' is not a column of base ${cols(base)}")
-    require(changes.columns.contains(key),
-      s"[graft] MERGE key '$key' is not a column of changes ${cols(changes)}")
-    require(changes.columns.contains(opCol),
-      s"[graft] MERGE op column '$opCol' is not a column of changes ${cols(changes)}")
-    require(!base.columns.contains(presentCol) && !changes.columns.contains(presentCol),
+      key: String, opCol: String): (String, String) = {
+    def resolve(df: DataFrame, name: String, what: String, side: String): String = {
+      val hit =
+        if (caseSensitive(base)) df.columns.find(_ == name)
+        else df.columns.find(_.equalsIgnoreCase(name))
+      require(hit.isDefined,
+        s"[graft] MERGE $what '$name' is not a column of $side ${df.columns.mkString("[", ", ", "]")}")
+      hit.get
+    }
+    val k = resolve(base, key, "key", "base")
+    resolve(changes, key, "key", "changes")
+    val op = resolve(changes, opCol, "op column", "changes")
+    def clashes(df: DataFrame) =
+      if (caseSensitive(base)) df.columns.contains(presentCol)
+      else df.columns.exists(_.equalsIgnoreCase(presentCol))
+    require(!clashes(base) && !clashes(changes),
       s"[graft] column name '$presentCol' is reserved by MERGE — rename it on the input")
+    (k, op)
   }
+
+  private def caseSensitive(df: DataFrame): Boolean =
+    df.sparkSession.sessionState.conf.caseSensitiveAnalysis
 
   /** Apply `changes` to `base` with MERGE semantics.
     *
@@ -75,23 +93,32 @@ object Merge {
     */
   def upsert(base: DataFrame, changes: DataFrame, key: String, opCol: String,
       partialImages: Boolean = true): DataFrame = {
-    validate(base, changes, key, opCol)
-    val valueCols = base.columns.filter(_ != key).toSeq
-    val changeCols = changes.columns.toSet
+    val (k, op) = validate(base, changes, key, opCol)
+    val valueCols = base.columns.filter(_ != k).toSeq
+    val inChanges = changeColMatcher(base, changes)
     // Presence of a change row must be its own witness, not inferred
     // from a non-null op: a NULL opCol is "anything else" (upsert) per
     // the contract, and inferring presence from it would silently treat
     // the row as absent in full-image mode.
     val merged = base.alias("b")
-      .join(changes.withColumn(presentCol, lit(true)).alias("c"), Seq(key), "full_outer")
+      .join(changes.withColumn(presentCol, lit(true)).alias("c"), Seq(k), "full_outer")
     val matched = col(s"c.$presentCol").isNotNull
     merged
-      .filter(!(matched && (col(s"c.$opCol") <=> lit("D"))))
-      .select(col(key) +: valueCols.map { v =>
-        if (!changeCols.contains(v)) col(s"b.$v").as(v)
+      .filter(!(matched && (col(s"c.$op") <=> lit("D"))))
+      .select(col(k) +: valueCols.map { v =>
+        if (!inChanges(v)) col(s"b.$v").as(v)
         else if (partialImages) coalesce(col(s"c.$v"), col(s"b.$v")).as(v)
         else when(matched, col(s"c.$v")).otherwise(col(s"b.$v")).as(v)
       }: _*)
+  }
+
+  /** Membership test "does `changes` carry this base value column",
+    * under the same resolution rules the analyzer will apply to the
+    * resulting `col("c.<name>")` reference. */
+  private def changeColMatcher(base: DataFrame, changes: DataFrame): String => Boolean = {
+    if (caseSensitive(base)) changes.columns.toSet
+    else { val lower = changes.columns.map(_.toLowerCase).toSet
+           v => lower.contains(v.toLowerCase) }
   }
 
   /** Same MERGE semantics as [[upsert]], planned for a change set that
@@ -110,26 +137,26 @@ object Merge {
     */
   def upsertSmallChanges(base: DataFrame, changes: DataFrame, key: String, opCol: String,
       partialImages: Boolean = true, cacheMatched: Boolean = true): DataFrame = {
-    validate(base, changes, key, opCol)
-    val valueCols = base.columns.filter(_ != key).toSeq
-    val changeCols = changes.columns.toSet
-    val isDelete = col(opCol) <=> lit("D")
+    val (k, op) = validate(base, changes, key, opCol)
+    val valueCols = base.columns.filter(_ != k).toSeq
+    val inChanges = changeColMatcher(base, changes)
+    val isDelete = col(op) <=> lit("D")
     // base rows whose key has no change: pass through (scan + broadcast anti)
     val untouched = base
-      .join(broadcast(changes.select(col(key))), Seq(key), "left_anti")
-      .select(col(key) +: valueCols.map(col): _*)
+      .join(broadcast(changes.select(col(k))), Seq(k), "left_anti")
+      .select(col(k) +: valueCols.map(col): _*)
     // matched (key in both): merge per column; D drops the row. The
     // result is ≤ |changes| rows and feeds BOTH the applied branch and
     // the insert anti-probe — persist so the base contributes exactly
     // two scans (released by the session-level clearCache teardown the
     // engine's drivers run between queries, as with q41's own persist).
     val matchedJoin = base.alias("b")
-      .join(broadcast(changes.alias("c")), Seq(key), "inner")
+      .join(broadcast(changes.alias("c")), Seq(k), "inner")
     val matched = if (cacheMatched) matchedJoin.persist() else matchedJoin
     val applied = matched
-      .filter(!(col(s"c.$opCol") <=> lit("D")))
-      .select(col(key) +: valueCols.map { v =>
-        if (!changeCols.contains(v)) col(s"b.$v").as(v)
+      .filter(!(col(s"c.$op") <=> lit("D")))
+      .select(col(k) +: valueCols.map { v =>
+        if (!inChanges(v)) col(s"b.$v").as(v)
         else if (partialImages) coalesce(col(s"c.$v"), col(s"b.$v")).as(v)
         else col(s"c.$v").as(v)
       }: _*)
@@ -137,10 +164,10 @@ object Merge {
     // ≤ |changes| rows, so the anti probe broadcasts it — the base
     // contributes only through the (unshuffled) inner join above.
     val inserts = changes
-      .join(broadcast(matched.select(col(key))), Seq(key), "left_anti")
+      .join(broadcast(matched.select(col(k))), Seq(k), "left_anti")
       .filter(!isDelete)
-      .select(col(key) +: valueCols.map { v =>
-        if (changeCols.contains(v)) col(v).as(v)
+      .select(col(k) +: valueCols.map { v =>
+        if (inChanges(v)) col(v).as(v)
         else lit(null).cast(base.schema(v).dataType).as(v)
       }: _*)
     untouched.unionByName(applied).unionByName(inserts)

@@ -305,14 +305,27 @@ object Streams {
       // replacement lands — each individual rename is atomic on a local
       // FS / HDFS, so a crash at any point leaves a recoverable dir for
       // recoverCdcState (old state at __prev, or the completed tmp).
+      // Hadoop FileSystems report many failures by RETURNING FALSE, not
+      // throwing — an unchecked false would let foreachBatch return
+      // normally, the checkpoint COMMIT the batch, and the next batch's
+      // recovery sweep the completed swap dir: that batch's changes gone
+      // with no replay. Throw on false so a failed swap aborts the batch
+      // BEFORE its checkpoint commit and the replayed MERGE lands it.
       val prev = new org.apache.hadoop.fs.Path(s"${statePath}__prev")
       if (fs.exists(state)) {
-        fs.delete(prev, true)
-        fs.rename(state, prev)
+        if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
+        checkedFs(fs.rename(state, prev), s"rename $state -> $prev")
       }
-      fs.rename(tmp, state)
-      fs.delete(prev, true)
+      checkedFs(fs.rename(tmp, state), s"rename $tmp -> $state")
+      // Failing the cleanup delete also aborts+replays; that replay is
+      // idempotent (state already swapped; recovery just sweeps prev).
+      if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
     })
+
+  /** Fail loudly on Hadoop's boolean-false error reporting (see the
+    * swap commentary in [[materializeCdc]]). */
+  private def checkedFs(ok: Boolean, what: String): Unit =
+    if (!ok) throw new java.io.IOException(s"[graft] CDC state swap: $what returned false")
 
   /** Crash recovery for [[materializeCdc]]'s state swap, run at the
     * start of every micro-batch. If `state` is missing (a crash hit
@@ -332,10 +345,19 @@ object Streams {
     val prev = new org.apache.hadoop.fs.Path(s"${statePath}__prev")
     val swapPrefix = state.getName + "__swap_"
     val parent = state.getParent
+    // Only dirs the swap itself wrote — `<state>__swap_<numeric batchId>`
+    // — are recovery candidates OR sweep targets. A user-made sibling
+    // that merely shares the prefix (`students__swap_backup`) must be
+    // neither: parsing it would NumberFormatException at every batch
+    // start (a permanent crash loop), sweeping it would eat user data.
     val swaps: Seq[org.apache.hadoop.fs.Path] =
       if (parent != null && fs.exists(parent))
         fs.listStatus(parent).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith(swapPrefix))
+          .filter { s =>
+            val n = s.getPath.getName
+            s.isDirectory && n.startsWith(swapPrefix) &&
+              n.stripPrefix(swapPrefix).matches("\\d+")
+          }
           .map(_.getPath)
       else Seq.empty
     if (!fs.exists(state)) {
@@ -343,9 +365,11 @@ object Streams {
         fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
       if (completed.nonEmpty) {
         val newest = completed.maxBy(_.getName.stripPrefix(swapPrefix).toLong)
-        fs.rename(newest, state)
+        // an unchecked false here would leave `state` missing and the
+        // batch merging into an empty base — same loss the swap guards
+        checkedFs(fs.rename(newest, state), s"recover $newest -> $state")
       } else if (fs.exists(prev)) {
-        fs.rename(prev, state)
+        checkedFs(fs.rename(prev, state), s"recover $prev -> $state")
       }
     }
     swaps.filter(fs.exists(_)).foreach(fs.delete(_, true))

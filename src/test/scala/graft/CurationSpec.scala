@@ -44,6 +44,30 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("Merge resolves names like the analyzer: case-insensitive by default, exact under caseSensitive") {
+    // Spark's default resolution (spark.sql.caseSensitive=false) accepts
+    // upsert(df, ch, "K", ...) against a column named 'k' — validation
+    // must not be stricter than the analyzer it fronts for.
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq((2L, "B", "U"), (3L, "c", "U")).toDF("K", "V", "OP")
+    for (entry <- Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String) => org.apache.spark.sql.DataFrame](
+      graft.ops.Merge.upsert(_, _, _, _),
+      graft.ops.Merge.upsertSmallChanges(_, _, _, _))) {
+      val out = entry(base, changes, "K", "op")
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")),
+        "case-mismatched key/op/value columns must merge like exact-cased ones")
+    }
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val e = intercept[IllegalArgumentException](
+        graft.ops.Merge.upsert(base, changes, "K", "op"))
+      assert(e.getMessage.contains("'K'") && e.getMessage.contains("base"),
+        e.getMessage)
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
   test("Merge.upsert: NULL change value means 'not provided' and keeps the base value") {
     val base = Seq((1L, "a", 10.0)).toDF("k", "name", "v")
     val changes = Seq((1L, "U", null.asInstanceOf[java.lang.Double]))

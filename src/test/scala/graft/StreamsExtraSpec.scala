@@ -377,4 +377,30 @@ class StreamsExtraSpec extends SparkSuite {
     assert(new java.io.File(stateDir).list().toSeq == Seq("students"),
       "recovery must sweep swap/prev artifacts")
   }
+
+  test("recoverCdcState ignores swap-lookalike dirs: no batchId parse crash, no sweep of user data") {
+    import java.nio.file.Files
+    import org.apache.hadoop.fs.Path
+    val stateDir = Files.createTempDirectory("graft_lookalike").toString
+    val state = stateDir + "/students"
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A user-made sibling sharing the swap prefix — non-numeric suffix,
+    // _SUCCESS and all. Before the numeric-suffix filter, recovery
+    // crash-looped every batch start on `.toLong` of "backup", and the
+    // post-recovery sweep would have deleted the user's data.
+    val backup = new Path(state + "__swap_backup")
+    fs.mkdirs(backup)
+    fs.create(new Path(backup, "_SUCCESS")).close()
+    fs.create(new Path(backup, "keep.parquet")).close()
+    // plus a genuine completed swap that recovery must still promote
+    val swap = new Path(state + "__swap_7")
+    fs.mkdirs(swap)
+    fs.create(new Path(swap, "_SUCCESS")).close()
+    Streams.recoverCdcState(fs, state)
+    assert(fs.exists(new Path(state)), "the numeric swap must be promoted to state")
+    assert(!fs.exists(swap), "the promoted swap dir must not linger under its swap name")
+    assert(fs.exists(backup) && fs.exists(new Path(backup, "keep.parquet")) &&
+      fs.exists(new Path(backup, "_SUCCESS")),
+      "a lookalike dir must be left byte-for-byte alone")
+  }
 }
