@@ -47,16 +47,19 @@ object Merge {
     * case-exact precondition would regress it. Returns the STORED
     * names for key (base's casing) and opCol (changes' casing) so
     * every downstream reference binds to one unambiguous spelling. */
+  private def resolveCol(df: DataFrame, name: String, what: String, side: String): String = {
+    val hit =
+      if (caseSensitive(df)) df.columns.find(_ == name)
+      else df.columns.find(_.equalsIgnoreCase(name))
+    require(hit.isDefined,
+      s"[graft] MERGE $what '$name' is not a column of $side ${df.columns.mkString("[", ", ", "]")}")
+    hit.get
+  }
+
   private def validate(base: DataFrame, changes: DataFrame,
       key: String, opCol: String): (String, String) = {
-    def resolve(df: DataFrame, name: String, what: String, side: String): String = {
-      val hit =
-        if (caseSensitive(base)) df.columns.find(_ == name)
-        else df.columns.find(_.equalsIgnoreCase(name))
-      require(hit.isDefined,
-        s"[graft] MERGE $what '$name' is not a column of $side ${df.columns.mkString("[", ", ", "]")}")
-      hit.get
-    }
+    def resolve(df: DataFrame, name: String, what: String, side: String): String =
+      resolveCol(df, name, what, side)
     val k = resolve(base, key, "key", "base")
     resolve(changes, key, "key", "changes")
     val op = resolve(changes, opCol, "op column", "changes")
@@ -116,9 +119,14 @@ object Merge {
     * under the same resolution rules the analyzer will apply to the
     * resulting `col("c.<name>")` reference. */
   private def changeColMatcher(base: DataFrame, changes: DataFrame): String => Boolean = {
+    // Locale.ROOT, matching resolve()'s equalsIgnoreCase and Spark's
+    // caseInsensitiveResolution: the JVM-default-locale toLowerCase
+    // folds 'ID' to "ıd" under a Turkish locale, silently dropping the
+    // change column from the membership test.
+    def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     if (caseSensitive(base)) changes.columns.toSet
-    else { val lower = changes.columns.map(_.toLowerCase).toSet
-           v => lower.contains(v.toLowerCase) }
+    else { val lower = changes.columns.map(fold).toSet
+           v => lower.contains(fold(v)) }
   }
 
   /** Same MERGE semantics as [[upsert]], planned for a change set that
@@ -170,6 +178,52 @@ object Merge {
         if (inChanges(v)) col(v).as(v)
         else lit(null).cast(base.schema(v).dataType).as(v)
       }: _*)
+    untouched.unionByName(applied).unionByName(inserts)
+  }
+
+  /** Compare-and-swap MERGE for OUT-OF-ORDER transports: the row with
+    * the higher `versionCol` wins whole-row, so a replayed or late
+    * batch carrying an OLDER image can never overwrite a newer one —
+    * the guarantee [[upsert]]/[[upsertSmallChanges]] get from in-order
+    * delivery, recovered here from a version column (CDC LSN, Kafka
+    * offset, a logical clock) when the transport reorders.
+    *
+    * Both sides must carry the SAME columns (key, version, payload):
+    * the change is a full row image stamped with its version. Rows are
+    * never removed — callers model deletes as TOMBSTONE rows (op='D'
+    * payload) so a late older update cannot resurrect a deleted key;
+    * filter tombstones out at read time. Equal versions keep the base
+    * (idempotent under duplicated delivery).
+    *
+    * Scale shape is [[upsertSmallChanges]]'s: every join broadcasts the
+    * change side, the base is scanned twice and never shuffled.
+    */
+  def upsertVersioned(base: DataFrame, changes: DataFrame, key: String,
+      versionCol: String, cacheMatched: Boolean = true): DataFrame = {
+    val k = resolveCol(base, key, "key", "base")
+    resolveCol(changes, key, "key", "changes")
+    val verB = resolveCol(base, versionCol, "version column", "base")
+    val verC = resolveCol(changes, versionCol, "version column", "changes")
+    def fold(s: String) =
+      if (caseSensitive(base)) s else s.toLowerCase(java.util.Locale.ROOT)
+    require(base.columns.map(fold).sorted.toSeq == changes.columns.map(fold).sorted.toSeq,
+      s"[graft] versioned MERGE needs identical columns on both sides: " +
+        s"base ${base.columns.mkString("[", ", ", "]")} vs changes ${changes.columns.mkString("[", ", ", "]")}")
+    val cols = base.columns.toSeq
+    val untouched = base
+      .join(broadcast(changes.select(col(k))), Seq(k), "left_anti")
+      .select(cols.map(col): _*)
+    val matchedJoin = base.alias("b")
+      .join(broadcast(changes.alias("c")), Seq(k), "inner")
+    val matched = if (cacheMatched) matchedJoin.persist() else matchedJoin
+    val cas = col(s"c.$verC") > col(s"b.$verB")
+    val applied = matched.select(cols.map { v =>
+      if (fold(v) == fold(k)) col(k)
+      else when(cas, col(s"c.$v")).otherwise(col(s"b.$v")).as(v)
+    }: _*)
+    val inserts = changes
+      .join(broadcast(matched.select(col(k))), Seq(k), "left_anti")
+      .select(cols.map(col): _*)
     untouched.unionByName(applied).unionByName(inserts)
   }
 }

@@ -266,39 +266,55 @@ object Streams {
     * winning images) whether it lands on the pre-batch state or on a
     * recovered post-batch swap.
     *
-    * Batches apply in ARRIVAL order — the in-order delivery a CDC
-    * transport guarantees per partition (the reference's Event Hub,
-    * Kafka). A file-replay harness must present files in LSN order
-    * (`Fixture.materializeChunks` stamps mod times for this); an
-    * out-of-order transport would need the LSN kept in the state table
-    * and a compare-and-swap merge condition instead.
+    * Batches apply in ARRIVAL order when `orderedTransport` is true —
+    * the in-order delivery a CDC transport guarantees per partition
+    * (the reference's Event Hub, Kafka). A file-replay harness must
+    * then present files in LSN order (`Fixture.materializeChunks`
+    * stamps mod times for this). With `orderedTransport = false` the
+    * state table additionally keeps each key's winning `lsn` plus its
+    * `op` as a TOMBSTONE marker, and the merge compare-and-swaps on
+    * LSN ([[graft.ops.Merge.upsertVersioned]]): a replayed or
+    * late-arriving OLDER image can never overwrite a newer one, and a
+    * late older update cannot resurrect a deleted key, regardless of
+    * batch arrival order. Read the live rows back through
+    * [[cdcLiveState]], which filters the tombstones.
     */
   def materializeCdc(envelopes: DataFrame, checkpoint: String,
-      statePath: String): StreamingQuery =
+      statePath: String, orderedTransport: Boolean = true): StreamingQuery =
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       val spark = batch.sparkSession
       val projected = Envelope.project(batch)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id")).orderBy(col("lsn").desc)
-      val changes = projected
+      val reduced = projected
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .withColumn("op", when(col("tag") === "delete", lit("D")).otherwise(lit("U")))
-        .drop("__rn", "lsn", "tag")
+        .drop("__rn", "tag")
+      // ordered transports don't need the LSN once the batch is
+      // reduced; the CAS path keeps it as the state's version column
+      val changes = if (orderedTransport) reduced.drop("lsn") else reduced
       val hconf = spark.sparkContext.hadoopConfiguration
       val state = new org.apache.hadoop.fs.Path(statePath)
       val fs = state.getFileSystem(hconf)
       recoverCdcState(fs, statePath)
       val base =
         if (fs.exists(state)) spark.read.parquet(statePath)
-        else changes.drop("op").limit(0) // first batch: empty state, same schema
+        else if (orderedTransport) changes.drop("op").limit(0)
+        else changes.limit(0) // first batch: empty state, same schema
       // partialImages=false: pgoutput new-images are FULL rows, so a
       // change's NULL is a real NULL and must clear the base value —
       // coalesce semantics would diverge from last-image batch replay.
-      // Small-changes path: a micro-batch is ≪ the accumulated state,
-      // so the change set broadcasts and the state table is scanned,
-      // never shuffled — per-batch latency stays flat as state grows.
-      val merged = graft.ops.Merge.upsertSmallChanges(base, changes, "id", "op",
-        partialImages = false, cacheMatched = false)
+      // Small-changes path (both modes): a micro-batch is ≪ the
+      // accumulated state, so the change set broadcasts and the state
+      // table is scanned, never shuffled — per-batch latency stays
+      // flat as state grows.
+      val merged =
+        if (orderedTransport)
+          graft.ops.Merge.upsertSmallChanges(base, changes, "id", "op",
+            partialImages = false, cacheMatched = false)
+        else
+          graft.ops.Merge.upsertVersioned(base, changes, "id", "lsn",
+            cacheMatched = false)
       val tmp = new org.apache.hadoop.fs.Path(s"${statePath}__swap_$batchId")
       merged.write.mode("overwrite").parquet(tmp.toString)
       // Rename-aside swap: `state` is moved, never deleted, before its
@@ -321,6 +337,17 @@ object Streams {
       // idempotent (state already swapped; recovery just sweeps prev).
       if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
     })
+
+  /** Live rows of a [[materializeCdc]] state table. Ordered-transport
+    * state stores live rows directly; CAS state keeps each key's
+    * winning LSN plus delete TOMBSTONES — both bookkeeping, filtered
+    * and dropped here so callers see one schema either way. */
+  def cdcLiveState(spark: SparkSession, statePath: String): DataFrame = {
+    val df = spark.read.parquet(statePath)
+    if (df.columns.contains("op"))
+      df.filter(col("op") =!= "D").drop("op", "lsn")
+    else df
+  }
 
   /** Fail loudly on Hadoop's boolean-false error reporting (see the
     * swap commentary in [[materializeCdc]]). */
@@ -345,26 +372,27 @@ object Streams {
     val prev = new org.apache.hadoop.fs.Path(s"${statePath}__prev")
     val swapPrefix = state.getName + "__swap_"
     val parent = state.getParent
-    // Only dirs the swap itself wrote — `<state>__swap_<numeric batchId>`
-    // — are recovery candidates OR sweep targets. A user-made sibling
-    // that merely shares the prefix (`students__swap_backup`) must be
-    // neither: parsing it would NumberFormatException at every batch
-    // start (a permanent crash loop), sweeping it would eat user data.
+    // Only dirs the swap itself wrote — `<state>__swap_<batchId>` where
+    // batchId is the LONG the swap stamped — are recovery candidates OR
+    // sweep targets. A user-made sibling that merely shares the prefix
+    // (`students__swap_backup`, or a digit run too long for a Long)
+    // must be neither: parsing it would throw at every batch start (a
+    // permanent crash loop), sweeping it would eat user data.
+    def swapId(name: String): Option[Long] =
+      if (name.startsWith(swapPrefix) && name.stripPrefix(swapPrefix).matches("\\d+"))
+        scala.util.Try(name.stripPrefix(swapPrefix).toLong).toOption
+      else None
     val swaps: Seq[org.apache.hadoop.fs.Path] =
       if (parent != null && fs.exists(parent))
         fs.listStatus(parent).toSeq
-          .filter { s =>
-            val n = s.getPath.getName
-            s.isDirectory && n.startsWith(swapPrefix) &&
-              n.stripPrefix(swapPrefix).matches("\\d+")
-          }
+          .filter(s => s.isDirectory && swapId(s.getPath.getName).isDefined)
           .map(_.getPath)
       else Seq.empty
     if (!fs.exists(state)) {
       val completed = swaps.filter(p =>
         fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
       if (completed.nonEmpty) {
-        val newest = completed.maxBy(_.getName.stripPrefix(swapPrefix).toLong)
+        val newest = completed.maxBy(p => swapId(p.getName).get)
         // an unchecked false here would leave `state` missing and the
         // batch merging into an empty base — same loss the swap guards
         checkedFs(fs.rename(newest, state), s"recover $newest -> $state")

@@ -68,6 +68,30 @@ class CurationSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.caseSensitive", "false")
   }
 
+  test("Merge value-column matching is locale-independent (Turkish-I default locale)") {
+    // changeColMatcher folds with Locale.ROOT: under a tr default
+    // locale the JVM's plain toLowerCase turns base column 'ID' into
+    // "ıd" (dotless ı), the membership test against changes' 'id'
+    // misses, and the change's value is silently ignored — the stale
+    // base value survives an update that should have replaced it.
+    val base = Seq((1L, "stale")).toDF("k", "ID")
+    val changes = Seq((1L, "fresh", "U")).toDF("k", "id", "op")
+    val prev = java.util.Locale.getDefault
+    // the matcher runs at plan-construction time inside upsert(); only
+    // that window needs the hostile locale, collect() runs restored
+    val plans =
+      try {
+        java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+        Seq(graft.ops.Merge.upsert(base, changes, "k", "op"),
+            graft.ops.Merge.upsertSmallChanges(base, changes, "k", "op"))
+      } finally java.util.Locale.setDefault(prev)
+    for (df <- plans) {
+      val out = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(out.toSeq == Seq((1L, "fresh")),
+        "change value column must match base 'ID' regardless of default locale")
+    }
+  }
+
   test("Merge.upsert: NULL change value means 'not provided' and keeps the base value") {
     val base = Seq((1L, "a", 10.0)).toDF("k", "name", "v")
     val changes = Seq((1L, "U", null.asInstanceOf[java.lang.Double]))

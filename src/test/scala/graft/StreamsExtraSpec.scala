@@ -5,6 +5,29 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import graft.cdc.{Envelope, Fixture}
 import graft.streaming.Streams
 
+/** Local FS registered under `failfs://` whose `rename` RETURNS FALSE
+  * (Hadoop's no-exception error convention) for the next rename whose
+  * destination carries the armed name — the failure mode
+  * `Streams.materializeCdc`'s checkedFs guard exists for. Top-level
+  * class: Hadoop instantiates it by reflection from `fs.failfs.impl`.
+  * (Same shape as a FilterFileSystem wrapper; subclassing
+  * RawLocalFileSystem skips the wrapper's scheme/checkPath friction.) */
+class FailOnceFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("failfs:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val armed = FailOnceFs.armedDstName.get()
+    if (armed != null && dst.getName == armed) {
+      FailOnceFs.armedDstName.set(null)
+      false
+    } else super.rename(src, dst)
+  }
+}
+object FailOnceFs {
+  /** Destination name whose next rename fails, or null = disarmed. */
+  val armedDstName = new java.util.concurrent.atomic.AtomicReference[String](null)
+}
+
 class StreamsExtraSpec extends SparkSuite {
   import spark.implicits._
 
@@ -378,6 +401,150 @@ class StreamsExtraSpec extends SparkSuite {
       "recovery must sweep swap/prev artifacts")
   }
 
+  test("a swap rename returning false aborts the batch BEFORE its checkpoint commit; restart replays and lands it") {
+    import java.nio.file.Files
+    import org.apache.hadoop.fs.Path
+    // Hadoop FileSystems report many failures by returning false, not
+    // throwing. Unchecked, the batch would "succeed", the checkpoint
+    // would commit, and the next batch's recovery would sweep the
+    // completed swap: that batch's changes gone with no replay. This
+    // pins the guard's FALSE path end-to-end through a fail-injecting
+    // FS — the happy path alone doesn't prove the no-data-loss claim.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.failfs.impl", classOf[FailOnceFs].getName)
+    val src = Files.createTempDirectory("graft_failfs_in")
+    val lines = Fixture.jsonLines
+    val (phase1, phase2) = lines.splitAt(lines.size / 2)
+    val now = System.currentTimeMillis()
+    def writeChunk(name: String, ls: Seq[String], mtime: Long): Unit = {
+      val f = src.resolve(name)
+      Files.write(f, ls.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+    }
+    writeChunk("chunk_0000.jsonl", phase1, now - 60000L)
+    val ckpt = Files.createTempDirectory("graft_failfs_ckpt").toString
+    val stateDir = Files.createTempDirectory("graft_failfs_state").toString
+    val state = s"failfs://$stateDir/students"
+    def commits: Seq[String] =
+      Option(new java.io.File(ckpt, "commits").list()).map(_.toSeq).getOrElse(Seq.empty)
+        .filterNot(_.startsWith(".")).sorted
+    // batch 0 lands cleanly on the failfs state path
+    Streams.materializeCdc(Streams.envelopeStream(spark, src.toString), ckpt, state)
+      .awaitTermination()
+    assert(commits == Seq("0"), s"batch 0 must commit cleanly, got $commits")
+    // batch 1: the final tmp -> state rename reports false
+    writeChunk("chunk_0001.jsonl", phase2, now - 30000L)
+    FailOnceFs.armedDstName.set("students")
+    try {
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        Streams.materializeCdc(Streams.envelopeStream(spark, src.toString), ckpt, state)
+          .awaitTermination()
+      }
+      assert(failed.getMessage.contains("returned false"), failed.getMessage)
+    } finally FailOnceFs.armedDstName.set(null)
+    assert(commits == Seq("0"),
+      s"the failed batch must NOT reach its checkpoint commit, got $commits")
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(state)),
+      "crash point: old state renamed aside, replacement rename failed")
+    // restart with the fault cleared: recovery promotes a recoverable
+    // dir, the uncommitted batch replays, the MERGE lands idempotently
+    Streams.materializeCdc(Streams.envelopeStream(spark, src.toString), ckpt, state)
+      .awaitTermination()
+    assert(commits == Seq("0", "1"), s"replayed batch must now commit, got $commits")
+    val got = spark.read.parquet(state)
+    val expected = Envelope.lastImageByKey(Envelope.project(
+      spark.read.schema(Envelope.schema).json(src.toString)))
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "state after fault + replay must equal the exactly-once result")
+    assert(new java.io.File(stateDir).list().toSeq == Seq("students"),
+      "recovery must sweep swap/prev artifacts")
+  }
+
+  test("lost checkpoint commit AFTER a completed swap: restart replays the batch idempotently") {
+    import java.nio.file.Files
+    // The other half of the crash matrix (the swap-crash test covers
+    // swap-incomplete): the swap fully landed — state IS the post-batch
+    // result — but the process died before the offset commit was
+    // written. The replayed batch merges the same reduced change set
+    // into the post-batch state; [[Merge.upsertSmallChanges]] must make
+    // that a no-op for exactly-once-equivalent output.
+    val in = Fixture.materializeChunks(3)
+    val ckpt = Files.createTempDirectory("graft_lostcommit_ckpt").toString
+    val stateDir = Files.createTempDirectory("graft_lostcommit_state").toString
+    val state = stateDir + "/students"
+    Streams.materializeCdc(Streams.envelopeStream(spark, in), ckpt, state)
+      .awaitTermination()
+    // awaitTermination returns on TERMINATED state, slightly before the
+    // manager releases the checkpoint registration — quiesce before
+    // reopening the same checkpoint or the restart is rejected as a
+    // concurrent query
+    var waited = 0
+    while (spark.streams.active.nonEmpty && waited < 10000) {
+      Thread.sleep(100); waited += 100
+    }
+    val expected = Envelope.lastImageByKey(Envelope.project(
+      spark.read.schema(Envelope.schema).json(in)))
+    val commitsDir = new java.io.File(ckpt, "commits")
+    def commits = commitsDir.list().toSeq.filterNot(_.startsWith(".")).sorted
+    val before = commits
+    assert(before.size >= 2, s"need multiple batches to lose one, got $before")
+    val newest = commitsDir.listFiles().filterNot(_.getName.startsWith("."))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete(), s"could not delete $newest")
+    // a real crash loses the local-FS checksum shadow with the file; an
+    // orphaned .N.crc would fail the rewrite, which is a ChecksumFs
+    // artifact, not a recovery behavior
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    Streams.materializeCdc(Streams.envelopeStream(spark, in), ckpt, state)
+      .awaitTermination()
+    assert(commits == before, "the replayed batch must re-commit")
+    val got = spark.read.parquet(state)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "replay onto the post-batch state must be idempotent (exactly-once result)")
+    assert(new java.io.File(stateDir).list().toSeq == Seq("students"),
+      "replay must leave no swap/prev artifacts")
+  }
+
+  test("materializeCdc(orderedTransport=false): reverse-LSN batch delivery still converges via LSN CAS") {
+    import java.nio.file.Files
+    // Kafka/Event Hub deliver in order per partition; a multi-partition
+    // or retrying transport does not. CAS mode keeps each key's winning
+    // LSN (deletes as tombstones) so an older image can never overwrite
+    // a newer one — delivered here in maximally wrong (reverse) order.
+    val lines = Fixture.jsonLines
+    val chunks = lines.grouped(math.max(1, lines.size / 5)).toVector
+    val dir = Files.createTempDirectory("graft_ooo_in")
+    val t0 = System.currentTimeMillis() - 2000L * (chunks.size + 1)
+    chunks.indices.reverse.zipWithIndex.foreach { case (ci, pos) =>
+      val f = dir.resolve(f"chunk_$ci%04d.jsonl")
+      Files.write(f, chunks(ci).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(t0 + pos * 2000L)
+    }
+    val ckpt = Files.createTempDirectory("graft_ooo_ckpt").toString
+    val state = Files.createTempDirectory("graft_ooo_state").toString + "/students"
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+      orderedTransport = false).awaitTermination()
+    val got = Streams.cdcLiveState(spark, state)
+    val expected = Envelope.lastImageByKey(Envelope.project(
+      spark.read.schema(Envelope.schema).json(dir.toString)))
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "CAS state must equal the last-image replay regardless of arrival order")
+    // teeth: the ordered-transport merge applied to the SAME reversed
+    // delivery must diverge — otherwise this input never exercised
+    // out-of-order application at all
+    val ckpt2 = Files.createTempDirectory("graft_ooo_ckpt2").toString
+    val state2 = Files.createTempDirectory("graft_ooo_state2").toString + "/students"
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt2, state2)
+      .awaitTermination()
+    val ordered = spark.read.parquet(state2)
+    assert(ordered.exceptAll(expected).count() + expected.exceptAll(ordered).count() > 0,
+      "precondition: reverse delivery must matter to an order-assuming merge")
+  }
+
   test("recoverCdcState ignores swap-lookalike dirs: no batchId parse crash, no sweep of user data") {
     import java.nio.file.Files
     import org.apache.hadoop.fs.Path
@@ -392,6 +559,15 @@ class StreamsExtraSpec extends SparkSuite {
     fs.mkdirs(backup)
     fs.create(new Path(backup, "_SUCCESS")).close()
     fs.create(new Path(backup, "keep.parquet")).close()
+    // an all-digit suffix LONGER than Long range is a lookalike too:
+    // real swap names carry the Long batchId the swap stamped, so this
+    // can't be swap-owned — parsing it with a bare .toLong would be the
+    // same permanent crash loop the non-numeric filter fixed, and
+    // sweeping it would eat user data just the same
+    val overflow = new Path(state + "__swap_99999999999999999999")
+    fs.mkdirs(overflow)
+    fs.create(new Path(overflow, "_SUCCESS")).close()
+    fs.create(new Path(overflow, "keep.parquet")).close()
     // plus a genuine completed swap that recovery must still promote
     val swap = new Path(state + "__swap_7")
     fs.mkdirs(swap)
@@ -399,8 +575,9 @@ class StreamsExtraSpec extends SparkSuite {
     Streams.recoverCdcState(fs, state)
     assert(fs.exists(new Path(state)), "the numeric swap must be promoted to state")
     assert(!fs.exists(swap), "the promoted swap dir must not linger under its swap name")
-    assert(fs.exists(backup) && fs.exists(new Path(backup, "keep.parquet")) &&
-      fs.exists(new Path(backup, "_SUCCESS")),
-      "a lookalike dir must be left byte-for-byte alone")
+    for (decoy <- Seq(backup, overflow))
+      assert(fs.exists(decoy) && fs.exists(new Path(decoy, "keep.parquet")) &&
+        fs.exists(new Path(decoy, "_SUCCESS")),
+        s"lookalike dir $decoy must be left byte-for-byte alone")
   }
 }
