@@ -47,7 +47,14 @@ object Dedup {
     *         lineage — a caller that persisted `pairs` should unpersist
     *         it as soon as this returns.
     */
-  def connectedComponents(pairs: DataFrame, a: String, b: String): DataFrame = {
+  def connectedComponents(pairs: DataFrame, a: String, b: String): DataFrame =
+    connectedComponentsWithRounds(pairs, a, b)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took to converge — the observable behind the O(log diameter)
+    * claim, measured by DedupScaleSpec and the ScaleSmoke curve. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, a: String, b: String): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     // the pair list is tiny relative to the corpus by construction
     // (near-dups are the exception, not the rule), but each round is
@@ -127,7 +134,7 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
-    labels.select(col("lbl").as("cluster_rep"), col("v").as("member"))
+    (labels.select(col("lbl").as("cluster_rep"), col("v").as("member")), rounds)
     } finally prevPf match {
       case Some(v) => spark.conf.set(pfKey, v)
       case None => spark.conf.unset(pfKey)

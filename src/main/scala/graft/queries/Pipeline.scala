@@ -201,7 +201,7 @@ object Pipeline {
     * 100 TB shape: candidates come from an equi-join on band values
     * (shuffle on tiny band keys), never from an all-pairs product; the
     * quadratic step touches only same-band docs. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // Signatures and shingle sets are O(docs) and reused across the
     // self-joins below — persist them, or Spark recomputes the whole
     // md5 pipeline once per join branch (~6×). At cluster scale these
