@@ -92,6 +92,48 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("Merge.upsertVersioned: higher version wins whole-row, equal/lower keeps the base") {
+    val base = Seq((1L, 10L, "v10"), (2L, 20L, "v20"), (3L, 30L, "v30"))
+      .toDF("k", "ver", "payload")
+    val changes = Seq(
+      (1L, 11L, "v11"),  // newer -> wins
+      (2L, 20L, "dup"),  // equal (duplicated delivery) -> base survives
+      (3L, 5L, "stale"), // older (out-of-order replay) -> base survives
+      (4L, 1L, "new"))   // unseen key -> inserted
+      .toDF("k", "ver", "payload")
+    val out = graft.ops.Merge.upsertVersioned(base, changes, "k", "ver")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 11L, "v11"), (2L, 20L, "v20"), (3L, 30L, "v30"), (4L, 1L, "new")))
+  }
+
+  test("Merge.upsertVersioned: a tombstone blocks resurrection by a late older update") {
+    // deletes are rows in CAS mode: op='D' at the delete's version. A
+    // replayed UPDATE with a lower version must not bring the key back.
+    val base = Seq((1L, 10L, "D", null.asInstanceOf[String])).toDF("k", "ver", "op", "v")
+    val lateOlder = Seq((1L, 7L, "U", "zombie")).toDF("k", "ver", "op", "v")
+    val out = graft.ops.Merge.upsertVersioned(base, lateOlder, "k", "ver").collect()
+    assert(out.length == 1 && out.head.getString(2) == "D" && out.head.isNullAt(3),
+      "the tombstone must survive an older update")
+    // ...but a NEWER insert legitimately revives it (delete-then-reinsert)
+    val reinsert = Seq((1L, 12L, "U", "back")).toDF("k", "ver", "op", "v")
+    val out2 = graft.ops.Merge.upsertVersioned(base, reinsert, "k", "ver").collect()
+    assert(out2.length == 1 && out2.head.getString(2) == "U" && out2.head.getString(3) == "back")
+  }
+
+  test("Merge.upsertVersioned rejects mismatched column sets by name") {
+    val base = Seq((1L, 10L, "a")).toDF("k", "ver", "v")
+    val extra = Seq((1L, 11L, "b", "x")).toDF("k", "ver", "v", "w")
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Merge.upsertVersioned(base, extra, "k", "ver"))
+    assert(e.getMessage.contains("identical columns"), e.getMessage)
+    val noVer = Seq((1L, "b")).toDF("k", "v")
+    val e2 = intercept[IllegalArgumentException](
+      graft.ops.Merge.upsertVersioned(base, noVer, "k", "ver"))
+    assert(e2.getMessage.contains("version column") && e2.getMessage.contains("changes"),
+      e2.getMessage)
+  }
+
   test("Merge.upsert: NULL change value means 'not provided' and keeps the base value") {
     val base = Seq((1L, "a", 10.0)).toDF("k", "name", "v")
     val changes = Seq((1L, "U", null.asInstanceOf[java.lang.Double]))

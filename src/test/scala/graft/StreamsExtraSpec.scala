@@ -22,10 +22,19 @@ class FailOnceFs extends org.apache.hadoop.fs.RawLocalFileSystem {
       false
     } else super.rename(src, dst)
   }
+  override def delete(p: org.apache.hadoop.fs.Path, recursive: Boolean): Boolean = {
+    val armed = FailOnceFs.armedDeleteName.get()
+    if (armed != null && p.getName == armed) {
+      FailOnceFs.armedDeleteName.set(null)
+      false
+    } else super.delete(p, recursive)
+  }
 }
 object FailOnceFs {
   /** Destination name whose next rename fails, or null = disarmed. */
   val armedDstName = new java.util.concurrent.atomic.AtomicReference[String](null)
+  /** Path name whose next delete fails, or null = disarmed. */
+  val armedDeleteName = new java.util.concurrent.atomic.AtomicReference[String](null)
 }
 
 class StreamsExtraSpec extends SparkSuite {
@@ -460,6 +469,61 @@ class StreamsExtraSpec extends SparkSuite {
       "state after fault + replay must equal the exactly-once result")
     assert(new java.io.File(stateDir).list().toSeq == Seq("students"),
       "recovery must sweep swap/prev artifacts")
+  }
+
+  test("a cleanup delete returning false also aborts and replays idempotently (swap already landed)") {
+    import java.nio.file.Files
+    import org.apache.hadoop.fs.Path
+    // Third crash point of the swap: both renames landed (state IS the
+    // post-batch result) but the trailing delete of the renamed-aside
+    // __prev dir reports false. The code claims this abort-and-replay
+    // is safe because recovery just sweeps prev and the replay is
+    // idempotent — pin it.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.failfs.impl", classOf[FailOnceFs].getName)
+    val src = Files.createTempDirectory("graft_faildel_in")
+    val lines = Fixture.jsonLines
+    val (phase1, phase2) = lines.splitAt(lines.size / 2)
+    val now = System.currentTimeMillis()
+    def writeChunk(name: String, ls: Seq[String], mtime: Long): Unit = {
+      val f = src.resolve(name)
+      Files.write(f, ls.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+    }
+    writeChunk("chunk_0000.jsonl", phase1, now - 60000L)
+    val ckpt = Files.createTempDirectory("graft_faildel_ckpt").toString
+    val stateDir = Files.createTempDirectory("graft_faildel_state").toString
+    val state = s"failfs://$stateDir/students"
+    def commits: Seq[String] =
+      Option(new java.io.File(ckpt, "commits").list()).map(_.toSeq).getOrElse(Seq.empty)
+        .filterNot(_.startsWith(".")).sorted
+    Streams.materializeCdc(Streams.envelopeStream(spark, src.toString), ckpt, state)
+      .awaitTermination()
+    assert(commits == Seq("0"))
+    writeChunk("chunk_0001.jsonl", phase2, now - 30000L)
+    FailOnceFs.armedDeleteName.set("students__prev")
+    try {
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        Streams.materializeCdc(Streams.envelopeStream(spark, src.toString), ckpt, state)
+          .awaitTermination()
+      }
+      assert(failed.getMessage.contains("returned false"), failed.getMessage)
+    } finally FailOnceFs.armedDeleteName.set(null)
+    assert(commits == Seq("0"), "the failed batch must not commit")
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(state)) && fs.exists(new Path(state + "__prev")),
+      "crash point: swap landed, stale prev dir still present")
+    Streams.materializeCdc(Streams.envelopeStream(spark, src.toString), ckpt, state)
+      .awaitTermination()
+    assert(commits == Seq("0", "1"))
+    val got = spark.read.parquet(state)
+    val expected = Envelope.lastImageByKey(Envelope.project(
+      spark.read.schema(Envelope.schema).json(src.toString)))
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "replay onto the already-swapped state must be idempotent")
+    assert(new java.io.File(stateDir).list().toSeq == Seq("students"),
+      "recovery must sweep the stale prev dir")
   }
 
   test("lost checkpoint commit AFTER a completed swap: restart replays the batch idempotently") {
