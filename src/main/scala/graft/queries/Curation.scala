@@ -358,5 +358,40 @@ object Curation {
            |  count(*) AS n
            |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(p18, p19, m2, q40, q41, q42, q43, q44, q45)
+  // q46 — versioned MERGE (ops.Merge.upsertVersioned): the
+  // compare-and-swap apply for OUT-OF-ORDER transports as a batch
+  // operator — higher version wins whole-row, equal/lower keeps the
+  // base, unseen keys insert (q41 covers the in-order op-column form).
+  // Change set derived deterministically from orders: every even key is
+  // a change whose version is the base's shifted by (k % 11) - 5, so
+  // matched keys exercise newer/equal/older CAS outcomes and odd-key
+  // changes are pure inserts. The plan shape is the CDC one: the change
+  // side broadcasts, the base is scanned, never shuffled.
+  val q46 = QuerySpec(
+    "q46_merge_versioned",
+    (s, d) => {
+      val base = orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("ver"),
+          col("o_orderstatus").as("st"))
+      val changes = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_custkey") + col("o_orderkey") % 11 - 5).as("ver"),
+          col("o_orderpriority").as("st"))
+      graft.ops.Merge.upsertVersioned(base, changes, "k", "ver")
+        .orderBy(col("k"))
+    },
+    Some("""WITH base AS (SELECT o_orderkey AS k, o_custkey AS ver, o_orderstatus AS st
+           |              FROM orders WHERE o_orderkey % 3 = 0),
+           |chg AS (SELECT o_orderkey AS k, o_custkey + o_orderkey % 11 - 5 AS ver,
+           |               o_orderpriority AS st
+           |        FROM orders WHERE o_orderkey % 2 = 0)
+           |SELECT COALESCE(b.k, c.k) AS k,
+           |       CASE WHEN c.k IS NOT NULL AND (b.k IS NULL OR c.ver > b.ver)
+           |            THEN c.ver ELSE b.ver END AS ver,
+           |       CASE WHEN c.k IS NOT NULL AND (b.k IS NULL OR c.ver > b.ver)
+           |            THEN c.st ELSE b.st END AS st
+           |FROM base b FULL OUTER JOIN chg c ON b.k = c.k
+           |ORDER BY k""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(p18, p19, m2, q40, q41, q42, q43, q44, q45, q46)
 }

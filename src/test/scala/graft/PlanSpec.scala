@@ -144,6 +144,15 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q46: versioned CAS merge keeps q41's shape — change side broadcasts, base never shuffles") {
+    val plan = finalPlan(Curation.q46.fn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the change set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"a shuffled join here repartitions the base state table per batch:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q42: the generated spine joins without a cartesian; daily agg is partial+final") {
     val plan = finalPlan(Curation.q42.fn(spark, sf))
     assert(plan.contains("partial_"),
