@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.DriverManager
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.sources.Jdbc
+
+/** Exercises the JDBC source/sink (SURVEY B.1's "JDBC scan" row)
+  * against EMBEDDED Derby — in-JVM, zero network, present on every
+  * Spark classpath (it backs the Hive metastore). This is the real
+  * `format("jdbc")` code path end-to-end: relation resolution, remote
+  * schema read, filter/column pushdown into generated SQL, range-
+  * partitioned parallel scans, and the batched-insert writer. Only the
+  * URL differs from the Postgres production wiring.
+  *
+  * Derby folds unquoted identifiers to UPPERCASE; assertions
+  * case-fold where it matters (Spark's default resolution is
+  * case-insensitive anyway, mirroring the analyzer).
+  */
+class JdbcSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graft_jdbc;create=true"
+
+  private def withConn[T](f: java.sql.Connection => T): T = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  // the reference's students table, loaded once for the whole suite
+  private lazy val seeded: Unit = withConn { c =>
+    val st = c.createStatement()
+    st.executeUpdate(
+      """CREATE TABLE students (
+        |  id BIGINT NOT NULL PRIMARY KEY,
+        |  first_name VARCHAR(64),
+        |  last_name VARCHAR(64),
+        |  date_of_birth DATE,
+        |  status_id INT)""".stripMargin)
+    val ins = c.prepareStatement("INSERT INTO students VALUES (?, ?, ?, ?, ?)")
+    (0 until 40).foreach { i =>
+      ins.setLong(1, i.toLong)
+      ins.setString(2, s"fn_$i")
+      ins.setString(3, s"ln_${i % 7}")
+      ins.setDate(4, java.sql.Date.valueOf(f"19${60 + i % 40}%02d-01-15"))
+      ins.setInt(5, 1 + i % 2)
+      ins.addBatch()
+    }
+    ins.executeBatch()
+  }
+
+  test("jdbc snapshot reads the remote table with its schema (A6 batch path)") {
+    seeded
+    val df = Jdbc.snapshot(spark, url, "students")
+    assert(df.count() == 40)
+    assert(df.columns.map(_.toLowerCase).toSet ==
+      Set("id", "first_name", "last_name", "date_of_birth", "status_id"))
+    val r = df.filter(col("id") === 7L).collect()
+    assert(r.length == 1 && r.head.getString(1) == "fn_7")
+  }
+
+  test("filters and column pruning push into the remote SQL, not a post-scan filter") {
+    seeded
+    val df = Jdbc.snapshot(spark, url, "students")
+      .filter(col("status_id") === 1)
+      .select(col("id"), col("status_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    // JDBCRelation advertises what it shipped remotely: the scan row
+    // must carry the pushed predicate and only the two pruned columns
+    assert(plan.contains("PushedFilters") && plan.contains("STATUS_ID"),
+      s"status_id filter must reach the remote scan:\n$plan")
+    assert(!plan.toLowerCase.contains("first_name"),
+      s"pruned columns must not be fetched:\n$plan")
+    assert(df.count() == 20)
+  }
+
+  test("range-partitioned snapshot runs N parallel range scans and loses no rows") {
+    seeded
+    val df = Jdbc.snapshotPartitioned(spark, url, "students",
+      partitionColumn = "id", lowerBound = 0L, upperBound = 40L, numPartitions = 4)
+    assert(df.rdd.getNumPartitions == 4, "one range predicate per partition")
+    assert(df.count() == 40)
+    // bounds shape splits, they don't filter: every id survives exactly once
+    assert(df.select(col("id")).distinct().count() == 40)
+    // deliberately stale bounds: rows outside [10, 20) land in the edge
+    // partitions — skewed parallelism, full correctness
+    val stale = Jdbc.snapshotPartitioned(spark, url, "students",
+      partitionColumn = "id", lowerBound = 10L, upperBound = 20L, numPartitions = 3)
+    assert(stale.count() == 40, "rows outside the bound estimate must still arrive")
+  }
+
+  test("jdbc write round-trips: append then overwrite, read back through the source") {
+    seeded
+    val out = Seq((100L, "w1", 5), (101L, "w2", 6)).toDF("id", "name", "v")
+    Jdbc.write(out, url, "echo_sink", SaveMode.Append)
+    assert(Jdbc.snapshot(spark, url, "echo_sink").count() == 2)
+    Jdbc.write(out.withColumn("v", col("v") * 10), url, "echo_sink", SaveMode.Overwrite)
+    val back = Jdbc.snapshot(spark, url, "echo_sink").orderBy("id").collect()
+    assert(back.length == 2 && back.map(_.getInt(2)).toSeq == Seq(50, 60),
+      "overwrite must replace, not accumulate")
+  }
+
+  test("jdbc snapshot feeds the same downstream CDC contract as the parquet stand-in") {
+    seeded
+    // snapshot-then-stream (A6): the JDBC snapshot plugs into
+    // Streams.snapshotThenStream exactly where the parquet snapshot
+    // does — prove the projection aligns end-to-end
+    val snap = Jdbc.snapshot(spark, url, "students")
+      .select(col("ID").as("id"), col("FIRST_NAME").as("firstName"),
+        col("LAST_NAME").as("lastName"),
+        col("DATE_OF_BIRTH").cast("date").as("dateOfBirth"),
+        col("STATUS_ID").as("status"))
+    val changes = graft.cdc.Envelope.project(
+      spark.read.schema(graft.cdc.Envelope.schema).json(graft.cdc.Fixture.materialize()))
+    val merged = graft.streaming.Streams.snapshotThenStream(snap, changes)
+    val streamKeys = changes.select("id").distinct().collect().map(_.getLong(0)).toSet
+    // every snapshot-only key survives with its JDBC-sourced image
+    val survivors = merged.filter(!col("id").isin(streamKeys.toSeq: _*))
+    assert(survivors.count() == (0 until 40).count(i => !streamKeys.contains(i.toLong)))
+    assert(survivors.filter(col("firstName").startsWith("fn_")).count() == survivors.count())
+  }
+}
