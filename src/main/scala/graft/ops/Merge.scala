@@ -195,33 +195,67 @@ object Merge {
     * filter tombstones out at read time. Equal versions keep the base
     * (idempotent under duplicated delivery).
     *
+    * A multi-version batch is fine: changes are pre-reduced to the
+    * highest-version row per key before the CAS, so a batch carrying a
+    * key's whole update chain applies as its final image (two DISTINCT
+    * rows sharing a version violate the version contract — the survivor
+    * among them is arbitrary; duplicated delivery of the SAME row is
+    * safe either way). Versions must be NON-NULL — LSN/offset/clock
+    * semantics have no null — and a null on the change side fails the
+    * batch loudly (a null would otherwise lose every CAS yet still
+    * insert for unseen keys, an asymmetry no transport intends). The
+    * base side is not re-scanned for nulls: base rows originate as
+    * checked change rows (or a caller-stamped snapshot), so the
+    * invariant holds inductively.
+    *
     * Scale shape is [[upsertSmallChanges]]'s: every join broadcasts the
-    * change side, the base is scanned twice and never shuffled.
+    * change side, the base is scanned twice and never shuffled (the
+    * per-key pre-reduce shuffles only the small change side).
     */
   def upsertVersioned(base: DataFrame, changes: DataFrame, key: String,
       versionCol: String, cacheMatched: Boolean = true): DataFrame = {
     val k = resolveCol(base, key, "key", "base")
     resolveCol(changes, key, "key", "changes")
     val verB = resolveCol(base, versionCol, "version column", "base")
-    val verC = resolveCol(changes, versionCol, "version column", "changes")
+    val verC0 = resolveCol(changes, versionCol, "version column", "changes")
     def fold(s: String) =
       if (caseSensitive(base)) s else s.toLowerCase(java.util.Locale.ROOT)
     require(base.columns.map(fold).sorted.toSeq == changes.columns.map(fold).sorted.toSeq,
       s"[graft] versioned MERGE needs identical columns on both sides: " +
         s"base ${base.columns.mkString("[", ", ", "]")} vs changes ${changes.columns.mkString("[", ", ", "]")}")
+    // Null check rides inside the version column itself (not a dropped
+    // assert_true column the optimizer could prune away with its check).
+    val verType = changes.schema(verC0).dataType
+    val checked0 = changes.withColumn(verC0,
+      when(col(verC0).isNotNull, col(verC0))
+        .otherwise(raise_error(lit(
+          s"[graft] versioned MERGE: null $verC0 in changes — versions (LSN/offset) must be non-null"))
+          .cast(verType)))
+    // Pre-reduce to the winning (highest-version) row per key, so a
+    // batch with a key's whole update chain behaves as its last image
+    // instead of emitting one output row per change row.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(k)).orderBy(col(verC0).desc)
+    val rn = "__graft_cas_rn"
+    require(!base.columns.exists(c => fold(c) == fold(rn)),
+      s"[graft] column name '$rn' is reserved by versioned MERGE — rename it on the input")
+    val reduced = checked0
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn)
+    val verC = verC0
     val cols = base.columns.toSeq
     val untouched = base
-      .join(broadcast(changes.select(col(k))), Seq(k), "left_anti")
+      .join(broadcast(reduced.select(col(k))), Seq(k), "left_anti")
       .select(cols.map(col): _*)
     val matchedJoin = base.alias("b")
-      .join(broadcast(changes.alias("c")), Seq(k), "inner")
+      .join(broadcast(reduced.alias("c")), Seq(k), "inner")
     val matched = if (cacheMatched) matchedJoin.persist() else matchedJoin
     val cas = col(s"c.$verC") > col(s"b.$verB")
     val applied = matched.select(cols.map { v =>
       if (fold(v) == fold(k)) col(k)
       else when(cas, col(s"c.$v")).otherwise(col(s"b.$v")).as(v)
     }: _*)
-    val inserts = changes
+    val inserts = reduced
       .join(broadcast(matched.select(col(k))), Seq(k), "left_anti")
       .select(cols.map(col): _*)
     untouched.unionByName(applied).unionByName(inserts)

@@ -364,8 +364,9 @@ object Curation {
   // base, unseen keys insert (q41 covers the in-order op-column form).
   // Change set derived deterministically from orders: every even key is
   // a change whose version is the base's shifted by (k % 11) - 5, so
-  // matched keys exercise newer/equal/older CAS outcomes and odd-key
-  // changes are pure inserts. The plan shape is the CDC one: the change
+  // matched keys (divisible by 6) exercise newer/equal/older CAS
+  // outcomes and even keys NOT divisible by 3 (absent from the base)
+  // are pure inserts. The plan shape is the CDC one: the change
   // side broadcasts, the base is scanned, never shuffled.
   val q46 = QuerySpec(
     "q46_merge_versioned",

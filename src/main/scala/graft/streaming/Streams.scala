@@ -284,6 +284,16 @@ object Streams {
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       val spark = batch.sparkSession
       val projected = Envelope.project(batch)
+      // 'op' is this materialization's change-op marker: a payload
+      // column of that name would be clobbered by the withColumn below,
+      // and [[cdcLiveState]]'s mode inference reads the presence of
+      // 'op' as "CAS state". Reserve it loudly (Merge.presentCol style)
+      // instead of silently corrupting the state schema. ('lsn'/'tag'
+      // are the envelope's own bookkeeping — Envelope.project already
+      // owns those names.)
+      require(!projected.columns.exists(_.equalsIgnoreCase("op")),
+        s"[graft] materializeCdc reserves column 'op' for the change-op marker — " +
+          s"rename it in the source schema: ${projected.columns.mkString("[", ", ", "]")}")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id")).orderBy(col("lsn").desc)
       val reduced = projected
@@ -341,7 +351,11 @@ object Streams {
   /** Live rows of a [[materializeCdc]] state table. Ordered-transport
     * state stores live rows directly; CAS state keeps each key's
     * winning LSN plus delete TOMBSTONES — both bookkeeping, filtered
-    * and dropped here so callers see one schema either way. */
+    * and dropped here so callers see one schema either way. Inferring
+    * the mode from the presence of 'op' is sound because
+    * [[materializeCdc]] — the only writer of these tables — reserves
+    * that name at every batch: an ordered-mode state can never carry a
+    * payload column named 'op'. */
   def cdcLiveState(spark: SparkSession, statePath: String): DataFrame = {
     val df = spark.read.parquet(statePath)
     if (df.columns.contains("op"))

@@ -244,6 +244,38 @@ class CurationSpec extends SparkSuite {
     assert(lastSha == expect, "tail frame hashes only the remaining bytes")
   }
 
+  test("Merge.upsertVersioned pre-reduces a multi-version batch to its last image per key") {
+    // The natural input for an out-of-order transport is a batch
+    // carrying a key's whole update chain — each row must NOT become an
+    // output row (the pre-r9 behavior); the chain collapses to its
+    // highest-version image before the CAS.
+    val base = Seq((1L, 10L, "v10")).toDF("k", "ver", "payload")
+    val changes = Seq(
+      (1L, 11L, "v11"), (1L, 13L, "v13"), (1L, 12L, "v12"), // chain, shuffled order
+      (2L, 3L, "new"), (2L, 3L, "new"))                     // duplicated delivery of one row
+      .toDF("k", "ver", "payload")
+    val out = graft.ops.Merge.upsertVersioned(base, changes, "k", "ver")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 13L, "v13"), (2L, 3L, "new")),
+      "one output row per key, carrying the highest-version image")
+  }
+
+  test("Merge.upsertVersioned fails loudly on a NULL change version") {
+    // NULL would lose every CAS (null-safe-false >) yet still insert
+    // for an unseen key — an asymmetry no LSN/offset transport intends.
+    val base = Seq((1L, 10L, "x")).toDF("k", "ver", "payload")
+    for (changes <- Seq(
+        Seq((1L, null.asInstanceOf[java.lang.Long], "y")),   // matched key
+        Seq((5L, null.asInstanceOf[java.lang.Long], "y")))) { // unseen key
+      val df = changes.toDF("k", "ver", "payload")
+      val e = intercept[Throwable](
+        graft.ops.Merge.upsertVersioned(base, df, "k", "ver").collect())
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("must be non-null"), msgs)
+    }
+  }
+
   test("q42 spine reports zero for days with no orders") {
     val dir = java.nio.file.Files.createTempDirectory("graft_spine").toString
     Seq(("1996-01-05", 1.0), ("1996-01-05", 2.0), ("1996-03-31", 3.0))

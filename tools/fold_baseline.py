@@ -25,6 +25,10 @@ def main():
     for n in names:
         samples = [r[n] for r in runs if n in r and r[n] >= 0]
         p = prior.get(n)
+        if p is None and not samples:
+            # name seen only in runs that errored (negative timings):
+            # nothing to fold — skip rather than min() an empty list
+            continue
         best = min([p] + samples) if p is not None else min(samples)
         folded[n] = best
         if p is not None and best < p - 0.005:
@@ -39,7 +43,8 @@ def main():
     for i, r in enumerate(runs, 1):
         ok = {k: v for k, v in r.items() if v >= 0}
         print(f"run{i} total = {sum(ok.values()):.1f} s over {len(ok)}")
-        worst = sorted(((v / folded[k], k, v) for k, v in ok.items()),
+        worst = sorted(((v / folded[k], k, v) for k, v in ok.items()
+                        if folded.get(k, 0) > 0),
                        key=lambda t: -t[0])[:5]
         print("  worst vs folded min: " +
               ", ".join(f"{k} {v:.2f}/{folded[k]:.2f}={x:.2f}x" for x, k, v in worst))
