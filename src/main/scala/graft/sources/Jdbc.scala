@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
 
 /** JDBC batch snapshot source/sink — the reference's initial-load path
   * (`/root/reference/src/database/postgresql/PostgresOperation.ts:69-86`:
@@ -59,4 +60,157 @@ object Jdbc {
     df.write.format("jdbc")
       .option("url", url).option("dbtable", table)
       .options(props).mode(mode).save()
+
+  /** ANSI DDL type for a change-set column — the subset a CDC payload
+    * uses; extend per dialect as payloads widen. */
+  private def ddlType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType | ByteType => "SMALLINT"
+    case StringType => "VARCHAR(512)"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"[graft] no JDBC DDL mapping for $other — cast the column first")
+  }
+
+  private def sqlType(dt: DataType): Int = dt match {
+    case LongType => java.sql.Types.BIGINT
+    case IntegerType => java.sql.Types.INTEGER
+    case ShortType | ByteType => java.sql.Types.SMALLINT
+    case StringType => java.sql.Types.VARCHAR
+    case DateType => java.sql.Types.DATE
+    case TimestampType => java.sql.Types.TIMESTAMP
+    case DoubleType => java.sql.Types.DOUBLE
+    case FloatType => java.sql.Types.REAL
+    case BooleanType => java.sql.Types.BOOLEAN
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case _ => java.sql.Types.OTHER
+  }
+
+  private def connect(url: String, props: Map[String, String]): java.sql.Connection = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    java.sql.DriverManager.getConnection(url, p)
+  }
+
+  /** Create `table` (key PRIMARY KEY + payload columns) if it doesn't
+    * exist — driver-side, once per materialization. Existing tables are
+    * trusted as-is, matching `SaveMode.Append`'s contract. */
+  def ensureTable(url: String, table: String, schema: StructType, keyCol: String,
+      props: Map[String, String] = Map.empty): Unit = {
+    val c = connect(url, props)
+    try {
+      val exists = {
+        val rs = c.getMetaData.getTables(null, null, null, Array("TABLE"))
+        try Iterator.continually(rs).takeWhile(_.next())
+          .exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+        finally rs.close()
+      }
+      if (!exists) {
+        val cols = schema.fields.map { f =>
+          val pk = if (f.name.equalsIgnoreCase(keyCol)) " NOT NULL PRIMARY KEY" else ""
+          s"${f.name} ${ddlType(f.dataType)}$pk"
+        }.mkString(", ")
+        val st = c.createStatement()
+        try st.executeUpdate(s"CREATE TABLE $table ($cols)") finally st.close()
+      }
+    } finally c.close()
+  }
+
+  /** Apply a reduced CDC change set to a JDBC table as an idempotent
+    * per-key MERGE: every touched key is DELETEd, then every non-'D'
+    * row re-INSERTed with its new image — one transaction per
+    * partition, executor-side (the driver never sees a row; contrast
+    * the reference's driver-array apply,
+    * `/root/reference/src/database/postgresql/PostgresOperation.ts:69-86`).
+    * Delete+reinsert is the dialect-portable upsert: no MERGE/ON
+    * CONFLICT syntax dependence, and replaying the SAME change set —
+    * the at-least-once case — lands the same final rows, so a batch
+    * whose checkpoint commit was lost re-applies as a no-op.
+    *
+    * Precondition: one row per `keyCol` (a reduced micro-batch — what
+    * [[graft.streaming.Streams.materializeCdcJdbc]] feeds). Atomicity
+    * is per partition, not per batch: a crash mid-batch can leave some
+    * partitions applied — exactly-once-EQUIVALENCE comes from the
+    * replay being idempotent, the same contract as the parquet swap
+    * path. At scale each partition streams its slice over its own
+    * connection — the reduced set is shuffle-partitioned by key, so no
+    * key spans two transactions. */
+  def applyChanges(changes: DataFrame, url: String, table: String,
+      keyCol: String, opCol: String, props: Map[String, String] = Map.empty): Unit = {
+    val schema = changes.schema
+    val payload = schema.fields.filterNot(_.name.equalsIgnoreCase(opCol))
+    val keyIdx = schema.fieldIndex(
+      schema.fields.map(_.name).find(_.equalsIgnoreCase(keyCol)).getOrElse(
+        throw new IllegalArgumentException(s"[graft] key '$keyCol' not in ${schema.fieldNames.mkString(",")}")))
+    val opIdx = schema.fieldIndex(
+      schema.fields.map(_.name).find(_.equalsIgnoreCase(opCol)).getOrElse(
+        throw new IllegalArgumentException(s"[graft] op '$opCol' not in ${schema.fieldNames.mkString(",")}")))
+    val insertSql = s"INSERT INTO $table (${payload.map(_.name).mkString(", ")}) " +
+      s"VALUES (${payload.map(_ => "?").mkString(", ")})"
+    val deleteSql = s"DELETE FROM $table WHERE $keyCol = ?"
+    val keyType = schema.fields(keyIdx).dataType
+    changes.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val c = connect(url, props)
+        try {
+          c.setAutoCommit(false)
+          val del = c.prepareStatement(deleteSql)
+          val ins = c.prepareStatement(insertSql)
+          try {
+            var nIns = 0
+            it.foreach { row =>
+              setParam(del, 1, keyType, row, keyIdx)
+              del.addBatch()
+              if (row.getString(opIdx) != "D") {
+                payload.zipWithIndex.foreach { case (f, i) =>
+                  setParam(ins, i + 1, f.dataType, row, schema.fieldIndex(f.name))
+                }
+                ins.addBatch(); nIns += 1
+              }
+            }
+            // keys are unique within the batch, so all deletes can run
+            // ahead of all inserts without ordering hazards
+            del.executeBatch()
+            if (nIns > 0) ins.executeBatch()
+            c.commit()
+          } finally { del.close(); ins.close() }
+        } catch {
+          case t: Throwable => try c.rollback() catch { case _: Throwable => }; throw t
+        } finally c.close()
+      }
+    }
+  }
+
+  private def setParam(ps: java.sql.PreparedStatement, pos: Int,
+      dt: DataType, row: Row, idx: Int): Unit =
+    if (row.isNullAt(idx)) ps.setNull(pos, sqlType(dt))
+    else dt match {
+      case LongType => ps.setLong(pos, row.getLong(idx))
+      case IntegerType => ps.setInt(pos, row.getInt(idx))
+      case ShortType => ps.setShort(pos, row.getShort(idx))
+      case ByteType => ps.setByte(pos, row.getByte(idx))
+      case StringType => ps.setString(pos, row.getString(idx))
+      // rows carry java.sql or java.time externals depending on
+      // spark.sql.datetime.java8API.enabled — accept both
+      case DateType => row.get(idx) match {
+        case d: java.sql.Date => ps.setDate(pos, d)
+        case d: java.time.LocalDate => ps.setDate(pos, java.sql.Date.valueOf(d))
+      }
+      case TimestampType => row.get(idx) match {
+        case t: java.sql.Timestamp => ps.setTimestamp(pos, t)
+        case t: java.time.Instant => ps.setTimestamp(pos, java.sql.Timestamp.from(t))
+      }
+      case DoubleType => ps.setDouble(pos, row.getDouble(idx))
+      case FloatType => ps.setFloat(pos, row.getFloat(idx))
+      case BooleanType => ps.setBoolean(pos, row.getBoolean(idx))
+      case _: DecimalType => ps.setBigDecimal(pos, row.getDecimal(idx))
+      case other => throw new IllegalArgumentException(
+        s"[graft] no JDBC setter for $other — cast the column first")
+    }
 }

@@ -284,22 +284,7 @@ object Streams {
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       val spark = batch.sparkSession
       val projected = Envelope.project(batch)
-      // 'op' is this materialization's change-op marker: a payload
-      // column of that name would be clobbered by the withColumn below,
-      // and [[cdcLiveState]]'s mode inference reads the presence of
-      // 'op' as "CAS state". Reserve it loudly (Merge.presentCol style)
-      // instead of silently corrupting the state schema. ('lsn'/'tag'
-      // are the envelope's own bookkeeping — Envelope.project already
-      // owns those names.)
-      require(!projected.columns.exists(_.equalsIgnoreCase("op")),
-        s"[graft] materializeCdc reserves column 'op' for the change-op marker — " +
-          s"rename it in the source schema: ${projected.columns.mkString("[", ", ", "]")}")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("lsn").desc)
-      val reduced = projected
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .withColumn("op", when(col("tag") === "delete", lit("D")).otherwise(lit("U")))
-        .drop("__rn", "tag")
+      val reduced = reduceBatch(projected)
       // ordered transports don't need the LSN once the batch is
       // reduced; the CAS path keeps it as the state's version column
       val changes = if (orderedTransport) reduced.drop("lsn") else reduced
@@ -346,6 +331,51 @@ object Streams {
       // Failing the cleanup delete also aborts+replays; that replay is
       // idempotent (state already swapped; recovery just sweeps prev).
       if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
+    })
+
+  /** Per-batch change reduce shared by the materializers: latest image
+    * per key (LSN order), deletes marked op='D'. 'op' is the
+    * materialization's change-op marker: a payload column of that name
+    * would be clobbered here, and [[cdcLiveState]]'s mode inference
+    * reads its presence as "CAS state" — reserve it loudly
+    * (Merge.presentCol style) instead of silently corrupting the state
+    * schema. ('lsn'/'tag' are the envelope's own bookkeeping —
+    * Envelope.project already owns those names.) */
+  private def reduceBatch(projected: DataFrame): DataFrame = {
+    require(!projected.columns.exists(_.equalsIgnoreCase("op")),
+      s"[graft] CDC materialization reserves column 'op' for the change-op marker — " +
+        s"rename it in the source schema: ${projected.columns.mkString("[", ", ", "]")}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("lsn").desc)
+    projected
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .withColumn("op", when(col("tag") === "delete", lit("D")).otherwise(lit("U")))
+      .drop("__rn", "tag")
+  }
+
+  /** Streaming CDC materialization into a QUERYABLE JDBC TABLE — the
+    * reference's consumer-side endpoint closed end-to-end: its producer
+    * stops at the Event Hub send (`/root/reference/src/main.ts:69-90`);
+    * the downstream consumer's job is exactly this operator. Each
+    * micro-batch reduces to its last image per key and applies as an
+    * idempotent per-key MERGE ([[graft.sources.Jdbc.applyChanges]]:
+    * delete touched keys + reinsert the non-delete images, one
+    * transaction per partition, executor-side). At-least-once delivery
+    * from the checkpoint + idempotent apply = exactly-once-equivalent
+    * table state, the same contract as [[materializeCdc]]'s parquet
+    * swap — but with no swap at all, because the table IS the state and
+    * delete+reinsert of the same image is already a replay no-op.
+    * Assumes in-order batch delivery (the transport contract); an
+    * out-of-order transport needs the CAS state shape, which a plain
+    * table without a version column cannot express. */
+  def materializeCdcJdbc(envelopes: DataFrame, checkpoint: String,
+      url: String, table: String, props: Map[String, String] = Map.empty): StreamingQuery =
+    runForeachBatch(envelopes, checkpoint, (batch, _) => {
+      val changes = reduceBatch(Envelope.project(batch)).drop("lsn")
+      val payload = org.apache.spark.sql.types.StructType(
+        changes.schema.fields.filterNot(_.name.equalsIgnoreCase("op")))
+      graft.sources.Jdbc.ensureTable(url, table, payload, "id", props)
+      graft.sources.Jdbc.applyChanges(changes, url, table, "id", "op", props)
     })
 
   /** Live rows of a [[materializeCdc]] state table. Ordered-transport

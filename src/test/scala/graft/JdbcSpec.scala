@@ -100,6 +100,44 @@ class JdbcSpec extends SparkSuite {
       "overwrite must replace, not accumulate")
   }
 
+  test("materializeCdcJdbc closes the reference loop: CDC stream lands in a queryable table; a replayed batch is a no-op") {
+    import java.nio.file.Files
+    import graft.cdc.{Envelope, Fixture}
+    import graft.streaming.Streams
+    // own in-memory db: the suite db's tables stay untouched
+    val sinkUrl = "jdbc:derby:memory:graft_cdc_sink;create=true"
+    val in = Fixture.materializeChunks(4)
+    val ckpt = Files.createTempDirectory("graft_jdbcmat_ckpt").toString
+    Streams.materializeCdcJdbc(Streams.envelopeStream(spark, in), ckpt, sinkUrl, "students_live")
+      .awaitTermination()
+    // quiesce before reopening the same checkpoint (see StreamsExtraSpec)
+    var waited = 0
+    while (spark.streams.active.nonEmpty && waited < 10000) {
+      Thread.sleep(100); waited += 100
+    }
+    def tableRows() = Jdbc.snapshot(spark, sinkUrl, "students_live")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDate(3).toString, r.getInt(4))).toSeq.sorted
+    val expected = Envelope.lastImageByKey(Envelope.project(
+      spark.read.schema(Envelope.schema).json(in)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDate(3).toString, r.getInt(4))).toSeq.sorted
+    assert(expected.nonEmpty && tableRows() == expected,
+      "incrementally merged JDBC table must equal the last-image batch replay")
+    // lose the newest checkpoint commit (crash after apply, before
+    // commit): the replayed batch re-deletes and re-inserts the same
+    // images — the table must come out byte-identical, no duplicates
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val newest = commitsDir.listFiles().filterNot(_.getName.startsWith("."))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete())
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    Streams.materializeCdcJdbc(Streams.envelopeStream(spark, in), ckpt, sinkUrl, "students_live")
+      .awaitTermination()
+    assert(tableRows() == expected,
+      "replaying a batch whose commit was lost must be a no-op on the table")
+  }
+
   test("jdbc snapshot feeds the same downstream CDC contract as the parquet stand-in") {
     seeded
     // snapshot-then-stream (A6): the JDBC snapshot plugs into
