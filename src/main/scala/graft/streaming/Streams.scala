@@ -278,16 +278,34 @@ object Streams {
     * late older update cannot resurrect a deleted key, regardless of
     * batch arrival order. Read the live rows back through
     * [[cdcLiveState]], which filters the tombstones.
+    *
+    * Tombstones are retained for `casTombstoneRetention` BATCHES after
+    * the delete arrives (default: forever). Unbounded retention is
+    * correct but monotonic — at production delete rates the state table
+    * accumulates a row for every key ever deleted. A bounded horizon
+    * compacts a tombstone once `batchId - its arrival batch` exceeds
+    * the bound; set it comfortably above the transport's maximum
+    * reorder window in batches, because after compaction a
+    * still-later-arriving OLDER update for that key is
+    * indistinguishable from a fresh insert and WILL resurrect it —
+    * the standard tombstone-GC trade (same contract as Cassandra's
+    * gc_grace or a Kafka-compacted topic's delete.retention.ms).
     */
   def materializeCdc(envelopes: DataFrame, checkpoint: String,
-      statePath: String, orderedTransport: Boolean = true): StreamingQuery =
+      statePath: String, orderedTransport: Boolean = true,
+      casTombstoneRetention: Long = Long.MaxValue): StreamingQuery =
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       val spark = batch.sparkSession
       val projected = Envelope.project(batch)
       val reduced = reduceBatch(projected)
+      require(!reduced.columns.exists(_.equalsIgnoreCase(casBatchCol)),
+        s"[graft] materializeCdc reserves column '$casBatchCol' — rename it in the source schema")
       // ordered transports don't need the LSN once the batch is
-      // reduced; the CAS path keeps it as the state's version column
-      val changes = if (orderedTransport) reduced.drop("lsn") else reduced
+      // reduced; the CAS path keeps it as the state's version column,
+      // plus the arrival-batch stamp that ages tombstones for GC
+      val changes =
+        if (orderedTransport) reduced.drop("lsn")
+        else reduced.withColumn(casBatchCol, lit(batchId))
       val hconf = spark.sparkContext.hadoopConfiguration
       val state = new org.apache.hadoop.fs.Path(statePath)
       val fs = state.getFileSystem(hconf)
@@ -303,13 +321,22 @@ object Streams {
       // accumulated state, so the change set broadcasts and the state
       // table is scanned, never shuffled — per-batch latency stays
       // flat as state grows.
-      val merged =
+      val merged0 =
         if (orderedTransport)
           graft.ops.Merge.upsertSmallChanges(base, changes, "id", "op",
             partialImages = false, cacheMatched = false)
         else
           graft.ops.Merge.upsertVersioned(base, changes, "id", "lsn",
             cacheMatched = false)
+      // Tombstone GC: a CAS winner keeps ITS OWN arrival-batch stamp
+      // (whole-row CAS), so a tombstone's age counts from the delete's
+      // arrival, not from later batches it merely survived. Replay of
+      // this batch recomputes the same batchId → the same compaction
+      // decision — idempotent like the merge itself.
+      val merged =
+        if (orderedTransport) merged0
+        else merged0.filter(
+          !(col("op") === "D" && lit(batchId) - col(casBatchCol) > lit(casTombstoneRetention)))
       val tmp = new org.apache.hadoop.fs.Path(s"${statePath}__swap_$batchId")
       merged.write.mode("overwrite").parquet(tmp.toString)
       // Rename-aside swap: `state` is moved, never deleted, before its
@@ -389,9 +416,13 @@ object Streams {
   def cdcLiveState(spark: SparkSession, statePath: String): DataFrame = {
     val df = spark.read.parquet(statePath)
     if (df.columns.contains("op"))
-      df.filter(col("op") =!= "D").drop("op", "lsn")
+      df.filter(col("op") =!= "D").drop("op", "lsn", casBatchCol)
     else df
   }
+
+  /** Arrival-batch stamp on CAS-mode state rows — bookkeeping for
+    * tombstone GC, reserved like 'op'. */
+  private[graft] val casBatchCol = "__graft_arrival_batch"
 
   /** Fail loudly on Hadoop's boolean-false error reporting (see the
     * swap commentary in [[materializeCdc]]). */

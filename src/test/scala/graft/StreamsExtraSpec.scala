@@ -609,6 +609,159 @@ class StreamsExtraSpec extends SparkSuite {
       "precondition: reverse delivery must matter to an order-assuming merge")
   }
 
+  test("CAS mode, lost checkpoint commit: replaying an out-of-order batch into CAS state is idempotent (equal-version keeps base)") {
+    import java.nio.file.Files
+    // The ordered-mode lost-commit test replays onto upsertSmallChanges;
+    // this replays onto the CAS merge, exercising the path ordered mode
+    // never hits: every replayed row meets the state at an EQUAL
+    // version, and equal-keeps-base is what makes the replay a no-op.
+    // Chunks are delivered in reverse LSN order so the replayed batch
+    // is also genuinely out-of-order relative to the state's images.
+    val lines = Fixture.jsonLines
+    val chunks = lines.grouped(math.max(1, lines.size / 4)).toVector
+    val dir = Files.createTempDirectory("graft_caslost_in")
+    val t0 = System.currentTimeMillis() - 2000L * (chunks.size + 1)
+    chunks.indices.reverse.zipWithIndex.foreach { case (ci, pos) =>
+      val f = dir.resolve(f"chunk_$ci%04d.jsonl")
+      Files.write(f, chunks(ci).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(t0 + pos * 2000L)
+    }
+    val ckpt = Files.createTempDirectory("graft_caslost_ckpt").toString
+    val stateDir = Files.createTempDirectory("graft_caslost_state").toString
+    val state = stateDir + "/students"
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+      orderedTransport = false).awaitTermination()
+    var waited = 0
+    while (spark.streams.active.nonEmpty && waited < 10000) {
+      Thread.sleep(100); waited += 100
+    }
+    val expected = Envelope.lastImageByKey(Envelope.project(
+      spark.read.schema(Envelope.schema).json(dir.toString)))
+    val commitsDir = new java.io.File(ckpt, "commits")
+    def commits = commitsDir.list().toSeq.filterNot(_.startsWith(".")).sorted
+    val before = commits
+    assert(before.size >= 2, s"need multiple batches to lose one, got $before")
+    val newest = commitsDir.listFiles().filterNot(_.getName.startsWith("."))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete())
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+      orderedTransport = false).awaitTermination()
+    assert(commits == before, "the replayed batch must re-commit")
+    val got = Streams.cdcLiveState(spark, state)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "CAS replay must be idempotent: equal versions keep the base images")
+    assert(new java.io.File(stateDir).list().toSeq == Seq("students"),
+      "replay must leave no swap/prev artifacts")
+  }
+
+  test("CAS mode, swap rename returning false: batch aborts before its commit; restart replays the out-of-order batch and converges") {
+    import java.nio.file.Files
+    import org.apache.hadoop.fs.Path
+    // rename-false crash point under orderedTransport=false with
+    // out-of-order delivery: the later-LSN half arrives FIRST, the
+    // earlier-LSN half second; the second batch's swap rename fails.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.failfs.impl", classOf[FailOnceFs].getName)
+    val lines = Fixture.jsonLines
+    val (early, late) = lines.splitAt(lines.size / 2)
+    val src = Files.createTempDirectory("graft_casfail_in")
+    val now = System.currentTimeMillis()
+    def writeChunk(name: String, ls: Seq[String], mtime: Long): Unit = {
+      val f = src.resolve(name)
+      Files.write(f, ls.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+    }
+    // reversed delivery: the late-LSN half is batch 0
+    writeChunk("chunk_0000.jsonl", late, now - 60000L)
+    val ckpt = Files.createTempDirectory("graft_casfail_ckpt").toString
+    val stateDir = Files.createTempDirectory("graft_casfail_state").toString
+    val state = s"failfs://$stateDir/students"
+    def commits: Seq[String] =
+      Option(new java.io.File(ckpt, "commits").list()).map(_.toSeq).getOrElse(Seq.empty)
+        .filterNot(_.startsWith(".")).sorted
+    Streams.materializeCdc(Streams.envelopeStream(spark, src.toString), ckpt, state,
+      orderedTransport = false).awaitTermination()
+    assert(commits == Seq("0"))
+    writeChunk("chunk_0001.jsonl", early, now - 30000L)
+    FailOnceFs.armedDstName.set("students")
+    try {
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        Streams.materializeCdc(Streams.envelopeStream(spark, src.toString), ckpt, state,
+          orderedTransport = false).awaitTermination()
+      }
+      assert(failed.getMessage.contains("returned false"), failed.getMessage)
+    } finally FailOnceFs.armedDstName.set(null)
+    assert(commits == Seq("0"), "the failed batch must NOT commit")
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(state)),
+      "crash point: old state renamed aside, replacement rename failed")
+    Streams.materializeCdc(Streams.envelopeStream(spark, src.toString), ckpt, state,
+      orderedTransport = false).awaitTermination()
+    assert(commits == Seq("0", "1"))
+    val got = Streams.cdcLiveState(spark, state)
+    val expected = Envelope.lastImageByKey(Envelope.project(
+      spark.read.schema(Envelope.schema).json(src.toString)))
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "CAS state after fault + replay must equal the last-image result despite reversed delivery")
+    assert(new java.io.File(stateDir).list().toSeq == Seq("students"),
+      "recovery must sweep swap/prev artifacts")
+  }
+
+  test("CAS tombstone GC: inside the horizon a tombstone still blocks resurrection; beyond it it is compacted and state shrinks") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_tomb_in")
+    val ckpt = Files.createTempDirectory("graft_tomb_ckpt").toString
+    val state = Files.createTempDirectory("graft_tomb_state").toString + "/students"
+    var mtime = System.currentTimeMillis() - 120000L
+    var chunkNo = 0
+    def ins(lsn: String, id: Long) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "students", "new": {"id": $id, "first_name": "fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    def upd(lsn: String, id: Long, fn: String) =
+      s"""{"lsn": "$lsn", "tag": "update", "table": "students", "new": {"id": $id, "first_name": "$fn", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    def del(lsn: String, id: Long) =
+      s"""{"lsn": "$lsn", "tag": "delete", "table": "students", "old": {"id": $id}}"""
+    def deliver(lines: String*): Unit = {
+      val f = dir.resolve(f"chunk_$chunkNo%04d.jsonl")
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+      mtime += 2000L; chunkNo += 1
+      Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+        orderedTransport = false, casTombstoneRetention = 1L).awaitTermination()
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def liveIds() = Streams.cdcLiveState(spark, state)
+      .select("id").collect().map(_.getLong(0)).toSet
+    def rawCount() = spark.read.parquet(state).count()
+    // batch 0: two live keys
+    deliver(ins("0/00000010", 1L), ins("0/00000020", 2L))
+    assert(liveIds() == Set(1L, 2L) && rawCount() == 2)
+    // batch 1: delete key 1 -> tombstone at arrival batch 1
+    deliver(del("0/00000100", 1L))
+    assert(liveIds() == Set(2L) && rawCount() == 2, "tombstone row must be kept in state")
+    // batch 2 (age 1 <= retention 1): a LATE OLDER update for key 1 —
+    // the in-horizon tombstone must block resurrection; surviving the
+    // CAS must NOT refresh its age (whole-row keeps the delete's stamp)
+    deliver(upd("0/00000050", 1L, "zombie"), upd("0/00000200", 2L, "fresh2"))
+    assert(liveIds() == Set(2L), "in-horizon tombstone must block the stale update")
+    assert(rawCount() == 2)
+    // batch 3 (age 2 > retention 1): tombstone compacted away
+    deliver(upd("0/00000300", 2L, "fresh3"))
+    assert(rawCount() == 1, "expired tombstone must be compacted — state row count shrinks")
+    assert(liveIds() == Set(2L))
+    // the documented trade past the horizon: with the tombstone gone, a
+    // yet-later stale update is indistinguishable from a fresh insert —
+    // the horizon must be sized above the transport's reorder window
+    deliver(upd("0/00000060", 1L, "revenant"))
+    assert(liveIds() == Set(1L, 2L),
+      "past the horizon resurrection is the accepted contract, not silent state corruption")
+  }
+
   test("recoverCdcState ignores swap-lookalike dirs: no batchId parse crash, no sweep of user data") {
     import java.nio.file.Files
     import org.apache.hadoop.fs.Path
