@@ -51,17 +51,47 @@ object Envelope {
 
   /** A5 — null-safe row-image extraction with the authoritative
     * snake_case→camelCase mapping (FIXTURES.md §2 table). Delete events
-    * have no `new` image; their key comes from `old.id`. */
-  def project(df: DataFrame): DataFrame =
+    * have no `new` image; their key comes from `old.id`.
+    *
+    * ADDITIVE SCHEMA DRIFT: the reference's `relation` message carries
+    * schema changes and is filtered out ([[controlTags]]); when a
+    * consumer reacts to one by restarting the stream with a WIDENED
+    * envelope schema, any `new.*` field beyond the known five passes
+    * through here under its camelCased name — so the same projection
+    * serves both pre- and post-drift readers, and the downstream
+    * materializer widens its state to match (null for pre-drift rows).
+    * A drifted field whose camelCase collides with a projection or
+    * bookkeeping name would silently shadow it — refuse loudly. */
+  private val knownImageFields = Set("id", "first_name", "last_name", "date_of_birth", "status_id")
+
+  private[graft] def camelCase(s: String): String = {
+    val parts = s.split("_").filter(_.nonEmpty)
+    if (parts.isEmpty) s
+    else (parts.head +: parts.tail.map(p => p.head.toUpper.toString + p.tail)).mkString
+  }
+
+  def project(df: DataFrame): DataFrame = {
+    val extras: Seq[StructField] = df.schema.fields.find(_.name == "new").map(_.dataType) match {
+      case Some(s: StructType) => s.fields.filterNot(f => knownImageFields(f.name)).toSeq
+      case _ => Seq.empty
+    }
+    val fixedNames = Set("lsn", "tag", "id", "firstname", "lastname", "dateofbirth", "status")
+    extras.foreach { f =>
+      val out = camelCase(f.name)
+      require(!fixedNames.contains(out.toLowerCase(java.util.Locale.ROOT)),
+        s"[graft] drifted image field '${f.name}' would shadow projected column '$out' — rename it upstream")
+    }
     df.filter(tagFilter(df))
-      .select(
+      .select(Seq(
         col("lsn"),
         col("tag"),
         coalesce(col("new.id"), col("old.id")).as("id"),
         col("new.first_name").as("firstName"),
         col("new.last_name").as("lastName"),
         col("new.date_of_birth").cast(DateType).as("dateOfBirth"),
-        col("new.status_id").as("status"))
+        col("new.status_id").as("status")) ++
+        extras.map(f => col(s"new.${f.name}").as(camelCase(f.name))): _*)
+  }
 
   /** A9/Q19 — final-state replay: latest event per key wins (LSN order,
     * fixed-width hex so lexicographic = numeric), deletes drop the key.

@@ -26,10 +26,13 @@ import graft.cdc.Envelope
   */
 object Streams {
 
-  /** CDC envelope file-stream (one JSON line per change event). */
-  def envelopeStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+  /** CDC envelope file-stream (one JSON line per change event). Pass a
+    * widened `schema` (extra `new.*` fields) after a schema-drift
+    * restart — pre-drift lines simply parse the new fields as null. */
+  def envelopeStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1,
+      schema: org.apache.spark.sql.types.StructType = Envelope.schema): DataFrame =
     spark.readStream
-      .schema(Envelope.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
@@ -310,10 +313,28 @@ object Streams {
       val state = new org.apache.hadoop.fs.Path(statePath)
       val fs = state.getFileSystem(hconf)
       recoverCdcState(fs, statePath)
-      val base =
+      val base0 =
         if (fs.exists(state)) spark.read.parquet(statePath)
         else if (orderedTransport) changes.drop("op").limit(0)
         else changes.limit(0) // first batch: empty state, same schema
+      // ADDITIVE SCHEMA DRIFT: after a drift restart the change batch
+      // carries columns the accumulated state predates — null-fill the
+      // base so history widens in place (each batch rewrites the state
+      // parquet whole, so the widened schema is immediately coherent;
+      // no mergeSchema multi-footer read needed). The CAS merge needs
+      // identical columns, so a column the state has but an older
+      // producer's batch lacks is null-filled on the change side too —
+      // correct under whole-row full-image semantics: the image simply
+      // has no value for it. Ordered mode leaves changes untouched;
+      // upsertSmallChanges already passes base values through for
+      // columns absent from the change set.
+      def widen(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame =
+        to.fields.filterNot(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
+          .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val base =
+        if (orderedTransport) widen(base0, changes.drop("op").schema)
+        else widen(base0, changes.schema)
+      val casChanges = if (orderedTransport) changes else widen(changes, base0.schema)
       // partialImages=false: pgoutput new-images are FULL rows, so a
       // change's NULL is a real NULL and must clear the base value —
       // coalesce semantics would diverge from last-image batch replay.
@@ -326,7 +347,7 @@ object Streams {
           graft.ops.Merge.upsertSmallChanges(base, changes, "id", "op",
             partialImages = false, cacheMatched = false)
         else
-          graft.ops.Merge.upsertVersioned(base, changes, "id", "lsn",
+          graft.ops.Merge.upsertVersioned(base, casChanges, "id", "lsn",
             cacheMatched = false)
       // Tombstone GC: a CAS winner keeps ITS OWN arrival-batch stamp
       // (whole-row CAS), so a tombstone's age counts from the delete's

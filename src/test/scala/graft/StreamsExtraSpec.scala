@@ -609,6 +609,112 @@ class StreamsExtraSpec extends SparkSuite {
       "precondition: reverse delivery must matter to an order-assuming merge")
   }
 
+  test("additive schema drift: restart with a widened envelope schema widens the state, null-filling pre-drift history") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    // The reference's relation message announces schema changes and is
+    // filtered out; the consumer's reaction is a restart with a widened
+    // read schema. The state table must widen in place: rows last
+    // touched before the drift carry null for the new column.
+    val dir = Files.createTempDirectory("graft_drift_in")
+    val ckpt = Files.createTempDirectory("graft_drift_ckpt").toString
+    val state = Files.createTempDirectory("graft_drift_state").toString + "/students"
+    var mtime = System.currentTimeMillis() - 120000L
+    var chunkNo = 0
+    def deliver(lines: String*): Unit = {
+      val f = dir.resolve(f"chunk_$chunkNo%04d.jsonl")
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+      mtime += 2000L; chunkNo += 1
+    }
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def img(id: Long, extra: String = "") =
+      s""""new": {"id": $id, "first_name": "fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1$extra}"""
+    // pre-drift batch: ids 1 and 2, no email field anywhere
+    deliver(
+      s"""{"lsn": "0/00000010", "tag": "insert", "table": "students", ${img(1L)}}""",
+      s"""{"lsn": "0/00000020", "tag": "insert", "table": "students", ${img(2L)}}""")
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state)
+      .awaitTermination()
+    quiesce()
+    assert(!spark.read.parquet(state).columns.contains("email"))
+    // drift: later chunks carry new.email; the consumer restarts the
+    // SAME checkpoint with the widened schema
+    deliver(
+      s"""{"lsn": "0/00000030", "tag": "update", "table": "students", ${img(2L, """, "email": "two@x"""")}}""",
+      s"""{"lsn": "0/00000040", "tag": "insert", "table": "students", ${img(3L, """, "email": "three@x"""")}}""")
+    val widened = StructType(Envelope.schema.fields.map {
+      case f if f.name == "new" =>
+        f.copy(dataType = f.dataType.asInstanceOf[StructType].add("email", StringType))
+      case f => f
+    })
+    Streams.materializeCdc(
+      Streams.envelopeStream(spark, dir.toString, schema = widened), ckpt, state)
+      .awaitTermination()
+    quiesce()
+    val got = spark.read.parquet(state)
+    assert(got.columns.contains("email"), "state must carry the union schema after drift")
+    val byId = got.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      Option(r.getAs[String]("email"))).toMap
+    assert(byId == Map(1L -> None, 2L -> Some("two@x"), 3L -> Some("three@x")),
+      s"pre-drift rows null-filled, post-drift rows carry the new column: $byId")
+    // the widened batch replay is the same union-schema result
+    val expected = Envelope.lastImageByKey(Envelope.project(
+      spark.read.schema(widened).json(dir.toString)))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("additive schema drift in CAS mode: identical-columns merge is satisfied by symmetric null-fill") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_driftcas_in")
+    val ckpt = Files.createTempDirectory("graft_driftcas_ckpt").toString
+    val state = Files.createTempDirectory("graft_driftcas_state").toString + "/students"
+    var mtime = System.currentTimeMillis() - 120000L
+    var chunkNo = 0
+    def deliver(lines: String*): Unit = {
+      val f = dir.resolve(f"chunk_$chunkNo%04d.jsonl")
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+      mtime += 2000L; chunkNo += 1
+    }
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def img(id: Long, extra: String = "") =
+      s""""new": {"id": $id, "first_name": "fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1$extra}"""
+    deliver(s"""{"lsn": "0/00000010", "tag": "insert", "table": "students", ${img(1L)}}""")
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+      orderedTransport = false).awaitTermination()
+    quiesce()
+    val widened = StructType(Envelope.schema.fields.map {
+      case f if f.name == "new" =>
+        f.copy(dataType = f.dataType.asInstanceOf[StructType].add("email", StringType))
+      case f => f
+    })
+    // post-drift: a newer image for key 1 with email, and an OLDER
+    // (stale, reordered) image without effect on it
+    deliver(
+      s"""{"lsn": "0/00000030", "tag": "update", "table": "students", ${img(1L, """, "email": "one@x"""")}}""",
+      s"""{"lsn": "0/00000005", "tag": "update", "table": "students", ${img(1L)}}""")
+    Streams.materializeCdc(
+      Streams.envelopeStream(spark, dir.toString, schema = widened), ckpt, state,
+      orderedTransport = false).awaitTermination()
+    quiesce()
+    val live = Streams.cdcLiveState(spark, state).collect()
+    assert(live.length == 1)
+    assert(live.head.getAs[String]("email") == "one@x",
+      "the newest post-drift image must win the CAS with its new column intact")
+  }
+
   test("CAS mode, lost checkpoint commit: replaying an out-of-order batch into CAS state is idempotent (equal-version keeps base)") {
     import java.nio.file.Files
     // The ordered-mode lost-commit test replays onto upsertSmallChanges;
