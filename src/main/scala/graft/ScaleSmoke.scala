@@ -88,6 +88,137 @@ object ScaleSmoke {
         s""""pair_stage_sec":${f"$pairSec%.2f"},"cc_stage_sec":${f"$ccSec%.2f"}}""")
       spark.catalog.clearCache()
     }
+
+    cdcStateCurve(spark)
+    annCurve(spark, sfDir)
     spark.stop()
+  }
+
+  /** CDC materialization per-batch latency vs accumulated state size.
+    *
+    * Pins the two scale shapes against each other with the same change
+    * stream (the ~200-event fixture in 5 micro-batches) over seeded
+    * states grown 10× and 100×:
+    *  - `parquet_swap` ([[streaming.Streams.materializeCdc]]): the
+    *    merge never shuffles the state, but the swap REWRITES it whole
+    *    each batch — per-batch cost is O(state) scan+write by design
+    *    (the scaladoc points production at a transactional table
+    *    format; this measures what the swap costs until then);
+    *  - `jdbc` ([[streaming.Streams.materializeCdcJdbc]]): per-batch
+    *    work touches only the batch's keys (delete+reinsert) — this is
+    *    the flat-latency path, and the curve should show it staying
+    *    flat while the swap grows linearly.
+    */
+  private def cdcStateCurve(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val durations = scala.collection.concurrent.TrieMap[(java.util.UUID, Long), Long]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val d = e.progress.durationMs
+        if (d != null && d.containsKey("triggerExecution"))
+          durations.put((e.progress.runId, e.progress.batchId), d.get("triggerExecution"))
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 20000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def seed(n: Long) = spark.range(n).select(
+      (col("id") + 1000000L).as("id"),
+      concat(lit("fn"), col("id")).as("firstName"),
+      concat(lit("ln"), col("id")).as("lastName"),
+      lit("1990-01-01").cast("date").as("dateOfBirth"),
+      lit(1).as("status"))
+    def batchMs(runId: java.util.UUID): Seq[Long] =
+      durations.collect { case ((r, b), ms) if r == runId => b -> ms }
+        .toSeq.sortBy(_._1).map(_._2)
+    try {
+      for (stateRows <- Seq(10000L, 100000L, 1000000L)) {
+        // parquet-swap materializer over a pre-grown state
+        val stateDir = java.nio.file.Files.createTempDirectory(s"graft_cdcscale_$stateRows")
+        val state = s"$stateDir/students"
+        seed(stateRows).write.mode("overwrite").parquet(state)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcscale_ckpt").toString
+        val in = cdc.Fixture.materializeChunks(5)
+        val q = streaming.Streams.materializeCdc(
+          streaming.Streams.envelopeStream(spark, in), ckpt, state)
+        val runId = q.runId
+        q.awaitTermination(); quiesce()
+        val swapMs = batchMs(runId)
+        // JDBC materializer over the same-size seeded table. Create the
+        // KEYED table first (ensureTable: id PRIMARY KEY), then append
+        // the seed rows — seeding through the plain writer would create
+        // an unkeyed table and every per-key DELETE would full-scan it,
+        // turning the flat path O(state) by accident (measured: 8 s/
+        // batch at 1M rows vs ~0.3 s keyed).
+        val url = s"jdbc:derby:memory:graft_scale_$stateRows;create=true"
+        val seedDf = seed(stateRows)
+        sources.Jdbc.ensureTable(url, "students_live", seedDf.schema, "id")
+        sources.Jdbc.write(seedDf, url, "students_live",
+          org.apache.spark.sql.SaveMode.Append)
+        val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cdcscale_ckpt2").toString
+        val in2 = cdc.Fixture.materializeChunks(5)
+        val q2 = streaming.Streams.materializeCdcJdbc(
+          streaming.Streams.envelopeStream(spark, in2), ckpt2, url, "students_live")
+        val runId2 = q2.runId
+        q2.awaitTermination(); quiesce()
+        val jdbcMs = batchMs(runId2)
+        println(s"""{"metric":"cdc_state_scale","state_rows":$stateRows,""" +
+          s""""swap_batch_ms":[${swapMs.mkString(",")}],"jdbc_batch_ms":[${jdbcMs.mkString(",")}]}""")
+      }
+    } finally spark.streams.removeListener(listener)
+  }
+
+  /** ANN scale curve (p10 LSH / p12 IVF): 1× and 5× corpus, recording
+    * candidate-pair volume, wall-clock, and recall@k vs the exact
+    * brute-force baseline — pins "candidates ≈ Σ bucket², not n²" as
+    * data. The 5× corpus replicates every vector with fresh ids, so
+    * each bucket grows 5× and the candidate volume should grow ~25×
+    * while staying orders of magnitude below n². */
+  private def annCurve(spark: SparkSession, sfDir: String): Unit = {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    def scaled(factor: Int): String = {
+      if (factor == 1) return sfDir
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_annscale_${factor}x")
+      val copies = (0 until factor).map { i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i * maxId))
+      }.reduce(_ unionByName _)
+      copies.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir.toString
+    }
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("rn"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    for (factor <- Seq(1, 5)) {
+      val dir = scaled(factor)
+      val n = sources.Tables.embeddings(spark, dir).count()
+      // exact baseline: ground truth for recall (and the n² yardstick)
+      val (exact, exactSec) = timed(topk(queries.Advanced.q18.fn(spark, dir)))
+      for ((name, q, candCount) <- Seq(
+          ("lsh", (s: SparkSession, d: String) => queries.Pipeline.p10.fn(s, d),
+            () => queries.Pipeline.annLshCandidates(spark, dir)),
+          ("ivf", (s: SparkSession, d: String) => queries.Pipeline.p12.fn(s, d),
+            () => queries.Pipeline.annIvfCandidates(spark, dir)))) {
+        val (got, sec) = timed(topk(q(spark, dir)))
+        val cands = candCount()
+        val recall = if (exact.isEmpty) 1.0 else got.intersect(exact).size.toDouble / exact.size
+        println(s"""{"metric":"ann_scale","variant":"$name","factor":$factor,"vectors":$n,""" +
+          s""""candidates":$cands,"n_sq":${n * n},"recall_vs_exact":${f"$recall%.3f"},""" +
+          s""""sec":${f"$sec%.2f"},"exact_sec":${f"$exactSec%.2f"}}""")
+      }
+      spark.catalog.clearCache()
+    }
   }
 }

@@ -394,5 +394,32 @@ object Curation {
            |FROM base b FULL OUTER JOIN chg c ON b.k = c.k
            |ORDER BY k""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(p18, p19, m2, q40, q41, q42, q43, q44, q45, q46)
+  // q47 — VARIANT in the ORACLE GATE (Spark 4 §2C surface; VERDICT r8
+  // stretch item): the binary-encoded semi-structured type end-to-end —
+  // parse_json → variant_get with a typed path — cross-checked against
+  // DuckDB's JSON extraction on the same rows. Spark4FeaturesSpec pins
+  // variant parity against the from_json path in-engine; this promotes
+  // the surface to the DuckDB hash compare. Typed-extraction notes:
+  // variant_get(…, 'bigint') and CAST(json_extract_string AS BIGINT)
+  // both yield exact int64 (no float detour), and the per-type sums
+  // stay in BIGINT (cast in DuckDB, whose SUM widens to HUGEINT).
+  val q47 = QuerySpec(
+    "q47_variant_agg",
+    (s, d) =>
+      events(s, d)
+        .withColumn("k",
+          expr("variant_get(parse_json(props), '$.k', 'bigint')"))
+        .filter(col("k") % 7 =!= 0) // predicate THROUGH the variant path
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(*) AS n,
+           |       CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+           |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           |      FROM events)
+           |WHERE k % 7 <> 0
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(p18, p19, m2, q40, q41, q42, q43, q44, q45, q46, q47)
 }

@@ -601,6 +601,39 @@ object Pipeline {
   // removed via a LEFT ANTI join (removed list ≪ corpus — at 100 TB the
   // anti join shuffles only ids, never text). Output: per-language
   // corpus size before/after — the number a curation run reports.
+  /** Candidate-set sizes for the ANN scale curve (graft.ScaleSmoke):
+    * the pre-ranking pair volume each variant actually scores — the
+    * number that must track Σ bucket² / Σ probed-list size, not n².
+    * Mirrors the candidate step of p10/p12 verbatim (the ranked tail
+    * is irrelevant to the count). */
+  def annLshCandidates(s: SparkSession, d: String): Long = {
+    val e = embeddings(s, d).select(col("vec_id"), expr(sparkBkt).as("bkt"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("bkt").as("qbkt"))
+    e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid")).count()
+  }
+
+  def annIvfCandidates(s: SparkSession, d: String): Long = {
+    graft.expressions.VectorExpressions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      expr(VectorFns.fastNormExpr("embedding")).as("nrm"))
+    val cent = e.filter(col("vec_id") < ivfK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        round(expr(VectorFns.fastDotExpr("embedding", "ce")) / (col("nrm") * col("cn")), 6))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val ranked = scored
+      .select(col("vec_id"), col("cent_id"), row_number().over(wAssign).as("crn"))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("list_id"))
+    val probes = ranked.filter(col("vec_id") < 5 && col("crn") <= ivfProbe)
+      .select(col("vec_id").as("qid"), col("cent_id").as("list_id"))
+    assigned.join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct().count()
+  }
+
   val p14 = QuerySpec(
     "p14_dedup_survivors",
     (s, d) => {

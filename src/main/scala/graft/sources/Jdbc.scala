@@ -92,6 +92,13 @@ object Jdbc {
     case _ => java.sql.Types.OTHER
   }
 
+  /** ANSI double-quoting, matching Spark's own JDBC writer — so a
+    * table seeded by [[write]] (quoted, case-exact columns) and one
+    * created by [[ensureTable]] both resolve from [[applyChanges]]'s
+    * DML. Unquoted identifiers would fold (Derby: uppercase) and miss
+    * the writer-created case-exact columns. */
+  private def quoted(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+
   private def connect(url: String, props: Map[String, String]): java.sql.Connection = {
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
@@ -114,7 +121,7 @@ object Jdbc {
       if (!exists) {
         val cols = schema.fields.map { f =>
           val pk = if (f.name.equalsIgnoreCase(keyCol)) " NOT NULL PRIMARY KEY" else ""
-          s"${f.name} ${ddlType(f.dataType)}$pk"
+          s"${quoted(f.name)} ${ddlType(f.dataType)}$pk"
         }.mkString(", ")
         val st = c.createStatement()
         try st.executeUpdate(s"CREATE TABLE $table ($cols)") finally st.close()
@@ -151,10 +158,15 @@ object Jdbc {
     val opIdx = schema.fieldIndex(
       schema.fields.map(_.name).find(_.equalsIgnoreCase(opCol)).getOrElse(
         throw new IllegalArgumentException(s"[graft] op '$opCol' not in ${schema.fieldNames.mkString(",")}")))
-    val insertSql = s"INSERT INTO $table (${payload.map(_.name).mkString(", ")}) " +
+    val insertSql = s"INSERT INTO $table (${payload.map(f => quoted(f.name)).mkString(", ")}) " +
       s"VALUES (${payload.map(_ => "?").mkString(", ")})"
-    val deleteSql = s"DELETE FROM $table WHERE $keyCol = ?"
+    val deleteSql = s"DELETE FROM $table WHERE ${quoted(schema.fields(keyIdx).name)} = ?"
     val keyType = schema.fields(keyIdx).dataType
+    // (dataType, source row index, 1-based statement position) per
+    // payload column, resolved once — not a fieldIndex lookup per row
+    val slots = payload.zipWithIndex.map { case (f, i) =>
+      (f.dataType, schema.fieldIndex(f.name), i + 1)
+    }
     changes.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val c = connect(url, props)
@@ -168,8 +180,8 @@ object Jdbc {
               setParam(del, 1, keyType, row, keyIdx)
               del.addBatch()
               if (row.getString(opIdx) != "D") {
-                payload.zipWithIndex.foreach { case (f, i) =>
-                  setParam(ins, i + 1, f.dataType, row, schema.fieldIndex(f.name))
+                slots.foreach { case (dt, srcIdx, pos) =>
+                  setParam(ins, pos, dt, row, srcIdx)
                 }
                 ins.addBatch(); nIns += 1
               }
