@@ -421,5 +421,32 @@ object Curation {
            |WHERE k % 7 <> 0
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(p18, p19, m2, q40, q41, q42, q43, q44, q45, q46, q47)
+  // q48 — SQL PIPE SYNTAX in the oracle gate (Spark 4 §2C; companion
+  // to q47's VARIANT promotion): a multi-stage |> program — join,
+  // filter, aggregate, order — through Spark's front door, hash-
+  // compared against the classic-SQL DuckDB rendering of the same
+  // query. Same float discipline as q1: the revenue sum runs in
+  // DECIMAL(18,6) in both engines and casts to DOUBLE only at the
+  // edge. Spark4FeaturesSpec pins pipe-vs-classic parity in-engine;
+  // this pins the RESULT against the independent engine.
+  val q48 = QuerySpec(
+    "q48_pipe_sql",
+    (s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql(
+        """FROM orders
+          ||> JOIN customer ON o_custkey = c_custkey
+          ||> WHERE c_mktsegment = 'BUILDING'
+          ||> AGGREGATE COUNT(*) AS n,
+          |     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          |   GROUP BY o_orderpriority
+          ||> ORDER BY o_orderpriority""".stripMargin)
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(p18, p19, m2, q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }
