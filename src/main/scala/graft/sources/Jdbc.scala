@@ -106,8 +106,13 @@ object Jdbc {
   }
 
   /** Create `table` (key PRIMARY KEY + payload columns) if it doesn't
-    * exist — driver-side, once per materialization. Existing tables are
-    * trusted as-is, matching `SaveMode.Append`'s contract. */
+    * exist; if it does, WIDEN it additively — any schema column the
+    * remote table lacks is added via `ALTER TABLE ADD COLUMN`
+    * (nullable, so pre-drift rows read back as NULL: the JDBC half of
+    * the CDC schema-drift contract, mirroring the parquet state's
+    * null-fill). Existing columns are never altered or dropped —
+    * narrowing and type changes stay a DBA decision. Driver-side, once
+    * per micro-batch (a metadata read when nothing changed). */
   def ensureTable(url: String, table: String, schema: StructType, keyCol: String,
       props: Map[String, String] = Map.empty): Unit = {
     val c = connect(url, props)
@@ -125,6 +130,24 @@ object Jdbc {
         }.mkString(", ")
         val st = c.createStatement()
         try st.executeUpdate(s"CREATE TABLE $table ($cols)") finally st.close()
+      } else {
+        val have = {
+          val rs = c.getMetaData.getColumns(null, null, null, null)
+          try Iterator.continually(rs).takeWhile(_.next())
+            .filter(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+            .map(_.getString("COLUMN_NAME").toLowerCase(java.util.Locale.ROOT))
+            .toSet
+          finally rs.close()
+        }
+        val missing = schema.fields.filterNot(f =>
+          have(f.name.toLowerCase(java.util.Locale.ROOT)))
+        if (missing.nonEmpty) {
+          val st = c.createStatement()
+          try missing.foreach { f =>
+            st.executeUpdate(
+              s"ALTER TABLE $table ADD COLUMN ${quoted(f.name)} ${ddlType(f.dataType)}")
+          } finally st.close()
+        }
       }
     } finally c.close()
   }

@@ -415,7 +415,11 @@ object Streams {
     * delete+reinsert of the same image is already a replay no-op.
     * Assumes in-order batch delivery (the transport contract); an
     * out-of-order transport needs the CAS state shape, which a plain
-    * table without a version column cannot express. */
+    * table without a version column cannot express. Additive schema
+    * drift flows through: `ensureTable` runs every batch and widens
+    * the remote table (`ALTER TABLE ADD COLUMN`, nullable) when a
+    * drift restart brings new payload columns — pre-drift rows read
+    * back as NULL, same contract as the parquet state's null-fill. */
   def materializeCdcJdbc(envelopes: DataFrame, checkpoint: String,
       url: String, table: String, props: Map[String, String] = Map.empty): StreamingQuery =
     runForeachBatch(envelopes, checkpoint, (batch, _) => {

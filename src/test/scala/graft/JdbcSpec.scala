@@ -138,6 +138,57 @@ class JdbcSpec extends SparkSuite {
       "replaying a batch whose commit was lost must be a no-op on the table")
   }
 
+  test("materializeCdcJdbc widens the remote table on additive schema drift; pre-drift rows read back NULL") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    import graft.cdc.Envelope
+    import graft.streaming.Streams
+    val sinkUrl = "jdbc:derby:memory:graft_cdc_drift;create=true"
+    val dir = Files.createTempDirectory("graft_jdbcdrift_in")
+    val ckpt = Files.createTempDirectory("graft_jdbcdrift_ckpt").toString
+    var mtime = System.currentTimeMillis() - 120000L
+    var chunkNo = 0
+    def deliver(lines: String*): Unit = {
+      val f = dir.resolve(f"chunk_$chunkNo%04d.jsonl")
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+      mtime += 2000L; chunkNo += 1
+    }
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def img(id: Long, extra: String = "") =
+      s""""new": {"id": $id, "first_name": "fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1$extra}"""
+    deliver(s"""{"lsn": "0/00000010", "tag": "insert", "table": "students", ${img(1L)}}""")
+    Streams.materializeCdcJdbc(Streams.envelopeStream(spark, dir.toString), ckpt,
+      sinkUrl, "students_drift").awaitTermination()
+    quiesce()
+    assert(!Jdbc.snapshot(spark, sinkUrl, "students_drift")
+      .columns.exists(_.equalsIgnoreCase("email")))
+    // drift restart with the widened schema; a new key arrives WITH
+    // email, the pre-drift key is untouched
+    deliver(s"""{"lsn": "0/00000020", "tag": "insert", "table": "students", ${img(2L, """, "email": "two@x"""")}}""")
+    val widened = StructType(Envelope.schema.fields.map {
+      case f if f.name == "new" =>
+        f.copy(dataType = f.dataType.asInstanceOf[StructType].add("email", StringType))
+      case f => f
+    })
+    Streams.materializeCdcJdbc(
+      Streams.envelopeStream(spark, dir.toString, schema = widened), ckpt,
+      sinkUrl, "students_drift").awaitTermination()
+    quiesce()
+    val back = Jdbc.snapshot(spark, sinkUrl, "students_drift")
+    val emailIdx = back.columns.indexWhere(_.equalsIgnoreCase("email"))
+    assert(emailIdx >= 0, s"table must gain the drifted column: ${back.columns.mkString(",")}")
+    val byId = back.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(emailIdx)) None else Some(r.getString(emailIdx)))).toMap
+    assert(byId == Map(1L -> None, 2L -> Some("two@x")),
+      s"pre-drift row NULL, post-drift row carries the value: $byId")
+  }
+
   test("jdbc snapshot feeds the same downstream CDC contract as the parquet stand-in") {
     seeded
     // snapshot-then-stream (A6): the JDBC snapshot plugs into

@@ -126,6 +126,44 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("LSH recall knob: fewer hyperplanes -> bigger buckets -> more candidates and no worse recall") {
+    // The parameter trade SCALE.md's ANN table points at: plane count
+    // buys candidate-volume reduction at the price of recall. Computed
+    // with the SAME bucket expression p10 uses, at 4 planes (p10's
+    // setting, 16 buckets) vs 2 planes (4 buckets), against the exact
+    // top-3 (q18).
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.VectorExpressions.register(spark)
+    val exact = graft.queries.Advanced.q18.fn(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("cid")))).toSet
+    def lshRun(nPlanes: Int): (Long, Set[(Long, Long)]) = {
+      val bkt = graft.functions.VectorFns.lshBucketExpr("embedding", nPlanes, 64)
+      val e = graft.sources.Tables.embeddings(spark, sf).select(
+        col("vec_id"), col("embedding"), expr(bkt).as("bkt"),
+        expr(graft.functions.VectorFns.fastNormExpr("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("bkt").as("qbkt"), col("nrm").as("qn"))
+      val cand = e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
+      val n = cand.count()
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val top = cand
+        .withColumn("cos", round(expr(graft.functions.VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")), 6))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (n, top)
+    }
+    val (cand4, top4) = lshRun(4)
+    val (cand2, top2) = lshRun(2)
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+    assert(cand2 > cand4,
+      s"halving the planes must grow the scored candidate set: $cand2 vs $cand4")
+    assert(recall(top2) >= recall(top4),
+      s"recall must not degrade with bigger buckets: ${recall(top2)} vs ${recall(top4)}")
+    assert(recall(top2) > 0.0 && cand4 > 0)
+  }
+
   test("multimodal: resize caps payload size, passes small payloads through, stays deterministic") {
     val media = Multimodal.toMedia(Tables.documents(spark, sf).limit(50))
     val sizes = media.select(col("doc_id"), octet_length(col("media")).as("b")).collect()
