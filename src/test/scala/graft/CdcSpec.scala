@@ -87,6 +87,30 @@ class CdcSpec extends SparkSuite {
       evs.map(_.tag).containsSlice(Seq("delete", "insert"))))
   }
 
+  test("a drifted image field whose camelCase shadows a projected column is refused loudly") {
+    import org.apache.spark.sql.types._
+    // new.status would camelCase onto the projection's own 'status'
+    // (the status_id rename target) — silently shadowing it is the
+    // failure mode the r9 drift pass-through must not introduce
+    val widened = StructType(Envelope.schema.fields.map {
+      case f if f.name == "new" =>
+        f.copy(dataType = f.dataType.asInstanceOf[StructType].add("status", StringType))
+      case f => f
+    })
+    val df = spark.read.schema(widened).json(Fixture.materialize())
+    val e = intercept[IllegalArgumentException](Envelope.project(df))
+    assert(e.getMessage.contains("would shadow") && e.getMessage.contains("status"),
+      e.getMessage)
+    // sanity: a non-colliding drifted field passes through camelCased
+    val ok = StructType(Envelope.schema.fields.map {
+      case f if f.name == "new" =>
+        f.copy(dataType = f.dataType.asInstanceOf[StructType].add("email_address", StringType))
+      case f => f
+    })
+    val projected = Envelope.project(spark.read.schema(ok).json(Fixture.materialize()))
+    assert(projected.columns.contains("emailAddress"))
+  }
+
   test("materializeChunks stamps every chunk strictly in the past, even at max chunk count") {
     // one line per chunk is the worst case for the stamp budget: the
     // most chunks, the widest stride span (incl. duplicate-chunk +1s)

@@ -868,6 +868,30 @@ class StreamsExtraSpec extends SparkSuite {
       "past the horizon resurrection is the accepted contract, not silent state corruption")
   }
 
+  test("a drifted payload column named 'op' fails the batch loudly — the reserved-name guard cdcLiveState's mode sniff rests on") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_opreserve_in")
+    val line =
+      s"""{"lsn": "0/00000010", "tag": "insert", "table": "students", "new": {"id": 1, "first_name": "a", "last_name": "b", "date_of_birth": "1990-01-01", "status_id": 1, "op": "x"}}"""
+    Files.write(dir.resolve("chunk_0000.jsonl"), line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val widened = StructType(Envelope.schema.fields.map {
+      case f if f.name == "new" =>
+        f.copy(dataType = f.dataType.asInstanceOf[StructType].add("op", StringType))
+      case f => f
+    })
+    val ckpt = Files.createTempDirectory("graft_opreserve_ckpt").toString
+    val state = Files.createTempDirectory("graft_opreserve_state").toString + "/students"
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.materializeCdc(
+        Streams.envelopeStream(spark, dir.toString, schema = widened), ckpt, state)
+        .awaitTermination()
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs(failed).contains("reserves column 'op'"), msgs(failed))
+  }
+
   test("recoverCdcState ignores swap-lookalike dirs: no batchId parse crash, no sweep of user data") {
     import java.nio.file.Files
     import org.apache.hadoop.fs.Path
