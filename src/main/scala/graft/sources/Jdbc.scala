@@ -222,6 +222,89 @@ object Jdbc {
     }
   }
 
+  /** Version-guarded (CAS) apply for OUT-OF-ORDER transports — the
+    * JDBC rendering of [[graft.ops.Merge.upsertVersioned]]'s contract:
+    * a row wins only with a strictly higher `versionCol`, equal or
+    * lower keeps the stored row, unseen keys insert. Deletes are
+    * TOMBSTONE rows (`opCol`='D') kept in the table so a late older
+    * update cannot resurrect a deleted key — read live rows with
+    * `WHERE op <> 'D'`. Per partition and per key (keys are unique in
+    * a reduced batch and shuffle-partitioned, so no key spans two
+    * transactions):
+    *
+    *  1. batched `UPDATE … WHERE key = ? AND version < ?` — the CAS;
+    *     the returned update counts say which rows matched nothing;
+    *  2. for those, batched `INSERT … WHERE NOT EXISTS(key)` — inserts
+    *     genuinely-new keys, and is a guarded no-op for keys that
+    *     exist with a newer-or-equal version (the lost-CAS case), so
+    *     replaying a batch is idempotent with no exception juggling.
+    *
+    * Version comparison happens in the DATABASE's `<` — for string
+    * versions (LSNs) that is codepoint order, matching Spark's string
+    * `>` only for fixed-width encodings (the engine's fixed-width hex
+    * LSNs; a numeric version column is ordering-safe everywhere). */
+  def applyChangesVersioned(changes: DataFrame, url: String, table: String,
+      keyCol: String, versionCol: String, opCol: String,
+      props: Map[String, String] = Map.empty): Unit = {
+    val schema = changes.schema
+    def idx(name: String, what: String): Int = schema.fieldIndex(
+      schema.fields.map(_.name).find(_.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"[graft] $what '$name' not in ${schema.fieldNames.mkString(",")}")))
+    val keyIdx = idx(keyCol, "key")
+    val verIdx = idx(versionCol, "version")
+    idx(opCol, "op") // presence check; tombstones are stored, not filtered
+    val keyName = schema.fields(keyIdx).name
+    val nonKey = schema.fields.filterNot(_.name.equalsIgnoreCase(keyCol))
+    val updateSql = s"UPDATE $table SET " +
+      nonKey.map(f => s"${quoted(f.name)} = ?").mkString(", ") +
+      s" WHERE ${quoted(keyName)} = ? AND ${quoted(schema.fields(verIdx).name)} < ?"
+    val insertSql = s"INSERT INTO $table (${schema.fields.map(f => quoted(f.name)).mkString(", ")}) " +
+      s"SELECT ${schema.fields.map(_ => "?").mkString(", ")} FROM (VALUES 1) AS v(x) " +
+      s"WHERE NOT EXISTS (SELECT 1 FROM $table WHERE ${quoted(keyName)} = ?)"
+    val updSlots = nonKey.zipWithIndex.map { case (f, i) =>
+      (f.dataType, schema.fieldIndex(f.name), i + 1)
+    }
+    val insSlots = schema.fields.zipWithIndex.map { case (f, i) =>
+      (f.dataType, schema.fieldIndex(f.name), i + 1)
+    }
+    val keyType = schema.fields(keyIdx).dataType
+    val verType = schema.fields(verIdx).dataType
+    changes.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val c = connect(url, props)
+        try {
+          c.setAutoCommit(false)
+          val upd = c.prepareStatement(updateSql)
+          val ins = c.prepareStatement(insertSql)
+          try {
+            // bounded chunks: the update-count ↔ row correlation only
+            // needs one chunk in memory, not the whole partition
+            it.grouped(1000).foreach { chunk =>
+              chunk.foreach { row =>
+                updSlots.foreach { case (dt, srcIdx, pos) => setParam(upd, pos, dt, row, srcIdx) }
+                setParam(upd, updSlots.length + 1, keyType, row, keyIdx)
+                setParam(upd, updSlots.length + 2, verType, row, verIdx)
+                upd.addBatch()
+              }
+              val counts = upd.executeBatch()
+              var nIns = 0
+              chunk.indices.filter(counts(_) == 0).foreach { i =>
+                val row = chunk(i)
+                insSlots.foreach { case (dt, srcIdx, pos) => setParam(ins, pos, dt, row, srcIdx) }
+                setParam(ins, insSlots.length + 1, keyType, row, keyIdx)
+                ins.addBatch(); nIns += 1
+              }
+              if (nIns > 0) ins.executeBatch()
+            }
+            c.commit()
+          } finally { upd.close(); ins.close() }
+        } catch {
+          case t: Throwable => try c.rollback() catch { case _: Throwable => }; throw t
+        } finally c.close()
+      }
+    }
+  }
+
   private def setParam(ps: java.sql.PreparedStatement, pos: Int,
       dt: DataType, row: Row, idx: Int): Unit =
     if (row.isNullAt(idx)) ps.setNull(pos, sqlType(dt))

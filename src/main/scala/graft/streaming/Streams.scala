@@ -413,22 +413,49 @@ object Streams {
     * table state, the same contract as [[materializeCdc]]'s parquet
     * swap — but with no swap at all, because the table IS the state and
     * delete+reinsert of the same image is already a replay no-op.
-    * Assumes in-order batch delivery (the transport contract); an
-    * out-of-order transport needs the CAS state shape, which a plain
-    * table without a version column cannot express. Additive schema
-    * drift flows through: `ensureTable` runs every batch and widens
-    * the remote table (`ALTER TABLE ADD COLUMN`, nullable) when a
-    * drift restart brings new payload columns — pre-drift rows read
-    * back as NULL, same contract as the parquet state's null-fill. */
+    * `orderedTransport = true` (the transport contract of a per-
+    * partition-ordered CDC feed) applies each batch as delete+reinsert
+    * of touched keys. With `orderedTransport = false` the table keeps
+    * each key's winning `lsn` and its `op` as a TOMBSTONE marker —
+    * the CAS state shape in SQL — and the apply is version-guarded
+    * ([[graft.sources.Jdbc.applyChangesVersioned]]): a late or
+    * replayed OLDER image can never overwrite a newer one, and a late
+    * older update cannot resurrect a deleted key. Read live rows back
+    * with [[cdcLiveStateJdbc]]. Additive schema drift flows through in
+    * both modes: `ensureTable` runs every batch and widens the remote
+    * table (`ALTER TABLE ADD COLUMN`, nullable) when a drift restart
+    * brings new payload columns — pre-drift rows read back as NULL,
+    * same contract as the parquet state's null-fill. */
   def materializeCdcJdbc(envelopes: DataFrame, checkpoint: String,
-      url: String, table: String, props: Map[String, String] = Map.empty): StreamingQuery =
+      url: String, table: String, props: Map[String, String] = Map.empty,
+      orderedTransport: Boolean = true): StreamingQuery =
     runForeachBatch(envelopes, checkpoint, (batch, _) => {
-      val changes = reduceBatch(Envelope.project(batch)).drop("lsn")
-      val payload = org.apache.spark.sql.types.StructType(
-        changes.schema.fields.filterNot(_.name.equalsIgnoreCase("op")))
-      graft.sources.Jdbc.ensureTable(url, table, payload, "id", props)
-      graft.sources.Jdbc.applyChanges(changes, url, table, "id", "op", props)
+      val reduced = reduceBatch(Envelope.project(batch))
+      if (orderedTransport) {
+        val changes = reduced.drop("lsn")
+        val payload = org.apache.spark.sql.types.StructType(
+          changes.schema.fields.filterNot(_.name.equalsIgnoreCase("op")))
+        graft.sources.Jdbc.ensureTable(url, table, payload, "id", props)
+        graft.sources.Jdbc.applyChanges(changes, url, table, "id", "op", props)
+      } else {
+        graft.sources.Jdbc.ensureTable(url, table, reduced.schema, "id", props)
+        graft.sources.Jdbc.applyChangesVersioned(reduced, url, table, "id", "lsn", "op", props)
+      }
     })
+
+  /** Live rows of a CAS-mode [[materializeCdcJdbc]] table: filters the
+    * delete tombstones and drops the version/op bookkeeping — the JDBC
+    * twin of [[cdcLiveState]]. (An ordered-mode table IS its live rows;
+    * read it with [[graft.sources.Jdbc.snapshot]] directly.) */
+  def cdcLiveStateJdbc(spark: SparkSession, url: String, table: String,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val df = graft.sources.Jdbc.snapshot(spark, url, table, props)
+    val opCol = df.columns.find(_.equalsIgnoreCase("op")).getOrElse(
+      throw new IllegalArgumentException(
+        s"[graft] $table has no 'op' column — not a CAS-mode CDC table"))
+    val lsnCol = df.columns.find(_.equalsIgnoreCase("lsn")).toSeq
+    df.filter(col(opCol) =!= "D").drop(opCol +: lsnCol: _*)
+  }
 
   /** Live rows of a [[materializeCdc]] state table. Ordered-transport
     * state stores live rows directly; CAS state keeps each key's

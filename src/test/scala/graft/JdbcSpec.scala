@@ -189,6 +189,82 @@ class JdbcSpec extends SparkSuite {
       s"pre-drift row NULL, post-drift row carries the value: $byId")
   }
 
+  test("applyChangesVersioned: higher version wins, equal/lower keeps the stored row, unseen inserts, tombstone blocks resurrection") {
+    val url3 = "jdbc:derby:memory:graft_cas_unit;create=true"
+    def batch(rows: (Long, Long, String, String)*) =
+      rows.toSeq.toDF("k", "ver", "v", "op")
+    val b1 = batch((1L, 10L, "a", "U"), (2L, 20L, "b", "U"), (3L, 30L, null, "D"))
+    Jdbc.ensureTable(url3, "cas_unit", b1.schema, "k")
+    Jdbc.applyChangesVersioned(b1, url3, "cas_unit", "k", "ver", "op")
+    Jdbc.applyChangesVersioned(batch(
+      (1L, 11L, "a2", "U"),     // newer -> wins (the UPDATE path)
+      (2L, 5L, "stale", "U"),   // older -> stored row survives
+      (3L, 7L, "zombie", "U"),  // older than the tombstone -> stays dead
+      (4L, 1L, "new", "U")),    // unseen -> guarded insert
+      url3, "cas_unit", "k", "ver", "op")
+    Jdbc.applyChangesVersioned(batch((1L, 11L, "dup", "U")), // equal -> keeps
+      url3, "cas_unit", "k", "ver", "op")
+    val got = Jdbc.snapshot(spark, url3, "cas_unit").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2)), r.getString(3)))).toMap
+    assert(got == Map(
+      1L -> ((11L, Some("a2"), "U")),
+      2L -> ((20L, Some("b"), "U")),
+      3L -> ((30L, None, "D")),
+      4L -> ((1L, Some("new"), "U"))), got.toString)
+    // a NEWER image legitimately revives the deleted key
+    Jdbc.applyChangesVersioned(batch((3L, 31L, "back", "U")),
+      url3, "cas_unit", "k", "ver", "op")
+    val k3 = Jdbc.snapshot(spark, url3, "cas_unit").filter(col("k") === 3L).collect().head
+    assert(k3.getString(2) == "back" && k3.getString(3) == "U")
+  }
+
+  test("materializeCdcJdbc CAS mode: reverse-LSN delivery converges in the table; lost-commit replay is a no-op") {
+    import java.nio.file.Files
+    import graft.cdc.{Envelope, Fixture}
+    import graft.streaming.Streams
+    val sinkUrl = "jdbc:derby:memory:graft_cdc_cas;create=true"
+    // reverse chunk delivery — the batch order an out-of-order
+    // transport can produce, same input shape as the parquet CAS test
+    val lines = Fixture.jsonLines
+    val chunks = lines.grouped(math.max(1, lines.size / 4)).toVector
+    val dir = Files.createTempDirectory("graft_jdbccas_in")
+    val t0 = System.currentTimeMillis() - 2000L * (chunks.size + 1)
+    chunks.indices.reverse.zipWithIndex.foreach { case (ci, pos) =>
+      val f = dir.resolve(f"chunk_$ci%04d.jsonl")
+      Files.write(f, chunks(ci).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(t0 + pos * 2000L)
+    }
+    val ckpt = Files.createTempDirectory("graft_jdbccas_ckpt").toString
+    Streams.materializeCdcJdbc(Streams.envelopeStream(spark, dir.toString), ckpt,
+      sinkUrl, "students_cas", orderedTransport = false).awaitTermination()
+    var waited = 0
+    while (spark.streams.active.nonEmpty && waited < 10000) {
+      Thread.sleep(100); waited += 100
+    }
+    // ensureTable quotes the camelCase names, so they come back exact
+    def liveRows() = Streams.cdcLiveStateJdbc(spark, sinkUrl, "students_cas")
+      .collect().map(r => (r.getLong(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("firstName")), r.getString(r.fieldIndex("lastName")),
+        r.getDate(r.fieldIndex("dateOfBirth")).toString,
+        r.getInt(r.fieldIndex("status")))).toSeq.sorted
+    val expected = Envelope.lastImageByKey(Envelope.project(
+      spark.read.schema(Envelope.schema).json(dir.toString)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDate(3).toString, r.getInt(4))).toSeq.sorted
+    assert(expected.nonEmpty && liveRows() == expected,
+      "CAS table must equal the last-image replay despite reversed delivery")
+    // lost commit: the replayed batch meets every key at an equal
+    // version — the guarded insert and the strict < update both no-op
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val newest = commitsDir.listFiles().filterNot(_.getName.startsWith("."))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete())
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    Streams.materializeCdcJdbc(Streams.envelopeStream(spark, dir.toString), ckpt,
+      sinkUrl, "students_cas", orderedTransport = false).awaitTermination()
+    assert(liveRows() == expected, "equal-version replay must be a table no-op")
+  }
+
   test("jdbc snapshot feeds the same downstream CDC contract as the parquet stand-in") {
     seeded
     // snapshot-then-stream (A6): the JDBC snapshot plugs into
