@@ -305,6 +305,22 @@ object Jdbc {
     }
   }
 
+  /** Tombstone GC for CAS-mode tables ([[applyChangesVersioned]]):
+    * delete tombstone rows whose arrival-batch stamp predates the
+    * horizon. One driver-side statement; the caller passes the cutoff
+    * already computed (currentBatch − retention), so a replayed batch
+    * issues the identical DELETE — idempotent like the apply. */
+  def deleteExpiredTombstones(url: String, table: String, opCol: String,
+      batchStampCol: String, olderThan: Long,
+      props: Map[String, String] = Map.empty): Unit = {
+    val c = connect(url, props)
+    try {
+      val st = c.prepareStatement(
+        s"DELETE FROM $table WHERE ${quoted(opCol)} = 'D' AND ${quoted(batchStampCol)} < ?")
+      try { st.setLong(1, olderThan); st.executeUpdate() } finally st.close()
+    } finally c.close()
+  }
+
   private def setParam(ps: java.sql.PreparedStatement, pos: Int,
       dt: DataType, row: Row, idx: Int): Unit =
     if (row.isNullAt(idx)) ps.setNull(pos, sqlType(dt))

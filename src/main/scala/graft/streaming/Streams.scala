@@ -428,8 +428,9 @@ object Streams {
     * same contract as the parquet state's null-fill. */
   def materializeCdcJdbc(envelopes: DataFrame, checkpoint: String,
       url: String, table: String, props: Map[String, String] = Map.empty,
-      orderedTransport: Boolean = true): StreamingQuery =
-    runForeachBatch(envelopes, checkpoint, (batch, _) => {
+      orderedTransport: Boolean = true,
+      casTombstoneRetention: Long = Long.MaxValue): StreamingQuery =
+    runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       val reduced = reduceBatch(Envelope.project(batch))
       if (orderedTransport) {
         val changes = reduced.drop("lsn")
@@ -438,8 +439,20 @@ object Streams {
         graft.sources.Jdbc.ensureTable(url, table, payload, "id", props)
         graft.sources.Jdbc.applyChanges(changes, url, table, "id", "op", props)
       } else {
-        graft.sources.Jdbc.ensureTable(url, table, reduced.schema, "id", props)
-        graft.sources.Jdbc.applyChangesVersioned(reduced, url, table, "id", "lsn", "op", props)
+        // arrival-batch stamp ages tombstones, as in the parquet CAS
+        // state; the winner keeps ITS OWN stamp (whole-row CAS), so a
+        // tombstone's age counts from the delete's arrival
+        require(!reduced.columns.exists(_.equalsIgnoreCase(casBatchCol)),
+          s"[graft] materializeCdcJdbc reserves column '$casBatchCol' — rename it in the source schema")
+        val stamped = reduced.withColumn(casBatchCol, lit(batchId))
+        graft.sources.Jdbc.ensureTable(url, table, stamped.schema, "id", props)
+        graft.sources.Jdbc.applyChangesVersioned(stamped, url, table, "id", "lsn", "op", props)
+        // tombstone GC, same horizon contract as materializeCdc: one
+        // driver-side DELETE per batch; replay recomputes the same
+        // batchId → the same compaction decision (idempotent)
+        if (casTombstoneRetention != Long.MaxValue)
+          graft.sources.Jdbc.deleteExpiredTombstones(url, table, "op", casBatchCol,
+            batchId - casTombstoneRetention, props)
       }
     })
 
@@ -453,8 +466,9 @@ object Streams {
     val opCol = df.columns.find(_.equalsIgnoreCase("op")).getOrElse(
       throw new IllegalArgumentException(
         s"[graft] $table has no 'op' column — not a CAS-mode CDC table"))
-    val lsnCol = df.columns.find(_.equalsIgnoreCase("lsn")).toSeq
-    df.filter(col(opCol) =!= "D").drop(opCol +: lsnCol: _*)
+    val bookkeeping = df.columns.filter(c =>
+      c.equalsIgnoreCase("lsn") || c.equalsIgnoreCase(casBatchCol)).toSeq
+    df.filter(col(opCol) =!= "D").drop(opCol +: bookkeeping: _*)
   }
 
   /** Live rows of a [[materializeCdc]] state table. Ordered-transport

@@ -265,6 +265,49 @@ class JdbcSpec extends SparkSuite {
     assert(liveRows() == expected, "equal-version replay must be a table no-op")
   }
 
+  test("JDBC CAS tombstone GC: in-horizon blocks resurrection, expired tombstones are deleted from the table") {
+    import java.nio.file.Files
+    import graft.streaming.Streams
+    val sinkUrl = "jdbc:derby:memory:graft_cas_gc;create=true"
+    val dir = Files.createTempDirectory("graft_jdbcgc_in")
+    val ckpt = Files.createTempDirectory("graft_jdbcgc_ckpt").toString
+    var mtime = System.currentTimeMillis() - 120000L
+    var chunkNo = 0
+    def ins(lsn: String, id: Long) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "students", "new": {"id": $id, "first_name": "fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    def upd(lsn: String, id: Long, fn: String) =
+      s"""{"lsn": "$lsn", "tag": "update", "table": "students", "new": {"id": $id, "first_name": "$fn", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    def del(lsn: String, id: Long) =
+      s"""{"lsn": "$lsn", "tag": "delete", "table": "students", "old": {"id": $id}}"""
+    def deliver(lines: String*): Unit = {
+      val f = dir.resolve(f"chunk_$chunkNo%04d.jsonl")
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+      mtime += 2000L; chunkNo += 1
+      Streams.materializeCdcJdbc(Streams.envelopeStream(spark, dir.toString), ckpt,
+        sinkUrl, "students_gc", orderedTransport = false, casTombstoneRetention = 1L)
+        .awaitTermination()
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def liveIds() = Streams.cdcLiveStateJdbc(spark, sinkUrl, "students_gc")
+      .select("id").collect().map(_.getLong(0)).toSet
+    def rawCount() = Jdbc.snapshot(spark, sinkUrl, "students_gc").count()
+    deliver(ins("0/00000010", 1L), ins("0/00000020", 2L))        // batch 0
+    assert(liveIds() == Set(1L, 2L) && rawCount() == 2)
+    deliver(del("0/00000100", 1L))                               // batch 1: tombstone
+    assert(liveIds() == Set(2L) && rawCount() == 2, "tombstone row kept in the table")
+    deliver(upd("0/00000050", 1L, "zombie"), upd("0/00000200", 2L, "f2")) // batch 2: in horizon
+    assert(liveIds() == Set(2L) && rawCount() == 2, "in-horizon tombstone blocks the stale update")
+    deliver(upd("0/00000300", 2L, "f3"))                         // batch 3: expired -> GC
+    assert(rawCount() == 1, "expired tombstone must be deleted from the table")
+    assert(liveIds() == Set(2L))
+    deliver(upd("0/00000060", 1L, "revenant"))                   // past horizon: the accepted trade
+    assert(liveIds() == Set(1L, 2L))
+  }
+
   test("jdbc snapshot feeds the same downstream CDC contract as the parquet stand-in") {
     seeded
     // snapshot-then-stream (A6): the JDBC snapshot plugs into
