@@ -403,17 +403,29 @@ object Curation {
   // variant_get(…, 'bigint') and CAST(json_extract_string AS BIGINT)
   // both yield exact int64 (no float detour), and the per-type sums
   // stay in BIGINT (cast in DuckDB, whose SUM widens to HUGEINT).
+  //
+  // The k%7 predicate is applied as CONDITIONAL AGGREGATION, not a
+  // filter: a filter on the derived column gets pushed through the
+  // projection, substituting the variant expression into the scan
+  // filter — parse_json then runs TWICE per row (plan-verified), and
+  // at scale the parse is the query. The when()-guarded aggs consume
+  // the projected attribute, so the parse stays single; the trailing
+  // n>0 filter keeps group-presence semantics identical to the
+  // row-filter form (and to the oracle's WHERE).
   val q47 = QuerySpec(
     "q47_variant_agg",
-    (s, d) =>
+    (s, d) => {
+      val keep = col("k") % 7 =!= 0
       events(s, d)
         .withColumn("k",
           expr("variant_get(parse_json(props), '$.k', 'bigint')"))
-        .filter(col("k") % 7 =!= 0) // predicate THROUGH the variant path
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
-          max(col("k")).as("max_k"))
-        .orderBy(col("event_type")),
+        .agg(count(when(keep, 1)).as("n"),
+          sum(when(keep, col("k"))).as("sum_k"),
+          max(when(keep, col("k"))).as("max_k"))
+        .filter(col("n") > 0)
+        .orderBy(col("event_type"))
+    },
     Some("""SELECT event_type, COUNT(*) AS n,
            |       CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
            |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -153,6 +153,25 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q47: the variant parse runs ONCE per row — the k-predicate must not duplicate parse_json into the scan filter") {
+    // the filter-on-derived-column form got the predicate pushed
+    // through the projection, substituting the variant expression into
+    // the scan filter: two parses per row, and at 100 TB the parse IS
+    // the query. The conditional-agg form keeps a single Project parse.
+    val plan = finalPlan(Curation.q47.fn(spark, sf))
+    val parses = "parseJson".r.findAllIn(plan).length
+    assert(parses == 1, s"expected exactly one variant parse, found $parses:\n$plan")
+    assert(plan.contains("partial_"), s"variant agg should combine map-side:\n$plan")
+  }
+
+  test("q48: pipe-SQL program plans like the classic query — dimension side broadcasts, agg is partial+final") {
+    val plan = finalPlan(Curation.q48.fn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the filtered customer side must broadcast:\n$plan")
+    assert(plan.contains("partial_"), s"revenue agg should combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q42: the generated spine joins without a cartesian; daily agg is partial+final") {
     val plan = finalPlan(Curation.q42.fn(spark, sf))
     assert(plan.contains("partial_"),
