@@ -198,21 +198,25 @@ object Jdbc {
           val del = c.prepareStatement(deleteSql)
           val ins = c.prepareStatement(insertSql)
           try {
-            var nIns = 0
-            it.foreach { row =>
-              setParam(del, 1, keyType, row, keyIdx)
-              del.addBatch()
-              if (row.getString(opIdx) != "D") {
-                slots.foreach { case (dt, srcIdx, pos) =>
-                  setParam(ins, pos, dt, row, srcIdx)
+            // bounded 1000-row statement batches (keys are unique
+            // within a reduced batch, so each chunk's deletes can run
+            // ahead of its inserts and chunk order is immaterial);
+            // one commit per partition either way
+            it.grouped(1000).foreach { chunk =>
+              var nIns = 0
+              chunk.foreach { row =>
+                setParam(del, 1, keyType, row, keyIdx)
+                del.addBatch()
+                if (row.getString(opIdx) != "D") {
+                  slots.foreach { case (dt, srcIdx, pos) =>
+                    setParam(ins, pos, dt, row, srcIdx)
+                  }
+                  ins.addBatch(); nIns += 1
                 }
-                ins.addBatch(); nIns += 1
               }
+              del.executeBatch()
+              if (nIns > 0) ins.executeBatch()
             }
-            // keys are unique within the batch, so all deletes can run
-            // ahead of all inserts without ordering hazards
-            del.executeBatch()
-            if (nIns > 0) ins.executeBatch()
             c.commit()
           } finally { del.close(); ins.close() }
         } catch {
