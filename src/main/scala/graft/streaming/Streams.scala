@@ -299,6 +299,8 @@ object Streams {
       casTombstoneRetention: Long = Long.MaxValue): StreamingQuery =
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       val spark = batch.sparkSession
+      requireSinkBinding(spark.sparkContext.hadoopConfiguration,
+        checkpoint, s"parquet:$statePath")
       val projected = Envelope.project(batch)
       val reduced = reduceBatch(projected)
       require(!reduced.columns.exists(_.equalsIgnoreCase(casBatchCol)),
@@ -381,6 +383,37 @@ object Streams {
       if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
     })
 
+  /** Bind a CDC checkpoint to the ONE sink it materializes. The
+    * checkpoint's offsets mean "these batches are already applied" —
+    * restarting the same checkpoint against a different state path /
+    * table silently yields partial state (every pre-restart batch is
+    * skipped there). First batch records the sink identity inside the
+    * checkpoint dir; every later batch requires it to match. A
+    * deliberate migration moves the data first, then deletes
+    * `graft_sink_identity` to re-bind. */
+  private def requireSinkBinding(hconf: org.apache.hadoop.conf.Configuration,
+      checkpoint: String, identity: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "graft_sink_identity")
+    val fs = p.getFileSystem(hconf)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      require(stored == identity,
+        s"[graft] checkpoint $checkpoint is bound to sink '$stored' but this query " +
+          s"materializes '$identity' — reusing offsets against a different sink silently " +
+          s"skips every already-committed batch there; move the data and delete " +
+          s"$p to re-bind deliberately")
+    } else {
+      val out = fs.create(p, false)
+      try out.write(identity.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** Per-batch change reduce shared by the materializers: latest image
     * per key (LSN order), deletes marked op='D'. 'op' is the
     * materialization's change-op marker: a payload column of that name
@@ -431,6 +464,8 @@ object Streams {
       orderedTransport: Boolean = true,
       casTombstoneRetention: Long = Long.MaxValue): StreamingQuery =
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
+      requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
+        checkpoint, s"jdbc:$url#$table")
       val reduced = reduceBatch(Envelope.project(batch))
       if (orderedTransport) {
         val changes = reduced.drop("lsn")

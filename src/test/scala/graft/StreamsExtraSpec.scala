@@ -892,6 +892,55 @@ class StreamsExtraSpec extends SparkSuite {
     assert(msgs(failed).contains("reserves column 'op'"), msgs(failed))
   }
 
+  test("a checkpoint is bound to its sink: reuse against a different state path fails loudly, the original continues") {
+    import java.nio.file.Files
+    // the checkpoint's offsets mean "already applied" — pointing the
+    // same checkpoint at a fresh state path would silently skip every
+    // committed batch there (partial state with no error)
+    val dir = Files.createTempDirectory("graft_bind_in")
+    val ckpt = Files.createTempDirectory("graft_bind_ckpt").toString
+    val stateA = Files.createTempDirectory("graft_bind_a").toString + "/students"
+    val stateB = Files.createTempDirectory("graft_bind_b").toString + "/students"
+    var mtime = System.currentTimeMillis() - 120000L
+    var chunkNo = 0
+    def deliver(lines: String*): Unit = {
+      val f = dir.resolve(f"chunk_$chunkNo%04d.jsonl")
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+      mtime += 2000L; chunkNo += 1
+    }
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def ins(lsn: String, id: Long) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "students", "new": {"id": $id, "first_name": "fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    deliver(ins("0/00000010", 1L))
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, stateA)
+      .awaitTermination()
+    quiesce()
+    deliver(ins("0/00000020", 2L))
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, stateB)
+        .awaitTermination()
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs(failed).contains("bound to sink") && msgs(failed).contains(stateA), msgs(failed))
+    quiesce()
+    assert(!new org.apache.hadoop.fs.Path(stateB).getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(new org.apache.hadoop.fs.Path(stateB)),
+      "the mis-bound run must not have written the other state path")
+    // the rightful binding continues where it left off
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, stateA)
+      .awaitTermination()
+    quiesce()
+    assert(Streams.cdcLiveState(spark, stateA).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("recoverCdcState ignores swap-lookalike dirs: no batchId parse crash, no sweep of user data") {
     import java.nio.file.Files
     import org.apache.hadoop.fs.Path
