@@ -133,6 +133,69 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** transformWithState TIMERS (B.6): per-user inactivity detector on
+    * EVENT-TIME timers — each event re-arms a timer at lastSeen + gap;
+    * when the watermark passes an armed timer with no newer event, the
+    * processor emits (user, lastSeen) and clears the state. This is
+    * the timer half of the Spark 4 arbitrary-state API (the counter
+    * above exercises ValueState): session-timeout detection that
+    * mapGroupsWithState could only approximate with its coarse
+    * per-group GroupStateTimeout, here with an exact per-key deadline.
+    * State is one long + one timer per ACTIVE key — inactive keys are
+    * emitted and dropped, so state tracks the live population, not
+    * history. */
+  final case class Inactivity(userId: Long, lastSeenMs: Long)
+
+  private class InactivityProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), Inactivity] {
+    @transient private var lastSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long]("lastSeen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Inactivity] = {
+      val maxTs = rows.map(_._2.getTime).max
+      val prev = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      if (maxTs > prev) {
+        // re-arm: timers are identified by expiry, so drop the stale one
+        if (prev != Long.MinValue) getHandle.deleteTimer(prev + gapMs)
+        lastSeen.update(maxTs)
+        getHandle.registerTimer(maxTs + gapMs)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Inactivity] = {
+      val last = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      // a fired timer can be stale if a same-batch event re-armed after
+      // the watermark was computed — emit only the current deadline
+      if (last != Long.MinValue && info.getExpiryTimeInMs == last + gapMs) {
+        lastSeen.clear()
+        Iterator.single(Inactivity(key, last))
+      } else Iterator.empty
+    }
+  }
+
+  /** Inactivity timeouts per user over a watermarked event stream.
+    * `events` needs `user_id` and an event-time `ts`. Requires the
+    * RocksDB state store (as all transformWithState operators do). */
+  def userInactivityTimeouts(events: DataFrame, gapMs: Long,
+      watermark: String = "0 seconds")(implicit spark: SparkSession): Dataset[Inactivity] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new InactivityProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** flatMapGroupsWithState (B.6): per-user error-burst detector —
     * emits one row per burst of >= `threshold` consecutive errors
     * (zero-or-many output per group per batch, which mapGroups can't
@@ -209,15 +272,26 @@ object Streams {
     * last-image-wins. The snapshot is rendered as pseudo-events with an
     * LSN below every real LSN, so [[Envelope.lastImageByKey]] dedups
     * the overlap: any key re-seen in the stream takes the stream image,
-    * keys only in the snapshot keep the snapshot image. */
+    * keys only in the snapshot keep the snapshot image.
+    *
+    * Payload columns are taken from the CHANGES side (whatever
+    * [[Envelope.project]] produced, drift extras included); snapshot
+    * columns the stream doesn't carry are dropped, stream columns the
+    * snapshot predates are null-filled — a snapshot taken before a
+    * schema drift still unions cleanly with post-drift changes. */
   def snapshotThenStream(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+    val payload = changes.columns.filterNot(c =>
+      c.equalsIgnoreCase("lsn") || c.equalsIgnoreCase("tag")).toSeq
+    val snapCols = snapshot.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val snapAsEvents = snapshot.select(
-      lit("0/00000000").as("lsn"),
-      lit("insert").as("tag"),
-      col("id"), col("firstName"), col("lastName"),
-      col("dateOfBirth"), col("status"))
+      lit("0/00000000").as("lsn") +:
+      lit("insert").as("tag") +:
+      payload.map { c =>
+        if (snapCols(c.toLowerCase(java.util.Locale.ROOT))) col(c)
+        else lit(null).cast(changes.schema(c).dataType).as(c)
+      }: _*)
     Envelope.lastImageByKey(snapAsEvents.unionByName(
-      changes.select("lsn", "tag", "id", "firstName", "lastName", "dateOfBirth", "status")))
+      changes.select(("lsn" +: "tag" +: payload).map(col): _*)))
   }
 
   /** foreachBatch sink: the reference's per-batch listener boundary

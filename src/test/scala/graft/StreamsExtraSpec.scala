@@ -115,6 +115,44 @@ class StreamsExtraSpec extends SparkSuite {
     }
   }
 
+  test("event-time timers: inactivity fires when the watermark passes lastSeen+gap, re-arming defers it, active keys stay silent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      def t(hm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00")
+      val out = Streams.userInactivityTimeouts(
+        input.toDF().toDF("user_id", "ts"), gapMs = 10 * 60 * 1000L)(spark)
+      val q = out.toDF().writeStream.format("memory").queryName("t_inact")
+        .outputMode("append").start()
+      try {
+        def fired() = spark.table("t_inact").collect()
+          .map(r => r.getLong(0) -> new java.sql.Timestamp(r.getLong(1)).toString).toSet
+        // processAllAvailable runs the trailing no-data batch, so after
+        // it returns every timer at or below the NEW watermark has fired
+        input.addData((1L, t("10:00")), (2L, t("10:05")))
+        q.processAllAvailable() // watermark (delay 0) = 10:05 < both deadlines
+        assert(fired() == Set.empty, "no timer can fire before the watermark passes a deadline")
+        input.addData((2L, t("10:30"))) // re-arms user 2: deadline 10:15 -> 10:40
+        q.processAllAvailable() // wm 10:30: u1's 10:10 fires; u2's re-armed 10:40 does not
+        assert(fired() == Set(1L -> "2024-01-01 10:00:00.0"),
+          "idle user 1 fires; the re-arm must defer user 2 past the old 10:15 deadline")
+        input.addData((3L, t("11:30")))
+        q.processAllAvailable() // wm 11:30: u2's 10:40 fires with its RE-ARMED lastSeen; u3's 11:40 not yet
+        val f = fired()
+        assert(f == Set(1L -> "2024-01-01 10:00:00.0", 2L -> "2024-01-01 10:30:00.0"),
+          s"user 2 fires once with the re-armed lastSeen (not the original 10:05); user 3 is inside its gap: $f")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("rate source produces rows under AvailableNow") {
     val q = Streams.rateSource(spark, rowsPerSecond = 100)
       .writeStream.format("memory").queryName("t_rate")
@@ -342,6 +380,33 @@ class StreamsExtraSpec extends SparkSuite {
     val expected = streamFinal.unionByName(
       snapshot.filter(!col("id").isin(touched.toSeq: _*)))
     assert(merged.exceptAll(expected).isEmpty && expected.exceptAll(merged).isEmpty)
+  }
+
+  test("snapshot-then-stream across a schema drift: pre-drift snapshot null-fills the drifted column, stream images carry it") {
+    import org.apache.spark.sql.types._
+    // a snapshot taken BEFORE the drift (no email) unioned with
+    // post-drift changes (email present): snapshot-only keys survive
+    // with NULL email, stream-touched keys take the stream image
+    val snapshot = Seq((1000L, "Snap", "Shot", "1970-01-01", 1))
+      .toDF("id", "firstName", "lastName", "dateOfBirth", "status")
+      .withColumn("dateOfBirth", col("dateOfBirth").cast("date"))
+    val widened = StructType(Envelope.schema.fields.map {
+      case f if f.name == "new" =>
+        f.copy(dataType = f.dataType.asInstanceOf[StructType].add("email", StringType))
+      case f => f
+    })
+    val changes = Envelope.project(
+      spark.read.schema(widened).json(Fixture.materialize()))
+    assert(changes.columns.contains("email"))
+    val merged = Streams.snapshotThenStream(snapshot, changes)
+    assert(merged.columns.contains("email"), "union schema must carry the drifted column")
+    val snapRow = merged.filter(col("id") === 1000L).collect()
+    assert(snapRow.length == 1 && snapRow.head.isNullAt(snapRow.head.fieldIndex("email")),
+      "pre-drift snapshot rows null-fill the drifted column")
+    assert(merged.count() == Streams.snapshotThenStream(
+      snapshot, Envelope.project(
+        spark.read.schema(Envelope.schema).json(Fixture.materialize()))).count(),
+      "drift must not change which keys survive")
   }
 
   test("materializeCdc keeps a queryable state table current across micro-batches (A8+A9 end-to-end)") {
