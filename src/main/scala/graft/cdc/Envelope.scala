@@ -123,7 +123,10 @@ object Envelope {
   }
 
   /** Parse a raw JSON-line DataFrame (one envelope per line) — the
-    * `from_json` edge for kafka-style value columns. */
-  def parse(raw: DataFrame, valueCol: String = "value"): DataFrame =
-    raw.select(from_json(col(valueCol), schema).as("e")).select(col("e.*"))
+    * `from_json` edge for kafka-style value columns. Pass a widened
+    * `envelopeSchema` after a schema-drift restart, exactly as with
+    * the file-stream reader. */
+  def parse(raw: DataFrame, valueCol: String = "value",
+      envelopeSchema: StructType = schema): DataFrame =
+    raw.select(from_json(col(valueCol), envelopeSchema).as("e")).select(col("e.*"))
 }

@@ -404,13 +404,33 @@ object Streams {
       // has no value for it. Ordered mode leaves changes untouched;
       // upsertSmallChanges already passes base values through for
       // columns absent from the change set.
-      def widen(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame =
-        to.fields.filterNot(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
+      //
+      // TYPE drift (int→bigint and friends) is handled for shared
+      // columns by upcasting BOTH sides to the wider numeric type —
+      // the other common ALTER COLUMN migration. Incompatible type
+      // changes fail loudly in the merge's analysis rather than
+      // guessing.
+      def widen(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame = {
+        val added = to.fields.filterNot(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
           .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+        to.fields.foldLeft(added) { (d, f) =>
+          d.columns.find(_.equalsIgnoreCase(f.name)) match {
+            case Some(own) =>
+              val ownType = d.schema(own).dataType
+              widerNumeric(ownType, f.dataType) match {
+                case Some(w) if w != ownType => d.withColumn(own, col(own).cast(w))
+                case _ => d
+              }
+            case None => d
+          }
+        }
+      }
       val base =
         if (orderedTransport) widen(base0, changes.drop("op").schema)
         else widen(base0, changes.schema)
-      val casChanges = if (orderedTransport) changes else widen(changes, base0.schema)
+      val casChanges =
+        if (orderedTransport) changes
+        else widen(changes, base0.schema)
       // partialImages=false: pgoutput new-images are FULL rows, so a
       // change's NULL is a real NULL and must clear the base value —
       // coalesce semantics would diverge from last-image batch replay.
@@ -598,6 +618,25 @@ object Streams {
   /** Arrival-batch stamp on CAS-mode state rows — bookkeeping for
     * tombstone GC, reserved like 'op'. */
   private[graft] val casBatchCol = "__graft_arrival_batch"
+
+  /** Wider of two numeric types WITHIN a family (integral byte<short<
+    * int<long; fractional float<double) — the safe ALTER COLUMN
+    * widenings a CDC producer performs. Cross-family and non-numeric
+    * pairs return None: the merge's own analysis decides (union/when
+    * coercion for compatible pairs, a loud analysis error otherwise) —
+    * no silent lossy cast here. */
+  private def widerNumeric(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val integral = Map[DataType, Int](ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    val fractional = Map[DataType, Int](FloatType -> 1, DoubleType -> 2)
+    if (a == b) Some(a)
+    else (integral.get(a), integral.get(b), fractional.get(a), fractional.get(b)) match {
+      case (Some(x), Some(y), _, _) => Some(if (x >= y) a else b)
+      case (_, _, Some(x), Some(y)) => Some(if (x >= y) a else b)
+      case _ => None
+    }
+  }
 
   /** Fail loudly on Hadoop's boolean-false error reporting (see the
     * swap commentary in [[materializeCdc]]). */

@@ -734,6 +734,57 @@ class StreamsExtraSpec extends SparkSuite {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("numeric TYPE drift: an int->bigint column migration widens the state column, values preserved") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_tdrift_in")
+    val ckpt = Files.createTempDirectory("graft_tdrift_ckpt").toString
+    val state = Files.createTempDirectory("graft_tdrift_state").toString + "/students"
+    var mtime = System.currentTimeMillis() - 120000L
+    var chunkNo = 0
+    def deliver(lines: String*): Unit = {
+      val f = dir.resolve(f"chunk_$chunkNo%04d.jsonl")
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+      mtime += 2000L; chunkNo += 1
+    }
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def img(id: Long, status: Long) =
+      s""""new": {"id": $id, "first_name": "fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": $status}"""
+    deliver(s"""{"lsn": "0/00000010", "tag": "insert", "table": "students", ${img(1L, 1L)}}""")
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state)
+      .awaitTermination()
+    quiesce()
+    assert(spark.read.parquet(state).schema("status").dataType == IntegerType)
+    // the producer ran ALTER COLUMN status_id TYPE BIGINT; the consumer
+    // restarts with the widened read schema and a value beyond int range
+    deliver(s"""{"lsn": "0/00000020", "tag": "insert", "table": "students", ${img(2L, 4000000000L)}}""")
+    val widened = StructType(Envelope.schema.fields.map {
+      case f if f.name == "new" =>
+        f.copy(dataType = StructType(f.dataType.asInstanceOf[StructType].fields.map {
+          case g if g.name == "status_id" => g.copy(dataType = LongType)
+          case g => g
+        }))
+      case f => f
+    })
+    Streams.materializeCdc(
+      Streams.envelopeStream(spark, dir.toString, schema = widened), ckpt, state)
+      .awaitTermination()
+    quiesce()
+    val got = spark.read.parquet(state)
+    assert(got.schema("status").dataType == LongType,
+      s"state column must widen to the migrated type, got ${got.schema("status").dataType}")
+    val byId = got.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      r.getLong(r.fieldIndex("status"))).toMap
+    assert(byId == Map(1L -> 1L, 2L -> 4000000000L),
+      s"pre-drift values survive the upcast, post-drift values exceed int range: $byId")
+  }
+
   test("additive schema drift in CAS mode: identical-columns merge is satisfied by symmetric null-fill") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
