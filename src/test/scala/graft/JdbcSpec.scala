@@ -308,6 +308,36 @@ class JdbcSpec extends SparkSuite {
     assert(liveIds() == Set(1L, 2L))
   }
 
+  test("a JDBC materialization checkpoint is bound to its url#table: retargeting fails loudly") {
+    import java.nio.file.Files
+    import graft.cdc.Fixture
+    import graft.streaming.Streams
+    val sinkUrl = "jdbc:derby:memory:graft_bind_jdbc;create=true"
+    val in = Fixture.materializeChunks(2)
+    val ckpt = Files.createTempDirectory("graft_jdbcbind_ckpt").toString
+    Streams.materializeCdcJdbc(Streams.envelopeStream(spark, in), ckpt, sinkUrl, "students_b1")
+      .awaitTermination()
+    var waited = 0
+    while (spark.streams.active.nonEmpty && waited < 10000) {
+      Thread.sleep(100); waited += 100
+    }
+    // same checkpoint, different table: the committed batches would be
+    // silently skipped in students_b2 — must refuse
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val newest = commitsDir.listFiles().filterNot(_.getName.startsWith("."))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete()) // make a batch replayable so foreachBatch runs
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.materializeCdcJdbc(Streams.envelopeStream(spark, in), ckpt, sinkUrl, "students_b2")
+        .awaitTermination()
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs(failed).contains("bound to sink") && msgs(failed).contains("students_b1"),
+      msgs(failed))
+  }
+
   test("jdbc snapshot feeds the same downstream CDC contract as the parquet stand-in") {
     seeded
     // snapshot-then-stream (A6): the JDBC snapshot plugs into
