@@ -81,6 +81,17 @@ object Envelope {
       require(!fixedNames.contains(out.toLowerCase(java.util.Locale.ROOT)),
         s"[graft] drifted image field '${f.name}' would shadow projected column '$out' — rename it upstream")
     }
+    // the fold must also be injective AMONG the extras: two drifted
+    // fields collapsing to one camelCase (`email_x` and `emailX`) would
+    // emit duplicate output columns and poison every downstream
+    // resolution with ambiguity errors — refuse at the projection
+    extras.map(f => f.name -> camelCase(f.name))
+      .groupBy(_._2.toLowerCase(java.util.Locale.ROOT)).values
+      .filter(_.size > 1).foreach { clash =>
+        throw new IllegalArgumentException(
+          s"[graft] drifted image fields ${clash.map(_._1).mkString("'", "', '", "'")} " +
+            s"all fold to camelCase '${clash.head._2}' — rename them upstream")
+      }
     df.filter(tagFilter(df))
       .select(Seq(
         col("lsn"),

@@ -117,8 +117,20 @@ object Jdbc {
       props: Map[String, String] = Map.empty): Unit = {
     val c = connect(url, props)
     try {
-      val exists = {
-        val rs = c.getMetaData.getTables(null, null, null, Array("TABLE"))
+      // Metadata reads are SCOPED to this table's name pattern, not
+      // the whole catalog: an unscoped getColumns pulls every column
+      // of every table per micro-batch, and a same-named table in
+      // another schema could mark a genuinely-missing column present
+      // (widening ALTER skipped → the batch INSERT fails). Patterns
+      // match the STORED identifier case-sensitively and `_` is a
+      // single-char wildcard, so probe the common case folds and keep
+      // the case-insensitive TABLE_NAME screen for wildcard
+      // near-matches.
+      val tablePatterns = Seq(table,
+        table.toUpperCase(java.util.Locale.ROOT),
+        table.toLowerCase(java.util.Locale.ROOT)).distinct
+      val exists = tablePatterns.exists { pat =>
+        val rs = c.getMetaData.getTables(null, null, pat, Array("TABLE"))
         try Iterator.continually(rs).takeWhile(_.next())
           .exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
         finally rs.close()
@@ -131,14 +143,14 @@ object Jdbc {
         val st = c.createStatement()
         try st.executeUpdate(s"CREATE TABLE $table ($cols)") finally st.close()
       } else {
-        val have = {
-          val rs = c.getMetaData.getColumns(null, null, null, null)
+        val have = tablePatterns.flatMap { pat =>
+          val rs = c.getMetaData.getColumns(null, null, pat, null)
           try Iterator.continually(rs).takeWhile(_.next())
             .filter(_.getString("TABLE_NAME").equalsIgnoreCase(table))
             .map(_.getString("COLUMN_NAME").toLowerCase(java.util.Locale.ROOT))
-            .toSet
+            .toList
           finally rs.close()
-        }
+        }.toSet
         val missing = schema.fields.filterNot(f =>
           have(f.name.toLowerCase(java.util.Locale.ROOT)))
         if (missing.nonEmpty) {
@@ -292,7 +304,7 @@ object Jdbc {
               }
               val counts = upd.executeBatch()
               var nIns = 0
-              chunk.indices.filter(counts(_) == 0).foreach { i =>
+              chunk.indices.filter(i => needsInsertAttempt(counts(i))).foreach { i =>
                 val row = chunk(i)
                 insSlots.foreach { case (dt, srcIdx, pos) => setParam(ins, pos, dt, row, srcIdx) }
                 setParam(ins, insSlots.length + 1, keyType, row, keyIdx)
@@ -308,6 +320,18 @@ object Jdbc {
       }
     }
   }
+
+  /** A batched CAS UPDATE row takes the guarded-INSERT fallback when
+    * its update count is 0 (matched nothing: new key, or lost the CAS
+    * to a newer version) — or when the driver reports
+    * `Statement.SUCCESS_NO_INFO` (-2) for the batch (Oracle always;
+    * PostgreSQL with reWriteBatchedInserts), which says nothing about
+    * per-row counts: without this, `== 0` never matches and genuinely
+    * new keys are silently never inserted. The INSERT is
+    * NOT EXISTS-guarded, so attempting it for a row the UPDATE did hit
+    * is a no-op, never a duplicate. */
+  private[graft] def needsInsertAttempt(count: Int): Boolean =
+    count == 0 || count == java.sql.Statement.SUCCESS_NO_INFO
 
   /** Tombstone GC for CAS-mode tables ([[applyChangesVersioned]]):
     * delete tombstone rows whose arrival-batch stamp predates the

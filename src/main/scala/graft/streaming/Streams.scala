@@ -187,6 +187,11 @@ object Streams {
       watermark: String = "0 seconds")(implicit spark: SparkSession): Dataset[Inactivity] = {
     import spark.implicits._
     events
+      // a NULL event-time row would NPE inside the processor's max()
+      // — withWatermark does NOT drop null timestamps — so screen them
+      // before the stateful operator; a null ts carries no ordering
+      // information for an inactivity deadline anyway
+      .where(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .selectExpr("user_id", "ts")
       .as[(Long, java.sql.Timestamp)]
@@ -449,11 +454,26 @@ object Streams {
       // (whole-row CAS), so a tombstone's age counts from the delete's
       // arrival, not from later batches it merely survived. Replay of
       // this batch recomputes the same batchId → the same compaction
-      // decision — idempotent like the merge itself.
+      // decision — idempotent like the merge itself. Rows carried over
+      // from a PRE-UPGRADE state (written before the stamp column
+      // existed — widen() null-fills it, and the CAS keeps base rows
+      // whole, so the NULL would persist) are backfilled with THIS
+      // batch's id: they age from the upgrade batch. Without the
+      // backfill, `batchId - NULL > retention` is NULL and a
+      // null-blind filter would delete every pre-upgrade tombstone on
+      // the first post-upgrade batch, letting late older updates
+      // resurrect deleted keys. The filter itself runs only under a
+      // FINITE horizon, matching materializeCdcJdbc's gate.
       val merged =
         if (orderedTransport) merged0
-        else merged0.filter(
-          !(col("op") === "D" && lit(batchId) - col(casBatchCol) > lit(casTombstoneRetention)))
+        else {
+          val stamped = merged0.withColumn(casBatchCol,
+            coalesce(col(casBatchCol), lit(batchId)))
+          if (casTombstoneRetention == Long.MaxValue) stamped
+          else stamped.filter(
+            !(col("op") === "D" &&
+              lit(batchId) - col(casBatchCol) > lit(casTombstoneRetention)))
+        }
       val tmp = new org.apache.hadoop.fs.Path(s"${statePath}__swap_$batchId")
       merged.write.mode("overwrite").parquet(tmp.toString)
       // Rename-aside swap: `state` is moved, never deleted, before its

@@ -111,6 +111,33 @@ class CdcSpec extends SparkSuite {
     assert(projected.columns.contains("emailAddress"))
   }
 
+  test("two drifted image fields folding to the same camelCase are refused, not emitted as duplicate columns") {
+    import org.apache.spark.sql.types._
+    // email_x and emailX both fold to 'emailX': each passes the
+    // fixed-name shadow check, so without the injectivity guard the
+    // projection emits two columns named emailX and every downstream
+    // resolution dies on ambiguity instead of failing here
+    val widened = StructType(Envelope.schema.fields.map {
+      case f if f.name == "new" =>
+        f.copy(dataType = f.dataType.asInstanceOf[StructType]
+          .add("email_x", StringType).add("emailX", StringType))
+      case f => f
+    })
+    val df = spark.read.schema(widened).json(Fixture.materialize())
+    val e = intercept[IllegalArgumentException](Envelope.project(df))
+    assert(e.getMessage.contains("fold to camelCase") &&
+      e.getMessage.contains("email_x") && e.getMessage.contains("emailX"), e.getMessage)
+    // two distinct extras still pass together
+    val ok = StructType(Envelope.schema.fields.map {
+      case f if f.name == "new" =>
+        f.copy(dataType = f.dataType.asInstanceOf[StructType]
+          .add("email_x", StringType).add("email_y", StringType))
+      case f => f
+    })
+    val projected = Envelope.project(spark.read.schema(ok).json(Fixture.materialize()))
+    assert(projected.columns.count(_.startsWith("email")) == 2)
+  }
+
   test("materializeChunks stamps every chunk strictly in the past, even at max chunk count") {
     // one line per chunk is the worst case for the stamp budget: the
     // most chunks, the widest stride span (incl. duplicate-chunk +1s)

@@ -338,6 +338,19 @@ class JdbcSpec extends SparkSuite {
       msgs(failed))
   }
 
+  test("CAS insert fallback fires on count 0 AND on SUCCESS_NO_INFO, never on a positive row count") {
+    // Oracle always returns Statement.SUCCESS_NO_INFO (-2) from
+    // executeBatch; PostgreSQL does with reWriteBatchedInserts. An
+    // `== 0` correlation there never matches, so genuinely-new keys
+    // would silently never be inserted — the guarded INSERT makes the
+    // extra attempt a no-op for rows the UPDATE did hit, so -2 must
+    // route to the fallback alongside 0.
+    assert(Jdbc.needsInsertAttempt(0))
+    assert(Jdbc.needsInsertAttempt(java.sql.Statement.SUCCESS_NO_INFO))
+    assert(!Jdbc.needsInsertAttempt(1))
+    assert(!Jdbc.needsInsertAttempt(2))
+  }
+
   test("jdbc snapshot feeds the same downstream CDC contract as the parquet stand-in") {
     seeded
     // snapshot-then-stream (A6): the JDBC snapshot plugs into

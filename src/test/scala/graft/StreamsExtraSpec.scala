@@ -984,6 +984,112 @@ class StreamsExtraSpec extends SparkSuite {
       "past the horizon resurrection is the accepted contract, not silent state corruption")
   }
 
+  test("CAS tombstone GC on a pre-upgrade state: unstamped tombstones are backfilled to age from the upgrade batch, not deleted on sight") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    // State written before the arrival-batch stamp existed has no
+    // __graft_arrival_batch column; widen() null-fills it and the CAS
+    // keeps base rows whole, so the NULL persists. A null-blind age
+    // filter (`batchId - NULL > retention` is NULL) silently dropped
+    // every such tombstone on the FIRST post-upgrade batch — late older
+    // updates could then resurrect deleted keys. The fix backfills the
+    // stamp with the upgrade batch's id, so the tombstone blocks
+    // resurrection through the horizon and compacts only after it.
+    val stateSchema = StructType(Seq(
+      StructField("id", LongType), StructField("firstName", StringType),
+      StructField("lastName", StringType), StructField("dateOfBirth", DateType),
+      StructField("status", IntegerType), StructField("lsn", StringType),
+      StructField("op", StringType)))
+    def preUpgradeState(path: String): Unit = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, null, null, null, null, "0/00000100", "D"),
+        org.apache.spark.sql.Row(2L, "fn2", "ln2",
+          java.sql.Date.valueOf("1990-01-01"), 1, "0/00000020", "U")),
+      stateSchema).write.mode("overwrite").parquet(path)
+    def upd(lsn: String, id: Long, fn: String) =
+      s"""{"lsn": "$lsn", "tag": "update", "table": "students", "new": {"id": $id, "first_name": "$fn", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def freshCase(): (java.nio.file.Path, String, String) = {
+      val dir = Files.createTempDirectory("graft_preup_in")
+      val ckpt = Files.createTempDirectory("graft_preup_ckpt").toString
+      val state = Files.createTempDirectory("graft_preup_state").toString + "/students"
+      preUpgradeState(state)
+      (dir, ckpt, state)
+    }
+    var chunkNo = 0
+    def deliver(dir: java.nio.file.Path, ckpt: String, state: String,
+        retention: Long, lines: String*): Unit = {
+      val f = dir.resolve(f"chunk_$chunkNo%04d.jsonl")
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(System.currentTimeMillis() - 120000L + chunkNo * 2000L)
+      chunkNo += 1
+      Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+        orderedTransport = false, casTombstoneRetention = retention).awaitTermination()
+      quiesce()
+    }
+    // Case 1 — DEFAULT retention (GC 'disabled'): the first post-upgrade
+    // batch must not touch the unstamped tombstone at all
+    locally {
+      val (dir, ckpt, state) = freshCase()
+      deliver(dir, ckpt, state, Long.MaxValue,
+        upd("0/00000050", 1L, "zombie"), upd("0/00000200", 2L, "fresh2"))
+      val live = Streams.cdcLiveState(spark, state).select("id").collect().map(_.getLong(0)).toSet
+      assert(live == Set(2L), "unstamped tombstone must still block the stale update")
+      assert(spark.read.parquet(state).count() == 2, "tombstone must survive with GC disabled")
+    }
+    // Case 2 — bounded retention 1: ages from the upgrade batch (0),
+    // survives batches 0 and 1, compacts at batch 2
+    locally {
+      chunkNo = 0
+      val (dir, ckpt, state) = freshCase()
+      deliver(dir, ckpt, state, 1L, upd("0/00000050", 1L, "zombie"), upd("0/00000200", 2L, "fresh2"))
+      assert(spark.read.parquet(state).count() == 2,
+        "upgrade batch (age 0) must keep the unstamped tombstone, not delete it on sight")
+      assert(Streams.cdcLiveState(spark, state).select("id").collect().map(_.getLong(0)).toSet == Set(2L))
+      deliver(dir, ckpt, state, 1L, upd("0/00000210", 2L, "fresh3"))
+      assert(spark.read.parquet(state).count() == 2, "age 1 <= retention 1: still kept")
+      deliver(dir, ckpt, state, 1L, upd("0/00000220", 2L, "fresh4"))
+      assert(spark.read.parquet(state).count() == 1,
+        "age 2 > retention 1: backfilled tombstone compacts on schedule")
+    }
+  }
+
+  test("a NULL event-time row does not crash the inactivity detector; non-null rows still fire") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      def t(hm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00")
+      val out = Streams.userInactivityTimeouts(
+        input.toDF().toDF("user_id", "ts"), gapMs = 10 * 60 * 1000L)(spark)
+      val q = out.toDF().writeStream.format("memory").queryName("t_inact_null")
+        .outputMode("append").start()
+      try {
+        // withWatermark does NOT drop null timestamps — unscreened,
+        // rows.map(_._2.getTime).max NPEs inside the stateful operator
+        input.addData((1L, t("10:00")), (5L, null.asInstanceOf[java.sql.Timestamp]))
+        q.processAllAvailable()
+        input.addData((2L, t("11:00")))
+        q.processAllAvailable() // wm 11:00 > user 1's 10:10 deadline
+        val fired = spark.table("t_inact_null").collect().map(_.getLong(0)).toSet
+        assert(fired == Set(1L),
+          s"user 1 fires normally; the null-ts row is screened, not a query failure: $fired")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("a drifted payload column named 'op' fails the batch loudly — the reserved-name guard cdcLiveState's mode sniff rests on") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
