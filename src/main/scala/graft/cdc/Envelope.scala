@@ -104,6 +104,120 @@ object Envelope {
         extras.map(f => col(s"new.${f.name}").as(camelCase(f.name))): _*)
   }
 
+  /** A relation in a multi-table CDC stream — the per-table schema
+    * registry entry for `FOR ALL TABLES` publications
+    * (`/root/reference/terraform/setup_database.sql:17`: the
+    * reference's slot carries `students` AND `status`, though its
+    * consumer only ever decodes students). `image` declares the STATE
+    * schema (source field name → state type; values cast on
+    * projection), `key` names the image's key field, `renames`
+    * overrides the default snake_case→camelCase output name per field.
+    *
+    * Schema drift in a multi-table stream is registry-driven: only
+    * REGISTERED fields project (the union read schema makes every
+    * table's fields visible to every event, so a blanket pass-through
+    * would leak sibling tables' nulls into each state) — a producer
+    * ALTER means restarting with a widened `image`, and the
+    * materializer's state widening handles history exactly as in the
+    * single-table path. */
+  final case class Relation(name: String, image: StructType, key: String = "id",
+      renames: Map[String, String] = Map.empty) {
+    def outName(field: String): String = renames.getOrElse(field, camelCase(field))
+  }
+
+  /** The reference's two relations (`terraform/setup_database.sql:1-15`). */
+  val studentsRelation: Relation = Relation("students",
+    StructType(Seq(
+      StructField("id", LongType),
+      StructField("first_name", StringType),
+      StructField("last_name", StringType),
+      StructField("date_of_birth", DateType),
+      StructField("status_id", IntegerType))),
+    renames = Map("status_id" -> "status"))
+
+  val statusRelation: Relation = Relation("status",
+    StructType(Seq(
+      StructField("id", LongType),
+      StructField("value", StringType))))
+
+  /** Envelope read schema for a multi-table stream: `new` is the UNION
+    * of every registered relation's image (JSON null-fills the fields
+    * an event's table doesn't carry), `old` the union of key fields.
+    * Same-named fields across relations unify on the wider numeric
+    * type within a family; an incompatible clash (e.g. one table's
+    * `id` a string, another's a long) fails here, at registry build,
+    * not row-by-row in the stream. */
+  def unionSchema(relations: Seq[Relation]): StructType = {
+    require(relations.map(_.name).distinct.size == relations.size,
+      s"[graft] duplicate relation names in ${relations.map(_.name).mkString(", ")}")
+    def unify(fields: Seq[(String, StructField)]): Seq[StructField] = {
+      val out = scala.collection.mutable.LinkedHashMap[String, StructField]()
+      fields.foreach { case (rel, f) =>
+        out.get(f.name) match {
+          case None => out(f.name) = f
+          case Some(prev) if prev.dataType == f.dataType => ()
+          case Some(prev) =>
+            val wide = widerNumericType(prev.dataType, f.dataType).getOrElse(
+              throw new IllegalArgumentException(
+                s"[graft] field '${f.name}' is ${prev.dataType} in one relation and " +
+                  s"${f.dataType} in '$rel' — incompatible types cannot share a union envelope"))
+            out(f.name) = prev.copy(dataType = wide)
+        }
+      }
+      out.values.toSeq
+    }
+    val newStruct = unify(relations.flatMap(r => r.image.fields.map(r.name -> _)))
+    val oldStruct = unify(relations.flatMap(r =>
+      r.image.fields.filter(_.name == r.key).map(r.name -> _)))
+    StructType(Seq(
+      StructField("lsn", StringType),
+      StructField("tag", StringType),
+      StructField("table", StringType),
+      StructField("new", StructType(newStruct)),
+      StructField("old", StructType(oldStruct))))
+  }
+
+  /** Wider numeric type WITHIN a family (the same lattice the
+    * materializer's state widening uses) — shared by [[unionSchema]]. */
+  private[graft] def widerNumericType(a: DataType, b: DataType): Option[DataType] = {
+    val integral = Map[DataType, Int](ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    val fractional = Map[DataType, Int](FloatType -> 1, DoubleType -> 2)
+    if (a == b) Some(a)
+    else (integral.get(a), integral.get(b), fractional.get(a), fractional.get(b)) match {
+      case (Some(x), Some(y), _, _) => Some(if (x >= y) a else b)
+      case (_, _, Some(x), Some(y)) => Some(if (x >= y) a else b)
+      case _ => None
+    }
+  }
+
+  /** Per-relation projection for a multi-table stream: the registry
+    * twin of [[project]]. Keeps `lsn`/`tag`, takes the key null-safely
+    * from `new`/`old` (deletes carry only `old`), selects ONLY the
+    * relation's registered image fields — cast to their declared state
+    * types — under their camelCased (or renamed) output names. The
+    * caller demuxes first (`df.filter(col("table") === rel.name)`);
+    * this projection is per-relation by construction. Output names get
+    * the same injectivity guard as [[project]]'s drift extras. */
+  def projectRelation(df: DataFrame, rel: Relation): DataFrame = {
+    val outs = rel.image.fields.map(f => f.name -> rel.outName(f.name))
+    val lowered = outs.map(_._2.toLowerCase(java.util.Locale.ROOT))
+    require(lowered.distinct.size == lowered.size,
+      s"[graft] relation '${rel.name}' image fields fold to duplicate output names: " +
+        outs.map { case (s, o) => s"$s->$o" }.mkString(", "))
+    require(!lowered.exists(Set("lsn", "tag").contains),
+      s"[graft] relation '${rel.name}' image field would shadow envelope bookkeeping (lsn/tag)")
+    require(rel.image.fields.exists(_.name == rel.key),
+      s"[graft] relation '${rel.name}' key '${rel.key}' is not an image field")
+    val cols = rel.image.fields.map { f =>
+      val src =
+        if (f.name == rel.key)
+          coalesce(col(s"new.${f.name}"), col(s"old.${f.name}"))
+        else col(s"new.${f.name}")
+      src.cast(f.dataType).as(rel.outName(f.name))
+    }
+    df.filter(tagFilter(df)).select(col("lsn") +: col("tag") +: cols: _*)
+  }
+
   /** A9/Q19 — final-state replay: latest event per key wins (LSN order,
     * fixed-width hex so lexicographic = numeric), deletes drop the key.
     * Idempotent under duplicated batches: re-applying any prefix of

@@ -128,6 +128,71 @@ object Fixture {
     dir.toString
   }
 
+  /** `status`-table events for the MULTI-TABLE fixture — the other
+    * relation the reference's `FOR ALL TABLES` publication ships
+    * (`/root/reference/terraform/setup_database.sql:1-6`: status is
+    * seeded with 'active'/'inactive' and never touched again by the
+    * PoC; here it gets its own insert/update/delete churn so the demux
+    * has something to prove). LSNs are ≡8 (mod 16) while students'
+    * are ≡0, so the two relations' events interleave strictly and
+    * never collide. Status ids overlap students ids ON PURPOSE — the
+    * un-demuxed failure mode is exactly cross-table key merging. */
+  final case class StEv(lsn: String, tag: String, id: Long, value: String)
+
+  lazy val statusEvents: Vector[StEv] = Vector(
+    StEv("0/00000018", "insert", 1L, "active"),
+    StEv("0/00000028", "insert", 2L, "inactive"),
+    StEv("0/00000038", "insert", 3L, "pending"),
+    StEv("0/00000138", "update", 3L, "on-hold"),
+    StEv("0/00000238", "delete", 3L, null),
+    StEv("0/00000338", "insert", 4L, "archived"),
+    StEv("0/00000438", "update", 1L, "enabled"),
+    StEv("0/00000538", "insert", 5L, "draft"),
+    StEv("0/00000638", "delete", 5L, null),
+    StEv("0/00000738", "update", 2L, "disabled"))
+
+  private def statusJsonLine(e: StEv): String = e.tag match {
+    case "delete" =>
+      s"""{"lsn": "${e.lsn}", "tag": "delete", "table": "status", "old": {"id": ${e.id}}}"""
+    case t =>
+      s"""{"lsn": "${e.lsn}", "tag": "$t", "table": "status", "new": {"id": ${e.id}, "value": "${e.value}"}}"""
+  }
+
+  /** Students + status events interleaved in LSN order (fixed-width
+    * hex → lexicographic sort is LSN order), with the same control
+    * noise — the single mixed stream a FOR ALL TABLES slot delivers. */
+  lazy val multiTableJsonLines: Vector[String] = {
+    val rows = (rowEvents.map(e => e.lsn -> jsonLine(e)) ++
+      statusEvents.map(e => e.lsn -> statusJsonLine(e))).sortBy(_._1).map(_._2)
+    val b = Vector.newBuilder[String]
+    b += s"""{"lsn": "0/00000001", "tag": "begin"}"""
+    b += s"""{"lsn": "0/00000002", "tag": "relation", "table": "students"}"""
+    b += s"""{"lsn": "0/00000003", "tag": "relation", "table": "status"}"""
+    var n = 0
+    rows.foreach { line =>
+      b += line
+      n += 1
+      if (n % 7 == 0) b += f"""{"lsn": "0/FFFF$n%04X", "tag": "commit"}"""
+    }
+    b += s"""{"lsn": "0/FFFFFFFF", "tag": "commit"}"""
+    b.result()
+  }
+
+  /** Chunked multi-table stream for file-stream replay, mod-time
+    * ordered like [[materializeChunks]]. */
+  def materializeMultiTableChunks(nChunks: Int): String = {
+    val dir = Files.createTempDirectory("graft_cdc_multi_chunks")
+    val per = math.max(1, multiTableJsonLines.size / nChunks)
+    val chunks = multiTableJsonLines.grouped(per).toVector
+    val t0 = System.currentTimeMillis() - 2000L * (chunks.size + 1)
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val f = dir.resolve(f"chunk_$i%04d.jsonl")
+      Files.write(f, chunk.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      f.toFile.setLastModified(t0 + i * 2000L)
+    }
+    dir.toString
+  }
+
   /** DuckDB VALUES rendering of the row events, for the Q19 oracle. */
   def valuesSql: String = {
     val rows = rowEvents.map { e =>

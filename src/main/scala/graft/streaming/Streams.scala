@@ -377,11 +377,26 @@ object Streams {
       statePath: String, orderedTransport: Boolean = true,
       casTombstoneRetention: Long = Long.MaxValue): StreamingQuery =
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
-      val spark = batch.sparkSession
-      requireSinkBinding(spark.sparkContext.hadoopConfiguration,
+      requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
         checkpoint, s"parquet:$statePath")
-      val projected = Envelope.project(batch)
-      val reduced = reduceBatch(projected)
+      requireSingleTable(batch, "materializeCdc", "materializeCdcTables")
+      applyBatchParquet(Envelope.project(batch), statePath, batchId, "id",
+        orderedTransport, casTombstoneRetention)
+    })
+
+  /** One relation's reduced micro-batch merged into its parquet state —
+    * the per-batch body shared by [[materializeCdc]] (one relation) and
+    * [[materializeCdcTables]] (N demuxed relations, one call each).
+    * A sub-batch with NO events for this relation returns without
+    * touching the state: rewriting an untouched relation's whole state
+    * parquet every micro-batch would make quiet relations pay the
+    * busiest relation's write amplification. */
+  private def applyBatchParquet(projected: DataFrame, statePath: String,
+      batchId: Long, keyCol: String, orderedTransport: Boolean,
+      casTombstoneRetention: Long): Unit = {
+    if (!projected.isEmpty) {
+      val spark = projected.sparkSession
+      val reduced = reduceBatch(projected, keyCol)
       require(!reduced.columns.exists(_.equalsIgnoreCase(casBatchCol)),
         s"[graft] materializeCdc reserves column '$casBatchCol' — rename it in the source schema")
       // ordered transports don't need the LSN once the batch is
@@ -445,10 +460,10 @@ object Streams {
       // flat as state grows.
       val merged0 =
         if (orderedTransport)
-          graft.ops.Merge.upsertSmallChanges(base, changes, "id", "op",
+          graft.ops.Merge.upsertSmallChanges(base, changes, keyCol, "op",
             partialImages = false, cacheMatched = false)
         else
-          graft.ops.Merge.upsertVersioned(base, casChanges, "id", "lsn",
+          graft.ops.Merge.upsertVersioned(base, casChanges, keyCol, "lsn",
             cacheMatched = false)
       // Tombstone GC: a CAS winner keeps ITS OWN arrival-batch stamp
       // (whole-row CAS), so a tombstone's age counts from the delete's
@@ -495,7 +510,76 @@ object Streams {
       // Failing the cleanup delete also aborts+replays; that replay is
       // idempotent (state already swapped; recovery just sweeps prev).
       if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
+    }
+  }
+
+  /** Multi-table CDC materialization — the engine-side rendering of the
+    * reference's `FOR ALL TABLES` publication
+    * (`/root/reference/src/utilities/query.ts:12`,
+    * `terraform/setup_database.sql:17`: ONE slot carries `students`
+    * AND `status`): one stream, one checkpoint, N registered relations
+    * demuxed per micro-batch into one state table each at
+    * `stateRoot/<relation>`. Each relation's sub-batch goes through
+    * its registered projection ([[Envelope.projectRelation]]) and the
+    * exact reduce→merge→swap of the single-table path, so every
+    * relation's state equals what a dedicated single-table stream over
+    * its events alone would have produced — checkpoint offsets stay
+    * shared, preserving the transport's cross-table delivery position
+    * (one slot, one ack, as in the reference). The batch is persisted
+    * across the N demux passes so the source isn't re-read per
+    * relation. Events whose `table` is not registered FAIL the batch
+    * loudly: silently dropping them is data loss, silently merging
+    * them (the pre-demux behavior) corrupts keys across relations.
+    * Read a relation's live rows with
+    * `cdcLiveState(spark, s"$stateRoot/<relation>")`. */
+  def materializeCdcTables(envelopes: DataFrame, checkpoint: String,
+      stateRoot: String, relations: Seq[Envelope.Relation],
+      orderedTransport: Boolean = true,
+      casTombstoneRetention: Long = Long.MaxValue): StreamingQuery =
+    runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
+      requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
+        checkpoint, s"parquet-multi:$stateRoot")
+      val cached = batch.persist()
+      try {
+        requireNoStrayTables(cached, relations.map(_.name))
+        relations.foreach { rel =>
+          applyBatchParquet(
+            Envelope.projectRelation(cached.filter(col("table") === rel.name), rel),
+            s"$stateRoot/${rel.name}", batchId, rel.outName(rel.key),
+            orderedTransport, casTombstoneRetention)
+        }
+      } finally cached.unpersist()
     })
+
+  /** A single-table materializer fed a multi-table stream would merge
+    * keys ACROSS relations (student 7 and status 7 collapse to one
+    * row) — fail the batch instead. Table names are a tiny set, so a
+    * map-side collect_set per batch is one cheap global agg, not a
+    * shuffle of the data. */
+  private def requireSingleTable(batch: DataFrame, op: String, alt: String): Unit =
+    if (batch.columns.contains("table")) {
+      val tbls = batch.filter(Envelope.tagFilter(batch))
+        .agg(collect_set(col("table"))).head().getSeq[String](0)
+      require(tbls.size <= 1,
+        s"[graft] $op materializes ONE relation but this batch carries tables " +
+          tbls.sorted.mkString("'", "', '", "'") +
+          s" — a FOR ALL TABLES publication must go through $alt, which demuxes per relation")
+    }
+
+  /** Row-change events for tables absent from the registry fail the
+    * multi-table batch loudly (data loss if dropped, cross-relation
+    * corruption if merged). */
+  private def requireNoStrayTables(batch: DataFrame, known: Seq[String]): Unit = {
+    val stray = batch
+      .filter(Envelope.tagFilter(batch) &&
+        (col("table").isNull || !col("table").isin(known.map(x => x: Any): _*)))
+      .select("table").distinct().limit(5).collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>"))
+    require(stray.isEmpty,
+      s"[graft] CDC stream carries unregistered table(s) ${stray.sorted.mkString("'", "', '", "'")} — " +
+        s"register every relation the publication ships (FOR ALL TABLES means exactly that) " +
+        s"or filter the stream upstream; silently ignoring a relation's changes is data loss")
+  }
 
   /** Bind a CDC checkpoint to the ONE sink it materializes. The
     * checkpoint's offsets mean "these batches are already applied" —
@@ -536,12 +620,12 @@ object Streams {
     * (Merge.presentCol style) instead of silently corrupting the state
     * schema. ('lsn'/'tag' are the envelope's own bookkeeping —
     * Envelope.project already owns those names.) */
-  private def reduceBatch(projected: DataFrame): DataFrame = {
+  private def reduceBatch(projected: DataFrame, keyCol: String = "id"): DataFrame = {
     require(!projected.columns.exists(_.equalsIgnoreCase("op")),
       s"[graft] CDC materialization reserves column 'op' for the change-op marker — " +
         s"rename it in the source schema: ${projected.columns.mkString("[", ", ", "]")}")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("lsn").desc)
+      .partitionBy(col(keyCol)).orderBy(col("lsn").desc)
     projected
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .withColumn("op", when(col("tag") === "delete", lit("D")).otherwise(lit("U")))
@@ -580,29 +664,75 @@ object Streams {
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
         checkpoint, s"jdbc:$url#$table")
-      val reduced = reduceBatch(Envelope.project(batch))
-      if (orderedTransport) {
-        val changes = reduced.drop("lsn")
-        val payload = org.apache.spark.sql.types.StructType(
-          changes.schema.fields.filterNot(_.name.equalsIgnoreCase("op")))
-        graft.sources.Jdbc.ensureTable(url, table, payload, "id", props)
-        graft.sources.Jdbc.applyChanges(changes, url, table, "id", "op", props)
-      } else {
-        // arrival-batch stamp ages tombstones, as in the parquet CAS
-        // state; the winner keeps ITS OWN stamp (whole-row CAS), so a
-        // tombstone's age counts from the delete's arrival
-        require(!reduced.columns.exists(_.equalsIgnoreCase(casBatchCol)),
-          s"[graft] materializeCdcJdbc reserves column '$casBatchCol' — rename it in the source schema")
-        val stamped = reduced.withColumn(casBatchCol, lit(batchId))
-        graft.sources.Jdbc.ensureTable(url, table, stamped.schema, "id", props)
-        graft.sources.Jdbc.applyChangesVersioned(stamped, url, table, "id", "lsn", "op", props)
-        // tombstone GC, same horizon contract as materializeCdc: one
-        // driver-side DELETE per batch; replay recomputes the same
-        // batchId → the same compaction decision (idempotent)
-        if (casTombstoneRetention != Long.MaxValue)
-          graft.sources.Jdbc.deleteExpiredTombstones(url, table, "op", casBatchCol,
-            batchId - casTombstoneRetention, props)
-      }
+      requireSingleTable(batch, "materializeCdcJdbc", "materializeCdcJdbcTables")
+      applyBatchJdbc(Envelope.project(batch), url, table, batchId, "id", props,
+        orderedTransport, casTombstoneRetention)
+    })
+
+  /** One relation's reduced micro-batch applied to its JDBC table —
+    * the per-batch body shared by [[materializeCdcJdbc]] and
+    * [[materializeCdcJdbcTables]]. Unlike the parquet path there is no
+    * empty-batch skip: `ensureTable` is a scoped metadata read (plus
+    * the widening ALTER when drift landed), so an untouched relation
+    * costs one metadata round-trip, not a state rewrite — and the
+    * table is created eagerly on the first batch either way. */
+  private def applyBatchJdbc(projected: DataFrame, url: String, table: String,
+      batchId: Long, keyCol: String, props: Map[String, String],
+      orderedTransport: Boolean, casTombstoneRetention: Long): Unit = {
+    val reduced = reduceBatch(projected, keyCol)
+    if (orderedTransport) {
+      val changes = reduced.drop("lsn")
+      val payload = org.apache.spark.sql.types.StructType(
+        changes.schema.fields.filterNot(_.name.equalsIgnoreCase("op")))
+      graft.sources.Jdbc.ensureTable(url, table, payload, keyCol, props)
+      graft.sources.Jdbc.applyChanges(changes, url, table, keyCol, "op", props)
+    } else {
+      // arrival-batch stamp ages tombstones, as in the parquet CAS
+      // state; the winner keeps ITS OWN stamp (whole-row CAS), so a
+      // tombstone's age counts from the delete's arrival
+      require(!reduced.columns.exists(_.equalsIgnoreCase(casBatchCol)),
+        s"[graft] materializeCdcJdbc reserves column '$casBatchCol' — rename it in the source schema")
+      val stamped = reduced.withColumn(casBatchCol, lit(batchId))
+      graft.sources.Jdbc.ensureTable(url, table, stamped.schema, keyCol, props)
+      graft.sources.Jdbc.applyChangesVersioned(stamped, url, table, keyCol, "lsn", "op", props)
+      // tombstone GC, same horizon contract as materializeCdc: one
+      // driver-side DELETE per batch; replay recomputes the same
+      // batchId → the same compaction decision (idempotent)
+      if (casTombstoneRetention != Long.MaxValue)
+        graft.sources.Jdbc.deleteExpiredTombstones(url, table, "op", casBatchCol,
+          batchId - casTombstoneRetention, props)
+    }
+  }
+
+  /** Multi-table CDC → JDBC materialization: [[materializeCdcTables]]'s
+    * demux with [[materializeCdcJdbc]]'s per-relation apply — one
+    * stream, one checkpoint, one QUERYABLE table per registered
+    * relation (`tableNames` maps relation → table name; identity by
+    * default). Same loud guard on unregistered tables, same
+    * exactly-once-equivalence per relation: the shared checkpoint
+    * replays the whole batch, and every relation's apply is
+    * idempotent, so a crash between relation applies re-lands the
+    * applied ones as no-ops and completes the rest. */
+  def materializeCdcJdbcTables(envelopes: DataFrame, checkpoint: String,
+      url: String, relations: Seq[Envelope.Relation],
+      tableNames: String => String = identity,
+      props: Map[String, String] = Map.empty,
+      orderedTransport: Boolean = true,
+      casTombstoneRetention: Long = Long.MaxValue): StreamingQuery =
+    runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
+      requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
+        checkpoint,
+        s"jdbc-multi:$url#${relations.map(r => tableNames(r.name)).sorted.mkString(",")}")
+      val cached = batch.persist()
+      try {
+        requireNoStrayTables(cached, relations.map(_.name))
+        relations.foreach { rel =>
+          applyBatchJdbc(
+            Envelope.projectRelation(cached.filter(col("table") === rel.name), rel),
+            url, tableNames(rel.name), batchId, rel.outName(rel.key), props,
+            orderedTransport, casTombstoneRetention)
+        }
+      } finally cached.unpersist()
     })
 
   /** Live rows of a CAS-mode [[materializeCdcJdbc]] table: filters the
@@ -646,17 +776,8 @@ object Streams {
     * coercion for compatible pairs, a loud analysis error otherwise) —
     * no silent lossy cast here. */
   private def widerNumeric(a: org.apache.spark.sql.types.DataType,
-      b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
-    import org.apache.spark.sql.types._
-    val integral = Map[DataType, Int](ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
-    val fractional = Map[DataType, Int](FloatType -> 1, DoubleType -> 2)
-    if (a == b) Some(a)
-    else (integral.get(a), integral.get(b), fractional.get(a), fractional.get(b)) match {
-      case (Some(x), Some(y), _, _) => Some(if (x >= y) a else b)
-      case (_, _, Some(x), Some(y)) => Some(if (x >= y) a else b)
-      case _ => None
-    }
-  }
+      b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] =
+    Envelope.widerNumericType(a, b)
 
   /** Fail loudly on Hadoop's boolean-false error reporting (see the
     * swap commentary in [[materializeCdc]]). */

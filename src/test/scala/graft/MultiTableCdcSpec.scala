@@ -1,0 +1,266 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.cdc.{Envelope, Fixture}
+import graft.streaming.Streams
+
+/** Multi-table CDC demux (round 10's lead item): the reference's
+  * publication is `FOR ALL TABLES` (`/root/reference/src/utilities/
+  * query.ts:12`), so ONE slot interleaves `students` and `status`
+  * events. These specs pin (a) the registry surface — union envelope
+  * schema, per-relation projection, (b) both materializer modes
+  * demuxing into per-relation state that equals an independent
+  * sequential fold of each relation's events alone, and (c) the loud
+  * failures: a single-table materializer fed the mixed stream, and a
+  * demux missing a registration. Expected values are folded directly
+  * from the fixture case classes — never through the code under test.
+  */
+class MultiTableCdcSpec extends SparkSuite {
+
+  private val relations = Seq(Envelope.studentsRelation, Envelope.statusRelation)
+  private val union = Envelope.unionSchema(relations)
+
+  /** Independent oracle: sequential last-image fold of students events. */
+  private def studentsFinal: Map[Long, (String, String, String, Int)] = {
+    val m = scala.collection.mutable.LinkedHashMap[Long, (String, String, String, Int)]()
+    Fixture.rowEvents.foreach { e =>
+      if (e.tag == "delete") m -= e.id
+      else m(e.id) = (e.firstName, e.lastName, e.dateOfBirth, e.statusId)
+    }
+    m.toMap
+  }
+
+  /** Independent oracle: sequential last-image fold of status events. */
+  private def statusFinal: Map[Long, String] = {
+    val m = scala.collection.mutable.LinkedHashMap[Long, String]()
+    Fixture.statusEvents.foreach { e =>
+      if (e.tag == "delete") m -= e.id
+      else m(e.id) = e.value
+    }
+    m.toMap
+  }
+
+  private def quiesce(): Unit = {
+    var waited = 0
+    while (spark.streams.active.nonEmpty && waited < 10000) {
+      Thread.sleep(100); waited += 100
+    }
+  }
+
+  private def collectStudents(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      ((r.getString(r.fieldIndex("firstName")), r.getString(r.fieldIndex("lastName")),
+        r.getDate(r.fieldIndex("dateOfBirth")).toString, r.getInt(r.fieldIndex("status"))))).toMap
+
+  private def collectStatus(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      r.getString(r.fieldIndex("value"))).toMap
+
+  test("fixture precondition: relations interleave and their key spaces overlap") {
+    // the un-demuxed failure mode is cross-table key merging — it only
+    // bites if ids collide across relations, so the fixture must collide
+    assert(statusFinal.keySet.intersect(studentsFinal.keySet).nonEmpty)
+    val lsns = Fixture.multiTableJsonLines.filter(_.contains("\"table\": \"status\""))
+    assert(lsns.size == Fixture.statusEvents.size + 1, "10 row events + 1 relation line")
+    // strict LSN interleave, no collisions with students' ≡0 (mod 16) LSNs
+    assert(Fixture.statusEvents.map(_.lsn).toSet
+      .intersect(Fixture.rowEvents.map(_.lsn).toSet).isEmpty)
+  }
+
+  test("unionSchema merges images, widens numerics within a family, and refuses incompatible clashes") {
+    val newStruct = union("new").dataType.asInstanceOf[StructType]
+    assert(newStruct.fieldNames.toSet ==
+      Set("id", "first_name", "last_name", "date_of_birth", "status_id", "value"))
+    // same-named key unifies (both long here); a numeric clash widens
+    val widened = Envelope.unionSchema(Seq(
+      Envelope.statusRelation,
+      Envelope.Relation("counters", StructType(Seq(
+        StructField("id", IntegerType), StructField("n", LongType))))))
+    assert(widened("new").dataType.asInstanceOf[StructType]("id").dataType == LongType)
+    // an incompatible clash (string vs long id) fails at registry build
+    val e = intercept[IllegalArgumentException] {
+      Envelope.unionSchema(Seq(
+        Envelope.statusRelation,
+        Envelope.Relation("tags", StructType(Seq(
+          StructField("id", StringType), StructField("label", StringType))))))
+    }
+    assert(e.getMessage.contains("incompatible types"), e.getMessage)
+  }
+
+  test("projectRelation(students) under the union schema equals the authoritative single-table projection") {
+    val mixed = spark.read.schema(union).json(
+      writeLines(Fixture.multiTableJsonLines))
+    val viaRelation = Envelope.projectRelation(
+      mixed.filter(col("table") === "students"), Envelope.studentsRelation)
+    val viaProject = Envelope.project(
+      spark.read.schema(Envelope.schema).json(Fixture.materialize()))
+    assert(viaRelation.columns.toSeq == viaProject.columns.toSeq)
+    assert(viaRelation.exceptAll(viaProject).isEmpty &&
+      viaProject.exceptAll(viaRelation).isEmpty,
+      "registry projection must reproduce the hand-written students mapping")
+  }
+
+  test("materializeCdcTables (ordered): one mixed stream lands one consistent state table per relation") {
+    val in = Fixture.materializeMultiTableChunks(5)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mt_ckpt").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_mt_state").toString
+    Streams.materializeCdcTables(
+      Streams.envelopeStream(spark, in, schema = union), ckpt, root, relations)
+      .awaitTermination()
+    quiesce()
+    val students = spark.read.parquet(s"$root/students")
+    val status = spark.read.parquet(s"$root/status")
+    assert(collectStudents(students) == studentsFinal.map { case (k, (f, l, d, s)) =>
+      k -> ((f, l, d, s)) },
+      "students state must equal the students-only sequential fold")
+    assert(collectStatus(status) == statusFinal,
+      "status state must equal the status-only sequential fold")
+    // no cross-contamination: status state has exactly its own columns
+    assert(status.columns.toSet == Set("id", "value"))
+    assert(students.columns.toSet ==
+      Set("id", "firstName", "lastName", "dateOfBirth", "status"))
+    // restart on the same checkpoint: no new data, both states unchanged
+    val before = (students.orderBy("id").collect().toSeq,
+      status.orderBy("id").collect().toSeq)
+    Streams.materializeCdcTables(
+      Streams.envelopeStream(spark, in, schema = union), ckpt, root, relations)
+      .awaitTermination()
+    quiesce()
+    assert((spark.read.parquet(s"$root/students").orderBy("id").collect().toSeq,
+      spark.read.parquet(s"$root/status").orderBy("id").collect().toSeq) == before)
+  }
+
+  test("materializeCdcTables (CAS): reverse-order delivery of the mixed stream still converges per relation") {
+    import java.nio.file.Files
+    val lines = Fixture.multiTableJsonLines
+    val chunks = lines.grouped(math.max(1, lines.size / 5)).toVector
+    val dir = Files.createTempDirectory("graft_mtcas_in")
+    val t0 = System.currentTimeMillis() - 2000L * (chunks.size + 1)
+    chunks.indices.reverse.zipWithIndex.foreach { case (ci, pos) =>
+      val f = dir.resolve(f"chunk_$ci%04d.jsonl")
+      Files.write(f, chunks(ci).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(t0 + pos * 2000L)
+    }
+    val ckpt = Files.createTempDirectory("graft_mtcas_ckpt").toString
+    val root = Files.createTempDirectory("graft_mtcas_state").toString
+    Streams.materializeCdcTables(
+      Streams.envelopeStream(spark, dir.toString, schema = union), ckpt, root, relations,
+      orderedTransport = false).awaitTermination()
+    quiesce()
+    assert(collectStudents(Streams.cdcLiveState(spark, s"$root/students")) ==
+      studentsFinal.map { case (k, (f, l, d, s)) => k -> ((f, l, d, s)) })
+    assert(collectStatus(Streams.cdcLiveState(spark, s"$root/status")) == statusFinal,
+      "per-relation LSN CAS must converge under reversed mixed delivery")
+  }
+
+  test("negative pin: a single-table materializer fed the mixed stream fails loudly, it does not merge keys across relations") {
+    val in = Fixture.materializeMultiTableChunks(3)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mtneg_ckpt").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_mtneg_state").toString + "/students"
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.materializeCdc(
+        Streams.envelopeStream(spark, in, schema = union), ckpt, state)
+        .awaitTermination()
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs(failed).contains("materializes ONE relation") &&
+      msgs(failed).contains("status") && msgs(failed).contains("students") &&
+      msgs(failed).contains("materializeCdcTables"), msgs(failed))
+  }
+
+  test("negative pin: the JDBC single-table materializer also refuses the mixed stream") {
+    val in = Fixture.materializeMultiTableChunks(3)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mtnegj_ckpt").toString
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.materializeCdcJdbc(
+        Streams.envelopeStream(spark, in, schema = union), ckpt,
+        "jdbc:derby:memory:graft_mtnegj;create=true", "students_live")
+        .awaitTermination()
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs(failed).contains("materializes ONE relation") &&
+      msgs(failed).contains("materializeCdcJdbcTables"), msgs(failed))
+  }
+
+  test("negative pin: an unregistered relation in the stream fails the demux loudly instead of dropping its events") {
+    val in = Fixture.materializeMultiTableChunks(3)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mtstray_ckpt").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_mtstray_state").toString
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.materializeCdcTables(
+        Streams.envelopeStream(spark, in, schema = union), ckpt, root,
+        Seq(Envelope.studentsRelation)) // status NOT registered
+        .awaitTermination()
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs(failed).contains("unregistered table") &&
+      msgs(failed).contains("status"), msgs(failed))
+  }
+
+  test("materializeCdcJdbcTables (ordered): the mixed stream lands one queryable Derby table per relation") {
+    val sinkUrl = "jdbc:derby:memory:graft_mtjdbc;create=true"
+    val in = Fixture.materializeMultiTableChunks(4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mtjdbc_ckpt").toString
+    Streams.materializeCdcJdbcTables(
+      Streams.envelopeStream(spark, in, schema = union), ckpt, sinkUrl, relations,
+      tableNames = n => s"live_$n").awaitTermination()
+    quiesce()
+    val students = graft.sources.Jdbc.snapshot(spark, sinkUrl, "live_students")
+    val status = graft.sources.Jdbc.snapshot(spark, sinkUrl, "live_status")
+    assert(collectStudents(students) == studentsFinal.map { case (k, (f, l, d, s)) =>
+      k -> ((f, l, d, s)) })
+    assert(collectStatus(status) == statusFinal)
+    // lost-commit replay is a per-relation no-op (idempotent applies)
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val newest = commitsDir.listFiles().filterNot(_.getName.startsWith("."))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete())
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    Streams.materializeCdcJdbcTables(
+      Streams.envelopeStream(spark, in, schema = union), ckpt, sinkUrl, relations,
+      tableNames = n => s"live_$n").awaitTermination()
+    quiesce()
+    assert(collectStudents(
+      graft.sources.Jdbc.snapshot(spark, sinkUrl, "live_students")) ==
+      studentsFinal.map { case (k, (f, l, d, s)) => k -> ((f, l, d, s)) })
+    assert(collectStatus(
+      graft.sources.Jdbc.snapshot(spark, sinkUrl, "live_status")) == statusFinal,
+      "replaying the lost batch must be a no-op on every relation's table")
+  }
+
+  test("materializeCdcJdbcTables (CAS): reversed mixed delivery converges per relation in SQL state") {
+    import java.nio.file.Files
+    val sinkUrl = "jdbc:derby:memory:graft_mtjdbccas;create=true"
+    val lines = Fixture.multiTableJsonLines
+    val chunks = lines.grouped(math.max(1, lines.size / 4)).toVector
+    val dir = Files.createTempDirectory("graft_mtjcas_in")
+    val t0 = System.currentTimeMillis() - 2000L * (chunks.size + 1)
+    chunks.indices.reverse.zipWithIndex.foreach { case (ci, pos) =>
+      val f = dir.resolve(f"chunk_$ci%04d.jsonl")
+      Files.write(f, chunks(ci).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(t0 + pos * 2000L)
+    }
+    val ckpt = Files.createTempDirectory("graft_mtjcas_ckpt").toString
+    Streams.materializeCdcJdbcTables(
+      Streams.envelopeStream(spark, dir.toString, schema = union), ckpt, sinkUrl, relations,
+      tableNames = n => s"cas_$n", orderedTransport = false).awaitTermination()
+    quiesce()
+    assert(collectStudents(
+      Streams.cdcLiveStateJdbc(spark, sinkUrl, "cas_students")) ==
+      studentsFinal.map { case (k, (f, l, d, s)) => k -> ((f, l, d, s)) })
+    assert(collectStatus(
+      Streams.cdcLiveStateJdbc(spark, sinkUrl, "cas_status")) == statusFinal)
+  }
+
+  private def writeLines(lines: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_lines")
+    val f = dir.resolve("all.jsonl")
+    java.nio.file.Files.write(f,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f.toString
+  }
+}
