@@ -164,6 +164,58 @@ object Jdbc {
     } finally c.close()
   }
 
+  /** (lower-cased column name → java.sql.Types code) of an existing
+    * table; empty map when the table doesn't exist. Scoped metadata
+    * read like [[ensureTable]]'s. Used by the CDC materializer's
+    * non-additive-drift guard. */
+  def columnTypes(url: String, table: String,
+      props: Map[String, String] = Map.empty): Map[String, Int] = {
+    val c = connect(url, props)
+    try {
+      val patterns = Seq(table,
+        table.toUpperCase(java.util.Locale.ROOT),
+        table.toLowerCase(java.util.Locale.ROOT)).distinct
+      patterns.flatMap { pat =>
+        val rs = c.getMetaData.getColumns(null, null, pat, null)
+        try Iterator.continually(rs).takeWhile(_.next())
+          .filter(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+          .map(r => r.getString("COLUMN_NAME").toLowerCase(java.util.Locale.ROOT) ->
+            r.getInt("DATA_TYPE"))
+          .toList
+        finally rs.close()
+      }.toMap
+    } finally c.close()
+  }
+
+  /** Coarse type family of a JDBC type code / Spark type — for the
+    * drift guard's "is this migration even plausibly compatible"
+    * check. In-family changes (INT→BIGINT, VARCHAR(64)→VARCHAR(512))
+    * stay the remote database's business; a cross-family change
+    * (int→string) has no safe streaming interpretation. */
+  private[graft] def typeFamily(t: Int): String = {
+    import java.sql.Types._
+    t match {
+      case TINYINT | SMALLINT | INTEGER | BIGINT | REAL | FLOAT | DOUBLE |
+           NUMERIC | DECIMAL => "numeric"
+      case CHAR | VARCHAR | LONGVARCHAR | NCHAR | NVARCHAR | LONGNVARCHAR |
+           CLOB | NCLOB => "character"
+      case DATE => "date"
+      case TIME | TIMESTAMP | TIME_WITH_TIMEZONE | TIMESTAMP_WITH_TIMEZONE => "timestamp"
+      case BOOLEAN | BIT => "boolean"
+      case _ => "other"
+    }
+  }
+
+  private[graft] def typeFamily(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         _: DecimalType => "numeric"
+    case StringType => "character"
+    case DateType => "date"
+    case TimestampType => "timestamp"
+    case BooleanType => "boolean"
+    case _ => "other"
+  }
+
   /** Apply a reduced CDC change set to a JDBC table as an idempotent
     * per-key MERGE: every touched key is DELETEd, then every non-'D'
     * row re-INSERTed with its new image — one transaction per

@@ -409,10 +409,12 @@ object Streams {
       val state = new org.apache.hadoop.fs.Path(statePath)
       val fs = state.getFileSystem(hconf)
       recoverCdcState(fs, statePath)
+      val stateExists = fs.exists(state)
       val base0 =
-        if (fs.exists(state)) spark.read.parquet(statePath)
+        if (stateExists) spark.read.parquet(statePath)
         else if (orderedTransport) changes.drop("op").limit(0)
         else changes.limit(0) // first batch: empty state, same schema
+      if (stateExists) requireCompatibleDrift(base0.schema, changes.schema, statePath)
       // ADDITIVE SCHEMA DRIFT: after a drift restart the change batch
       // carries columns the accumulated state predates — null-fill the
       // base so history widens in place (each batch rewrites the state
@@ -566,6 +568,83 @@ object Streams {
           s" — a FOR ALL TABLES publication must go through $alt, which demuxes per relation")
     }
 
+  /** NON-ADDITIVE schema drift fails loudly BEFORE any state is
+    * touched — the two migrations a streaming restart must not paper
+    * over:
+    *
+    *  - COLUMN REMOVAL: a state column absent from the incoming change
+    *    schema. Silently null-filling it (the additive machinery's
+    *    move) would erase real history column-wide on the next whole-
+    *    state rewrite; a dropped producer column is a deliberate
+    *    migration (rewrite the state, re-bind the checkpoint), not a
+    *    restart. Replayed PRE-drift batches never trip this: a restart
+    *    re-reads them under the CURRENT envelope schema, so the column
+    *    is present (null-valued), not missing.
+    *  - INCOMPATIBLE TYPE CHANGE: a shared column whose state/change
+    *    types admit no safe in-family numeric widening (int→string and
+    *    friends). Guessing a cast either loses data or poisons the
+    *    column; fail with the pair instead.
+    */
+  private def requireCompatibleDrift(baseSchema: org.apache.spark.sql.types.StructType,
+      changeSchema: org.apache.spark.sql.types.StructType, where: String): Unit = {
+    val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    val bookkeeping = Set("op", "lsn", lower(casBatchCol))
+    val changeByName = changeSchema.fields.map(f => lower(f.name) -> f).toMap
+    val removed = baseSchema.fields.filterNot(f =>
+      bookkeeping(lower(f.name)) || changeByName.contains(lower(f.name)))
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"[graft] non-additive schema drift at $where: state column(s) " +
+        removed.map(_.name).mkString("'", "', '", "'") +
+        " are absent from the incoming change schema — column removal is a deliberate " +
+        "migration (rewrite the state, re-bind the checkpoint), not a streaming restart")
+    baseSchema.fields.foreach { f =>
+      changeByName.get(lower(f.name)).foreach { g =>
+        if (f.dataType != g.dataType &&
+            Envelope.widerNumericType(f.dataType, g.dataType).isEmpty)
+          throw new IllegalStateException(
+            s"[graft] incompatible type drift at $where: column '${f.name}' is " +
+              s"${f.dataType.simpleString} in the state but ${g.dataType.simpleString} " +
+              "in the change batch — no safe widening exists; migrate the state deliberately")
+      }
+    }
+  }
+
+  /** The JDBC rendering of [[requireCompatibleDrift]], against the
+    * remote table's JDBC metadata: removal = a remote column absent
+    * from the incoming schema; incompatibility = a shared column whose
+    * JDBC type family and Spark type family differ (in-family widening
+    * like INT→BIGINT stays the database's business — Streams only
+    * refuses what has no safe interpretation at all). No-op while the
+    * table doesn't exist yet. */
+  private def requireCompatibleDriftJdbc(url: String, table: String,
+      incoming: org.apache.spark.sql.types.StructType,
+      props: Map[String, String]): Unit = {
+    val remote = graft.sources.Jdbc.columnTypes(url, table, props)
+    if (remote.nonEmpty) {
+      val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+      val bookkeeping = Set("op", "lsn", lower(casBatchCol))
+      val incomingByName = incoming.fields.map(f => lower(f.name) -> f).toMap
+      val removed = remote.keys.filterNot(c =>
+        bookkeeping(c) || incomingByName.contains(c)).toSeq.sorted
+      if (removed.nonEmpty) throw new IllegalStateException(
+        s"[graft] non-additive schema drift at $url#$table: table column(s) " +
+          removed.mkString("'", "', '", "'") +
+          " are absent from the incoming change schema — column removal is a deliberate " +
+          "migration (migrate the table, re-bind the checkpoint), not a streaming restart")
+      incoming.fields.foreach { f =>
+        remote.get(lower(f.name)).foreach { jdbcType =>
+          val (rf, sf) = (graft.sources.Jdbc.typeFamily(jdbcType),
+            graft.sources.Jdbc.typeFamily(f.dataType))
+          if (rf != sf) throw new IllegalStateException(
+            s"[graft] incompatible type drift at $url#$table: column '${f.name}' is " +
+              s"$rf (JDBC type $jdbcType) in the table but $sf " +
+              s"(${f.dataType.simpleString}) in the change batch — no safe widening " +
+              "exists; migrate the table deliberately")
+        }
+      }
+    }
+  }
+
   /** Row-change events for tables absent from the registry fail the
     * multi-table batch loudly (data loss if dropped, cross-relation
     * corruption if merged). */
@@ -684,6 +763,7 @@ object Streams {
       val changes = reduced.drop("lsn")
       val payload = org.apache.spark.sql.types.StructType(
         changes.schema.fields.filterNot(_.name.equalsIgnoreCase("op")))
+      requireCompatibleDriftJdbc(url, table, payload, props)
       graft.sources.Jdbc.ensureTable(url, table, payload, keyCol, props)
       graft.sources.Jdbc.applyChanges(changes, url, table, keyCol, "op", props)
     } else {
@@ -693,6 +773,7 @@ object Streams {
       require(!reduced.columns.exists(_.equalsIgnoreCase(casBatchCol)),
         s"[graft] materializeCdcJdbc reserves column '$casBatchCol' — rename it in the source schema")
       val stamped = reduced.withColumn(casBatchCol, lit(batchId))
+      requireCompatibleDriftJdbc(url, table, stamped.schema, props)
       graft.sources.Jdbc.ensureTable(url, table, stamped.schema, keyCol, props)
       graft.sources.Jdbc.applyChangesVersioned(stamped, url, table, keyCol, "lsn", "op", props)
       // tombstone GC, same horizon contract as materializeCdc: one
