@@ -222,8 +222,8 @@ object Envelope {
     * fixed-width hex so lexicographic = numeric), deletes drop the key.
     * Idempotent under duplicated batches: re-applying any prefix of
     * already-seen events cannot change the winner. */
-  def lastImageByKey(projected: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("lsn").desc)
+  def lastImageByKey(projected: DataFrame, keyCol: String = "id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("lsn").desc)
     projected
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("tag") =!= "delete")

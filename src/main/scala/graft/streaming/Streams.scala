@@ -284,7 +284,8 @@ object Streams {
     * columns the stream doesn't carry are dropped, stream columns the
     * snapshot predates are null-filled — a snapshot taken before a
     * schema drift still unions cleanly with post-drift changes. */
-  def snapshotThenStream(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+  def snapshotThenStream(snapshot: DataFrame, changes: DataFrame,
+      keyCol: String = "id"): DataFrame = {
     val payload = changes.columns.filterNot(c =>
       c.equalsIgnoreCase("lsn") || c.equalsIgnoreCase("tag")).toSeq
     val snapCols = snapshot.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
@@ -296,8 +297,28 @@ object Streams {
         else lit(null).cast(changes.schema(c).dataType).as(c)
       }: _*)
     Envelope.lastImageByKey(snapAsEvents.unionByName(
-      changes.select(("lsn" +: "tag" +: payload).map(col): _*)))
+      changes.select(("lsn" +: "tag" +: payload).map(col): _*)), keyCol)
   }
+
+  /** Snapshot-then-stream for a MULTI-TABLE stream (A6 × the demux):
+    * every registered relation seeds from ITS OWN batch snapshot —
+    * e.g. one [[graft.sources.Jdbc.snapshot]] per table, the
+    * initial-load shape of a `FOR ALL TABLES` subscription — and
+    * resolves against its demuxed change events by last-image-wins,
+    * exactly as the single-relation [[snapshotThenStream]]. Relations
+    * without a snapshot entry start from the stream alone. Returns
+    * one resolved live state per relation. */
+  def snapshotThenStreamTables(envelopes: DataFrame,
+      relations: Seq[Envelope.Relation],
+      snapshots: Map[String, DataFrame]): Map[String, DataFrame] =
+    relations.map { rel =>
+      val changes = Envelope.projectRelation(
+        envelopes.filter(col("table") === rel.name), rel)
+      rel.name -> (snapshots.get(rel.name) match {
+        case Some(snap) => snapshotThenStream(snap, changes, rel.outName(rel.key))
+        case None => Envelope.lastImageByKey(changes, rel.outName(rel.key))
+      })
+    }.toMap
 
   /** foreachBatch sink: the reference's per-batch listener boundary
     * (A2/A8). The handler runs after the batch is fully planned; the

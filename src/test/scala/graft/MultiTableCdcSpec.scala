@@ -256,6 +256,52 @@ class MultiTableCdcSpec extends SparkSuite {
       Streams.cdcLiveStateJdbc(spark, sinkUrl, "cas_status")) == statusFinal)
   }
 
+  test("multi-table snapshot-then-stream: per-table JDBC snapshots seed per-relation states, stream wins on overlap, deletes drop snapshot keys") {
+    // the initial-load shape of a FOR ALL TABLES subscription: one
+    // JDBC snapshot per relation unioned ahead of the demuxed stream
+    val murl = "jdbc:derby:memory:graft_ms_seed;create=true"
+    val c = java.sql.DriverManager.getConnection(murl)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE students_ms (id BIGINT PRIMARY KEY, first_name VARCHAR(64),
+          |  last_name VARCHAR(64), date_of_birth DATE, status_id INT)""".stripMargin)
+      st.executeUpdate("INSERT INTO students_ms VALUES (0, 'Snap', 'Zero', '1970-01-01', 1)")
+      st.executeUpdate("INSERT INTO students_ms VALUES (1000, 'Snap', 'Only', '1970-01-01', 1)")
+      st.executeUpdate("CREATE TABLE status_ms (id BIGINT PRIMARY KEY, value VARCHAR(64))")
+      st.executeUpdate("INSERT INTO status_ms VALUES (1, 'seed-active')")   // stream updates
+      st.executeUpdate("INSERT INTO status_ms VALUES (3, 'seed-pending')")  // stream DELETES
+      st.executeUpdate("INSERT INTO status_ms VALUES (1000, 'seed-only')")  // untouched
+      st.close()
+    } finally c.close()
+    val env = spark.read.schema(union).json(writeLines(Fixture.multiTableJsonLines))
+    val snaps = Map(
+      "students" -> graft.sources.Jdbc.snapshot(spark, murl, "students_ms")
+        .select(col("ID").as("id"), col("FIRST_NAME").as("firstName"),
+          col("LAST_NAME").as("lastName"),
+          col("DATE_OF_BIRTH").cast("date").as("dateOfBirth"),
+          col("STATUS_ID").as("status")),
+      "status" -> graft.sources.Jdbc.snapshot(spark, murl, "status_ms")
+        .select(col("ID").as("id"), col("VALUE").as("value")))
+    val states = Streams.snapshotThenStreamTables(env, relations, snaps)
+    // students: stream-final images win; snapshot-only id 1000 survives
+    val students = collectStudents(states("students"))
+    val expectStudents = studentsFinal.map { case (k, (f, l, d, s)) => k -> ((f, l, d, s)) } +
+      (1000L -> (("Snap", "Only", "1970-01-01", 1)))
+    assert(studentsFinal.contains(0L) || !students.contains(0L),
+      "fixture precondition: id 0 is stream-touched")
+    assert(students == expectStudents,
+      "stream images must win for touched keys; snapshot-only keys keep the JDBC image")
+    // status: updates win (1 -> 'enabled', not 'seed-active'), the
+    // stream's delete of id 3 drops the snapshot row, 1000 survives
+    val status = collectStatus(states("status"))
+    assert(status == statusFinal + (1000L -> "seed-only"), status.toString)
+    assert(!status.contains(3L),
+      "a stream delete must drop the snapshot image, not resurrect it")
+    assert(status(1L) == "enabled" && statusFinal(1L) == "enabled",
+      "overlap keys take the stream's final image over the seed value")
+  }
+
   private def writeLines(lines: Seq[String]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_mt_lines")
     val f = dir.resolve("all.jsonl")
