@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   * get BIGGER, not just more numerous).
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleSmoke
+  * Optional args select sections: dedup | cdc | cdc_throughput | ann
+  * (no args = all).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    val only = args.toSet
+    def want(s: String) = only.isEmpty || only(s)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -56,7 +60,7 @@ object ScaleSmoke {
 
     // unmeasured warmup: JIT/codegen/shuffle machinery bills to nobody,
     // or the 1x point pays the whole JVM cold start and the curve lies
-    {
+    if (want("dedup")) {
       val w = queries.Pipeline.minhashPairs(spark, sfDir)
         .select(col("da"), col("db")).persist()
       ops.Dedup.connectedComponents(w, "da", "db").count()
@@ -64,7 +68,7 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
-    for (factor <- Seq(1, 5)) {
+    for (factor <- Seq(1, 5) if want("dedup")) {
       val dir = scaledDir(factor)
       val nDocs = sources.Tables.documents(spark, dir).count()
       val (pairs, pairSec) = timed {
@@ -89,8 +93,9 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
-    cdcStateCurve(spark)
-    annCurve(spark, sfDir)
+    if (want("cdc")) cdcStateCurve(spark)
+    if (want("cdc_throughput")) cdcThroughputCurve(spark)
+    if (want("ann")) annCurve(spark, sfDir)
     spark.stop()
   }
 
@@ -171,6 +176,93 @@ object ScaleSmoke {
         val jdbcMs = batchMs(runId2)
         println(s"""{"metric":"cdc_state_scale","state_rows":$stateRows,""" +
           s""""swap_batch_ms":[${swapMs.mkString(",")}],"jdbc_batch_ms":[${jdbcMs.mkString(",")}]}""")
+      }
+    } finally spark.streams.removeListener(listener)
+  }
+
+  /** The OTHER axis of the JDBC materializer's curve: per-batch
+    * wall-clock vs ROWS PER BATCH at FIXED state size (the state-growth
+    * curve above holds the batch fixed and grows the state). Seeds a
+    * keyed 100k-row table once, then drives 4 micro-batches of
+    * synthetic envelope events at 200 / 2,000 / 20,000 rows per batch
+    * (~90% updates against seeded keys, ~10% deletes; all strictly
+    * LSN-increasing), recording `triggerExecution` per batch and
+    * deriving rows/s. Batch 0 of each run is excluded as stream-start
+    * warmup. This is the data behind the batch-size knob: the apply is
+    * per-partition batched DML, so cost should be ~linear in batch
+    * rows with a flat per-batch floor — i.e. rows/s RISES with batch
+    * size until the DML stream saturates. */
+  private def cdcThroughputCurve(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val durations = scala.collection.concurrent.TrieMap[(java.util.UUID, Long), Long]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val d = e.progress.durationMs
+        if (d != null && d.containsKey("triggerExecution"))
+          durations.put((e.progress.runId, e.progress.batchId), d.get("triggerExecution"))
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 20000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def batchMs(runId: java.util.UUID): Seq[Long] =
+      durations.collect { case ((r, b), ms) if r == runId => b -> ms }
+        .toSeq.sortBy(_._1).map(_._2)
+    val stateRows = 100000L
+    val nBatches = 4
+    try {
+      for (rowsPerBatch <- Seq(200, 2000, 20000)) {
+        val url = s"jdbc:derby:memory:graft_tput_$rowsPerBatch;create=true"
+        val seedDf = spark.range(stateRows).select(
+          (col("id") + 1000000L).as("id"),
+          concat(lit("fn"), col("id")).as("firstName"),
+          concat(lit("ln"), col("id")).as("lastName"),
+          lit("1990-01-01").cast("date").as("dateOfBirth"),
+          lit(1).as("status"))
+        sources.Jdbc.ensureTable(url, "students_live", seedDf.schema, "id")
+        sources.Jdbc.write(seedDf, url, "students_live",
+          org.apache.spark.sql.SaveMode.Append)
+        // synthetic envelope chunks: one file per micro-batch, mod-time
+        // ordered; keys cycle through the seeded range so every event
+        // hits an existing (indexed) row — the update-heavy steady state
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_tput_in_$rowsPerBatch")
+        val t0 = System.currentTimeMillis() - 2000L * (nBatches + 1)
+        var lsnSeq = 16L
+        for (b <- 0 until nBatches) {
+          val sb = new StringBuilder(rowsPerBatch * 160)
+          for (i <- 0 until rowsPerBatch) {
+            val id = 1000000L + ((b.toLong * rowsPerBatch + i) % stateRows)
+            val lsn = f"0/$lsnSeq%08X"
+            lsnSeq += 16L
+            if (i % 10 == 9)
+              sb.append(s"""{"lsn": "$lsn", "tag": "delete", "table": "students", "old": {"id": $id}}""")
+            else
+              sb.append(s"""{"lsn": "$lsn", "tag": "update", "table": "students", "new": {"id": $id, "first_name": "fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}""")
+            sb.append('\n')
+          }
+          val f = dir.resolve(f"chunk_$b%04d.jsonl")
+          java.nio.file.Files.write(f, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          f.toFile.setLastModified(t0 + b * 2000L)
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_tput_ckpt").toString
+        val q = streaming.Streams.materializeCdcJdbc(
+          streaming.Streams.envelopeStream(spark, dir.toString), ckpt, url, "students_live")
+        val runId = q.runId
+        q.awaitTermination(); quiesce()
+        val ms = batchMs(runId)
+        val steady = ms.drop(1) // batch 0 pays stream-start warmup
+        val meanMs = if (steady.nonEmpty) steady.sum.toDouble / steady.size else Double.NaN
+        val rowsPerSec = rowsPerBatch / (meanMs / 1000.0)
+        println(s"""{"metric":"cdc_jdbc_throughput","state_rows":$stateRows,""" +
+          s""""rows_per_batch":$rowsPerBatch,"batch_ms":[${ms.mkString(",")}],""" +
+          s""""steady_mean_ms":${f"$meanMs%.0f"},"rows_per_sec":${f"$rowsPerSec%.0f"}}""")
       }
     } finally spark.streams.removeListener(listener)
   }
