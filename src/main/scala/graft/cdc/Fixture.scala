@@ -178,6 +178,25 @@ object Fixture {
     b.result()
   }
 
+  /** Write the multi-table fixture as one file (idempotent), for batch
+    * replay — the multi-table twin of [[materialize]]. */
+  def materializeMultiTable(): String = {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_cdc_fixture")
+    Files.createDirectories(dir)
+    val f = dir.resolve("envelope_multitable.jsonl")
+    val content = multiTableJsonLines.mkString("\n")
+    if (!Files.exists(f) || !(new String(Files.readAllBytes(f), StandardCharsets.UTF_8) == content))
+      Files.write(f, content.getBytes(StandardCharsets.UTF_8))
+    f.toString
+  }
+
+  /** DuckDB VALUES rendering of the status-table events (q49 oracle). */
+  def statusValuesSql: String =
+    statusEvents.map { e =>
+      if (e.tag == "delete") s"('${e.lsn}', 'delete', ${e.id}, NULL)"
+      else s"('${e.lsn}', '${e.tag}', ${e.id}, '${e.value}')"
+    }.mkString(",\n")
+
   /** Chunked multi-table stream for file-stream replay, mod-time
     * ordered like [[materializeChunks]]. */
   def materializeMultiTableChunks(nChunks: Int): String = {

@@ -460,5 +460,49 @@ object Curation {
            |WHERE c_mktsegment = 'BUILDING'
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(p18, p19, m2, q40, q41, q42, q43, q44, q45, q46, q47, q48)
+  // q49 — MULTI-TABLE CDC DEMUX in the oracle gate (round 10's lead
+  // item; A1×A5×A9): the reference's FOR ALL TABLES slot
+  // (`/root/reference/src/utilities/query.ts:12`) interleaves
+  // `students` and `status` on one stream. Batch replay of the mixed
+  // fixture, demuxed per relation through the registry projection,
+  // last-image folded per relation, then the FK join the reference
+  // implies but never runs (students.status_id → status.id,
+  // `terraform/setup_database.sql:14`): live students counted per
+  // LIVE status value. The status side is a handful of rows —
+  // broadcast, never a shuffle of the students side. The oracle folds
+  // both event logs independently as VALUES relations (same
+  // generators, no drift).
+  val q49 = QuerySpec(
+    "q49_multitable_demux",
+    (s, _) => {
+      import graft.cdc.{Envelope, Fixture}
+      val rels = Seq(Envelope.studentsRelation, Envelope.statusRelation)
+      val env = s.read.schema(Envelope.unionSchema(rels))
+        .json(Fixture.materializeMultiTable())
+      def liveState(rel: Envelope.Relation) =
+        Envelope.lastImageByKey(
+          Envelope.projectRelation(env.filter(col("table") === rel.name), rel))
+      val students = liveState(Envelope.studentsRelation)
+      val status = liveState(Envelope.statusRelation)
+        .select(col("id").as("st_id"), col("value"))
+      students.select(col("status"))
+        .join(broadcast(status), col("status") === col("st_id"))
+        .groupBy(col("value"))
+        .agg(count(lit(1)).as("n_students"))
+        .select(col("value").as("status_value"), col("n_students"))
+        .orderBy(col("status_value"))
+    },
+    Some(s"""WITH sev(lsn, tag, id, first_name, last_name, date_of_birth, status_id) AS (VALUES
+            |${graft.cdc.Fixture.valuesSql}),
+            |stv(lsn, tag, id, value) AS (VALUES
+            |${graft.cdc.Fixture.statusValuesSql}),
+            |sl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn FROM sev),
+            |stl AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn FROM stv),
+            |students AS (SELECT id, status_id FROM sl WHERE rn = 1 AND tag <> 'delete'),
+            |status AS (SELECT id, value FROM stl WHERE rn = 1 AND tag <> 'delete')
+            |SELECT st.value AS status_value, COUNT(*) AS n_students
+            |FROM students s JOIN status st ON s.status_id = st.id
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(p18, p19, m2, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }

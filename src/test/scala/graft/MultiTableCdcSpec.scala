@@ -302,6 +302,21 @@ class MultiTableCdcSpec extends SparkSuite {
       "overlap keys take the stream's final image over the seed value")
   }
 
+  test("q49 oracle query matches the per-relation folds and broadcasts the status side") {
+    val df = graft.queries.Curation.q49.fn(spark, sf)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent expectation: join the two folds directly
+    val expected = studentsFinal.values.map(_._4.toLong)
+      .groupBy(identity).view
+      .flatMap { case (sid, xs) => statusFinal.get(sid).map(_ -> xs.size.toLong) }
+      .toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.values.sum > 0, "fixture precondition: live students reference live statuses")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the handful-of-rows status side must broadcast, not shuffle the students side:\n$plan")
+  }
+
   private def writeLines(lines: Seq[String]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_mt_lines")
     val f = dir.resolve("all.jsonl")
