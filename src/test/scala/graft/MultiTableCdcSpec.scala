@@ -317,6 +317,114 @@ class MultiTableCdcSpec extends SparkSuite {
       s"the handful-of-rows status side must broadcast, not shuffle the students side:\n$plan")
   }
 
+  test("a crash BETWEEN relation applies aborts the batch; replay re-lands the applied relation as a no-op and completes the rest") {
+    import java.nio.file.Files
+    import org.apache.hadoop.fs.Path
+    // The demux applies relations sequentially inside one foreachBatch:
+    // students swaps first, then status. Fail status's swap rename —
+    // students has ALREADY swapped for this batch. The claim under
+    // test: the batch aborts before its checkpoint commit, and the
+    // replay merges students' identical change set idempotently while
+    // completing status — per-relation exactly-once-equivalence from
+    // one shared checkpoint.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.failfs.impl", classOf[FailOnceFs].getName)
+    val src = Files.createTempDirectory("graft_mtcrash_in")
+    val lines = Fixture.multiTableJsonLines
+    val (phase1, phase2) = lines.splitAt(lines.size / 2)
+    val now = System.currentTimeMillis()
+    def writeChunk(name: String, ls: Seq[String], mtime: Long): Unit = {
+      val f = src.resolve(name)
+      Files.write(f, ls.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+    }
+    writeChunk("chunk_0000.jsonl", phase1, now - 60000L)
+    val ckpt = Files.createTempDirectory("graft_mtcrash_ckpt").toString
+    val rootDir = Files.createTempDirectory("graft_mtcrash_state").toString
+    val root = s"failfs://$rootDir"
+    def commits: Seq[String] =
+      Option(new java.io.File(ckpt, "commits").list()).map(_.toSeq).getOrElse(Seq.empty)
+        .filterNot(_.startsWith(".")).sorted
+    Streams.materializeCdcTables(
+      Streams.envelopeStream(spark, src.toString, schema = union), ckpt, root, relations)
+      .awaitTermination()
+    quiesce()
+    assert(commits == Seq("0"))
+    writeChunk("chunk_0001.jsonl", phase2, now - 30000L)
+    FailOnceFs.armedDstName.set("status") // second relation's swap fails
+    try {
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        Streams.materializeCdcTables(
+          Streams.envelopeStream(spark, src.toString, schema = union), ckpt, root, relations)
+          .awaitTermination()
+      }
+      def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs(failed).contains("returned false"), msgs(failed))
+    } finally FailOnceFs.armedDstName.set(null)
+    quiesce()
+    assert(commits == Seq("0"), "the half-applied batch must NOT reach its checkpoint commit")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$root/students")),
+      "crash point: the first relation's swap already landed")
+    assert(!fs.exists(new Path(s"$root/status")),
+      "crash point: the second relation's state is renamed aside mid-swap")
+    // restart, fault cleared: students replays as a no-op, status completes
+    Streams.materializeCdcTables(
+      Streams.envelopeStream(spark, src.toString, schema = union), ckpt, root, relations)
+      .awaitTermination()
+    quiesce()
+    assert(commits == Seq("0", "1"))
+    assert(collectStudents(spark.read.parquet(s"$root/students")) ==
+      studentsFinal.map { case (k, (f, l, d, s)) => k -> ((f, l, d, s)) },
+      "replay onto the already-swapped students state must be idempotent")
+    assert(collectStatus(spark.read.parquet(s"$root/status")) == statusFinal,
+      "the failed relation must complete on replay")
+    assert(new java.io.File(rootDir).list().toSeq.sorted == Seq("status", "students"),
+      "recovery must sweep swap/prev artifacts for both relations")
+  }
+
+  test("a batch with no events for a relation skips that relation's state rewrite entirely") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft_mtskip_in")
+    val ckpt = Files.createTempDirectory("graft_mtskip_ckpt").toString
+    val root = Files.createTempDirectory("graft_mtskip_state").toString
+    val now = System.currentTimeMillis()
+    def writeChunk(name: String, mtime: Long, lines: String*): Unit = {
+      val f = src.resolve(name)
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+    }
+    def student(lsn: String, id: Long) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "students", "new": {"id": $id, "first_name": "fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    def status(lsn: String, id: Long, v: String) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "status", "new": {"id": $id, "value": "$v"}}"""
+    // batch 0 touches both relations
+    writeChunk("chunk_0000.jsonl", now - 60000L,
+      student("0/00000010", 1L), status("0/00000018", 1L, "active"))
+    Streams.materializeCdcTables(
+      Streams.envelopeStream(spark, src.toString, schema = union), ckpt, root, relations)
+      .awaitTermination()
+    quiesce()
+    def listing(rel: String): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$root/$rel")
+      d.listFiles().map(f => f.getName -> f.lastModified()).toSeq.sorted
+    }
+    val statusBefore = listing("status")
+    // batch 1 carries ONLY students events: the status state parquet
+    // must not be rewritten (same files, same mtimes — quiet relations
+    // must not pay the busy relation's write amplification)
+    writeChunk("chunk_0001.jsonl", now - 30000L, student("0/00000020", 2L))
+    Streams.materializeCdcTables(
+      Streams.envelopeStream(spark, src.toString, schema = union), ckpt, root, relations)
+      .awaitTermination()
+    quiesce()
+    assert(listing("status") == statusBefore,
+      "an untouched relation's state files must be byte-identical, not rewritten")
+    assert(collectStudents(spark.read.parquet(s"$root/students")).keySet == Set(1L, 2L),
+      "the touched relation still advances")
+  }
+
   private def writeLines(lines: Seq[String]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_mt_lines")
     val f = dir.resolve("all.jsonl")
