@@ -179,9 +179,12 @@ object Fixture {
   }
 
   /** Write the multi-table fixture as one file (idempotent), for batch
-    * replay — the multi-table twin of [[materialize]]. */
+    * replay — the multi-table twin of [[materialize]]. Its OWN
+    * directory: consumers of the single-table fixture stream its
+    * parent dir whole (runner.Main), so the mixed file must not live
+    * next to it. */
   def materializeMultiTable(): String = {
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_cdc_fixture")
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_cdc_fixture_multi")
     Files.createDirectories(dir)
     val f = dir.resolve("envelope_multitable.jsonl")
     val content = multiTableJsonLines.mkString("\n")

@@ -558,14 +558,15 @@ object Streams {
   def materializeCdcTables(envelopes: DataFrame, checkpoint: String,
       stateRoot: String, relations: Seq[Envelope.Relation],
       orderedTransport: Boolean = true,
-      casTombstoneRetention: Long = Long.MaxValue): StreamingQuery =
+      casTombstoneRetention: Long = Long.MaxValue,
+      maxConcurrentRelations: Int = 1): StreamingQuery =
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
         checkpoint, s"parquet-multi:$stateRoot")
       val cached = batch.persist()
       try {
         requireNoStrayTables(cached, relations.map(_.name))
-        relations.foreach { rel =>
+        applyRelations(relations, maxConcurrentRelations) { rel =>
           applyBatchParquet(
             Envelope.projectRelation(cached.filter(col("table") === rel.name), rel),
             s"$stateRoot/${rel.name}", batchId, rel.outName(rel.key),
@@ -573,6 +574,34 @@ object Streams {
         }
       } finally cached.unpersist()
     })
+
+  /** Run the per-relation applies of one micro-batch, optionally
+    * `parallelism`-wide. The applies are INDEPENDENT by construction —
+    * disjoint state dirs / tables, each internally idempotent — so at
+    * FOR ALL TABLES catalog sizes (hundreds of relations, most quiet
+    * in any batch) the sequential loop's N× driver round-trips, not
+    * the data volume, becomes the micro-batch floor; concurrent
+    * applies overlap them (Spark actions are thread-safe across
+    * jobs). Failure semantics are unchanged: every apply settles
+    * before the first failure is rethrown (no writes stay in flight
+    * into recovery), the batch misses its checkpoint commit, and the
+    * replay re-lands completed relations as no-ops — the exact
+    * contract the mid-demux crash test pins for the sequential path. */
+  private def applyRelations(relations: Seq[Envelope.Relation], parallelism: Int)(
+      apply: Envelope.Relation => Unit): Unit =
+    if (parallelism <= 1 || relations.size <= 1) relations.foreach(apply)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, relations.size))
+      try {
+        val futures = relations.map { r =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = apply(r)
+          })
+        }
+        futures.foreach(_.get()) // settle ALL, rethrow the first failure
+      } finally pool.shutdown()
+    }
 
   /** A single-table materializer fed a multi-table stream would merge
     * keys ACROSS relations (student 7 and status 7 collapse to one
@@ -820,7 +849,8 @@ object Streams {
       tableNames: String => String = identity,
       props: Map[String, String] = Map.empty,
       orderedTransport: Boolean = true,
-      casTombstoneRetention: Long = Long.MaxValue): StreamingQuery =
+      casTombstoneRetention: Long = Long.MaxValue,
+      maxConcurrentRelations: Int = 1): StreamingQuery =
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
         checkpoint,
@@ -828,7 +858,7 @@ object Streams {
       val cached = batch.persist()
       try {
         requireNoStrayTables(cached, relations.map(_.name))
-        relations.foreach { rel =>
+        applyRelations(relations, maxConcurrentRelations) { rel =>
           applyBatchJdbc(
             Envelope.projectRelation(cached.filter(col("table") === rel.name), rel),
             url, tableNames(rel.name), batchId, rel.outName(rel.key), props,

@@ -384,6 +384,22 @@ class MultiTableCdcSpec extends SparkSuite {
       "recovery must sweep swap/prev artifacts for both relations")
   }
 
+  test("concurrent relation applies (maxConcurrentRelations=2) converge to the same per-relation states") {
+    // the scale path for FOR ALL TABLES catalogs: per-relation applies
+    // are independent (disjoint state dirs, each idempotent), so they
+    // may overlap — same folds must come out
+    val in = Fixture.materializeMultiTableChunks(4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mtpar_ckpt").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_mtpar_state").toString
+    Streams.materializeCdcTables(
+      Streams.envelopeStream(spark, in, schema = union), ckpt, root, relations,
+      maxConcurrentRelations = 2).awaitTermination()
+    quiesce()
+    assert(collectStudents(spark.read.parquet(s"$root/students")) ==
+      studentsFinal.map { case (k, (f, l, d, s)) => k -> ((f, l, d, s)) })
+    assert(collectStatus(spark.read.parquet(s"$root/status")) == statusFinal)
+  }
+
   test("a batch with no events for a relation skips that relation's state rewrite entirely") {
     import java.nio.file.Files
     val src = Files.createTempDirectory("graft_mtskip_in")
