@@ -95,6 +95,7 @@ object ScaleSmoke {
 
     if (want("cdc")) cdcStateCurve(spark)
     if (want("cdc_throughput")) cdcThroughputCurve(spark)
+    if (want("cdc_multi")) cdcMultiThroughput(spark)
     if (want("ann")) annCurve(spark, sfDir)
     spark.stop()
   }
@@ -263,6 +264,93 @@ object ScaleSmoke {
         println(s"""{"metric":"cdc_jdbc_throughput","state_rows":$stateRows,""" +
           s""""rows_per_batch":$rowsPerBatch,"batch_ms":[${ms.mkString(",")}],""" +
           s""""steady_mean_ms":${f"$meanMs%.0f"},"rows_per_sec":${f"$rowsPerSec%.0f"}}""")
+      }
+    } finally spark.streams.removeListener(listener)
+  }
+
+  /** Demux cost of the multi-table materializer at the same TOTAL rows
+    * per batch as the single-table 20k point: two relations
+    * (students + status), 10k events each per batch against fixed
+    * keyed 100k-row tables, sequential vs maxConcurrentRelations=2.
+    * The delta vs the single-table row quantifies what the demux
+    * machinery (batch persist, stray-table check, N filter+project
+    * passes, N applies) costs; the seq-vs-par delta is what the
+    * concurrency knob buys when the per-relation floors dominate. */
+  private def cdcMultiThroughput(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val durations = scala.collection.concurrent.TrieMap[(java.util.UUID, Long), Long]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val d = e.progress.durationMs
+        if (d != null && d.containsKey("triggerExecution"))
+          durations.put((e.progress.runId, e.progress.batchId), d.get("triggerExecution"))
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 20000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def batchMs(runId: java.util.UUID): Seq[Long] =
+      durations.collect { case ((r, b), ms) if r == runId => b -> ms }
+        .toSeq.sortBy(_._1).map(_._2)
+    val relations = Seq(cdc.Envelope.studentsRelation, cdc.Envelope.statusRelation)
+    val union = cdc.Envelope.unionSchema(relations)
+    val stateRows = 100000L
+    val perRelation = 10000 // × 2 relations = the single-table 20k point
+    val nBatches = 4
+    try {
+      for ((mode, conc) <- Seq(("seq", 1), ("par", 2))) {
+        val url = s"jdbc:derby:memory:graft_multi_$mode;create=true"
+        val students = spark.range(stateRows).select(
+          (col("id") + 1000000L).as("id"),
+          concat(lit("fn"), col("id")).as("firstName"),
+          concat(lit("ln"), col("id")).as("lastName"),
+          lit("1990-01-01").cast("date").as("dateOfBirth"),
+          lit(1).as("status"))
+        sources.Jdbc.ensureTable(url, "students", students.schema, "id")
+        sources.Jdbc.write(students, url, "students", org.apache.spark.sql.SaveMode.Append)
+        val status = spark.range(stateRows).select(
+          (col("id") + 1000000L).as("id"),
+          concat(lit("v"), col("id")).as("value"))
+        sources.Jdbc.ensureTable(url, "status", status.schema, "id")
+        sources.Jdbc.write(status, url, "status", org.apache.spark.sql.SaveMode.Append)
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_multi_in_$mode")
+        val t0 = System.currentTimeMillis() - 2000L * (nBatches + 1)
+        var lsnSeq = 16L
+        for (b <- 0 until nBatches) {
+          val sb = new StringBuilder(perRelation * 2 * 170)
+          for (i <- 0 until perRelation) {
+            val id = 1000000L + ((b.toLong * perRelation + i) % stateRows)
+            val l1 = f"0/$lsnSeq%08X"; lsnSeq += 16L
+            val l2 = f"0/$lsnSeq%08X"; lsnSeq += 16L
+            sb.append(s"""{"lsn": "$l1", "tag": "update", "table": "students", "new": {"id": $id, "first_name": "fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}""")
+            sb.append('\n')
+            sb.append(s"""{"lsn": "$l2", "tag": "update", "table": "status", "new": {"id": $id, "value": "v$id"}}""")
+            sb.append('\n')
+          }
+          val f = dir.resolve(f"chunk_$b%04d.jsonl")
+          java.nio.file.Files.write(f, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          f.toFile.setLastModified(t0 + b * 2000L)
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft_multi_ckpt_$mode").toString
+        val q = streaming.Streams.materializeCdcJdbcTables(
+          streaming.Streams.envelopeStream(spark, dir.toString, schema = union),
+          ckpt, url, relations, maxConcurrentRelations = conc)
+        val runId = q.runId
+        q.awaitTermination(); quiesce()
+        val ms = batchMs(runId)
+        val steady = ms.drop(1)
+        val meanMs = if (steady.nonEmpty) steady.sum.toDouble / steady.size else Double.NaN
+        val totalRows = perRelation * 2
+        println(s"""{"metric":"cdc_multi_throughput","mode":"$mode","relations":2,""" +
+          s""""rows_per_batch":$totalRows,"batch_ms":[${ms.mkString(",")}],""" +
+          s""""steady_mean_ms":${f"$meanMs%.0f"},"rows_per_sec":${f"${totalRows / (meanMs / 1000.0)}%.0f"}}""")
       }
     } finally spark.streams.removeListener(listener)
   }

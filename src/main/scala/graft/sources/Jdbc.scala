@@ -385,6 +385,22 @@ object Jdbc {
   private[graft] def needsInsertAttempt(count: Int): Boolean =
     count == 0 || count == java.sql.Statement.SUCCESS_NO_INFO
 
+  /** Backfill NULL arrival-batch stamps with the current batch id —
+    * rows from a PRE-UPGRADE CAS table (created before the stamp
+    * column existed; [[ensureTable]] widens it in, null-valued) age
+    * from the upgrade batch instead of never aging, mirroring the
+    * parquet state's backfill. One driver-side statement; a replayed
+    * batch recomputes the same id → idempotent. */
+  def backfillNullStamps(url: String, table: String, stampCol: String,
+      batchId: Long, props: Map[String, String] = Map.empty): Unit = {
+    val c = connect(url, props)
+    try {
+      val st = c.prepareStatement(
+        s"UPDATE $table SET ${quoted(stampCol)} = ? WHERE ${quoted(stampCol)} IS NULL")
+      try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
+    } finally c.close()
+  }
+
   /** Tombstone GC for CAS-mode tables ([[applyChangesVersioned]]):
     * delete tombstone rows whose arrival-batch stamp predates the
     * horizon. One driver-side statement; the caller passes the cutoff

@@ -825,10 +825,19 @@ object Streams {
       val stamped = reduced.withColumn(casBatchCol, lit(batchId))
       requireCompatibleDriftJdbc(url, table, stamped.schema, props)
       graft.sources.Jdbc.ensureTable(url, table, stamped.schema, keyCol, props)
-      graft.sources.Jdbc.applyChangesVersioned(stamped, url, table, keyCol, "lsn", "op", props)
       // tombstone GC, same horizon contract as materializeCdc: one
       // driver-side DELETE per batch; replay recomputes the same
-      // batchId → the same compaction decision (idempotent)
+      // batchId → the same compaction decision (idempotent). Rows from
+      // a pre-upgrade table (stamp column just widened in, NULL) are
+      // first backfilled to age from THIS batch — `stamp < ?` keeps
+      // NULLs so they were GC-safe, but without the backfill they
+      // would never age and the tombstone set would stay monotonic,
+      // the exact growth the horizon exists to bound (parquet-path
+      // parity). Backfill runs BEFORE the apply so this batch's own
+      // rows (all freshly stamped) are untouched by it.
+      if (casTombstoneRetention != Long.MaxValue)
+        graft.sources.Jdbc.backfillNullStamps(url, table, casBatchCol, batchId, props)
+      graft.sources.Jdbc.applyChangesVersioned(stamped, url, table, keyCol, "lsn", "op", props)
       if (casTombstoneRetention != Long.MaxValue)
         graft.sources.Jdbc.deleteExpiredTombstones(url, table, "op", casBatchCol,
           batchId - casTombstoneRetention, props)

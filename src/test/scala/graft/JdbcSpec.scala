@@ -338,6 +338,66 @@ class JdbcSpec extends SparkSuite {
       msgs(failed))
   }
 
+  test("JDBC CAS on a pre-upgrade table: NULL stamps are backfilled to age from the upgrade batch, then GC'd on schedule") {
+    import java.nio.file.Files
+    import graft.streaming.Streams
+    import org.apache.spark.sql.types._
+    // Pre-upgrade CAS table: created WITHOUT the arrival-batch stamp
+    // column (the shape applyChangesVersioned wrote before tombstone GC
+    // existed), holding a live row and a tombstone. ensureTable widens
+    // the stamp in (NULL); `stamp < ?` keeps NULLs so the tombstone was
+    // GC-safe but would never age — the backfill stamps it with the
+    // upgrade batch's id so the horizon applies from there.
+    val casUrl = "jdbc:derby:memory:graft_backfill;create=true"
+    val preSchema = StructType(Seq(
+      StructField("id", LongType), StructField("firstName", StringType),
+      StructField("lastName", StringType), StructField("dateOfBirth", DateType),
+      StructField("status", IntegerType), StructField("lsn", StringType),
+      StructField("op", StringType)))
+    Jdbc.ensureTable(casUrl, "cas_pre", preSchema, "id")
+    val c2 = java.sql.DriverManager.getConnection(casUrl)
+    try {
+      val st = c2.createStatement()
+      st.executeUpdate("""INSERT INTO cas_pre VALUES (1, NULL, NULL, NULL, NULL, '0/00000100', 'D')""")
+      st.executeUpdate("""INSERT INTO cas_pre VALUES (2, 'fn2', 'ln2', '1990-01-01', 1, '0/00000020', 'U')""")
+      st.close()
+    } finally c2.close()
+    def img(id: Long, fn: String) =
+      s""""new": {"id": $id, "first_name": "$fn", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}"""
+    val dir = Files.createTempDirectory("graft_backfill_in")
+    val ckpt = Files.createTempDirectory("graft_backfill_ckpt").toString
+    var chunkNo = 0
+    var mtime = System.currentTimeMillis() - 120000L
+    def deliver(lines: String*): Unit = {
+      val f = dir.resolve(f"chunk_$chunkNo%04d.jsonl")
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+      mtime += 2000L; chunkNo += 1
+      Streams.materializeCdcJdbc(Streams.envelopeStream(spark, dir.toString), ckpt,
+        casUrl, "cas_pre", orderedTransport = false, casTombstoneRetention = 1L)
+        .awaitTermination()
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def rawCount() = Jdbc.snapshot(spark, casUrl, "cas_pre").count()
+    def liveIds() = Streams.cdcLiveStateJdbc(spark, casUrl, "cas_pre")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // batch 0 (upgrade batch): a stale OLDER update for deleted key 1
+    // — the unstamped tombstone must block it AND get backfilled to 0
+    deliver(s"""{"lsn": "0/00000050", "tag": "update", "table": "students", ${img(1L, "zombie")}}""")
+    assert(liveIds() == Set(2L), "unstamped tombstone must still block the stale update")
+    assert(rawCount() == 2, "upgrade batch must keep the tombstone (age 0)")
+    // batch 1: age 1 <= retention 1 — kept
+    deliver(s"""{"lsn": "0/00000200", "tag": "update", "table": "students", ${img(2L, "fresh2")}}""")
+    assert(rawCount() == 2, "age 1 <= retention: tombstone kept")
+    // batch 2: age 2 > retention 1 — compacted
+    deliver(s"""{"lsn": "0/00000210", "tag": "update", "table": "students", ${img(2L, "fresh3")}}""")
+    assert(rawCount() == 1, "backfilled tombstone must GC on schedule")
+    assert(liveIds() == Set(2L))
+  }
+
   test("CAS insert fallback fires on count 0 AND on SUCCESS_NO_INFO, never on a positive row count") {
     // Oracle always returns Statement.SUCCESS_NO_INFO (-2) from
     // executeBatch; PostgreSQL does with reWriteBatchedInserts. An
