@@ -70,6 +70,22 @@ object Envelope {
     else (parts.head +: parts.tail.map(p => p.head.toUpper.toString + p.tail)).mkString
   }
 
+  /** Canonicalize a Postgres LSN to fixed-width `%08X/%08X`. The wire
+    * format prints each 32-bit half WITHOUT leading zeros
+    * (`0/16B2D80`, as the reference logs it — `main.ts:71`), so raw
+    * lexicographic comparison mis-orders across width boundaries
+    * (`'0/9' > '0/10'`). Every LSN ordering downstream — the
+    * last-image windows, the CAS merge, the JDBC version guard's SQL
+    * `<` — is a string compare, so normalizing ONCE at the projection
+    * edge makes them all numerically correct with no schema change.
+    * conv() accepts upper/lower hex; 32-bit halves always fit %08X. */
+  def normalizeLsn(c: Column): Column = {
+    val parts = split(c, "/")
+    format_string("%08X/%08X",
+      conv(parts.getItem(0), 16, 10).cast(LongType),
+      conv(parts.getItem(1), 16, 10).cast(LongType))
+  }
+
   def project(df: DataFrame): DataFrame = {
     val extras: Seq[StructField] = df.schema.fields.find(_.name == "new").map(_.dataType) match {
       case Some(s: StructType) => s.fields.filterNot(f => knownImageFields(f.name)).toSeq
@@ -94,7 +110,7 @@ object Envelope {
       }
     df.filter(tagFilter(df))
       .select(Seq(
-        col("lsn"),
+        normalizeLsn(col("lsn")).as("lsn"),
         col("tag"),
         coalesce(col("new.id"), col("old.id")).as("id"),
         col("new.first_name").as("firstName"),
@@ -215,7 +231,8 @@ object Envelope {
         else col(s"new.${f.name}")
       src.cast(f.dataType).as(rel.outName(f.name))
     }
-    df.filter(tagFilter(df)).select(col("lsn") +: col("tag") +: cols: _*)
+    df.filter(tagFilter(df))
+      .select(normalizeLsn(col("lsn")).as("lsn") +: col("tag") +: cols: _*)
   }
 
   /** A9/Q19 — final-state replay: latest event per key wins (LSN order,

@@ -290,7 +290,7 @@ object Streams {
       c.equalsIgnoreCase("lsn") || c.equalsIgnoreCase("tag")).toSeq
     val snapCols = snapshot.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val snapAsEvents = snapshot.select(
-      lit("0/00000000").as("lsn") +:
+      lit("00000000/00000000").as("lsn") +: // canonical LSN zero, below every wire LSN
       lit("insert").as("tag") +:
       payload.map { c =>
         if (snapCols(c.toLowerCase(java.util.Locale.ROOT))) col(c)
@@ -470,7 +470,17 @@ object Streams {
       }
       val base =
         if (orderedTransport) widen(base0, changes.drop("op").schema)
-        else widen(base0, changes.schema)
+        else
+          // LSN canonicalization migration: change LSNs are normalized
+          // to fixed-width %08X/%08X at the projection edge (r10);
+          // state written by earlier code may hold raw variable-width
+          // wire LSNs, which compare WRONG against canonical ones.
+          // Normalizing the base's version column on read is a no-op
+          // for canonical values and auto-migrates old state — each
+          // batch rewrites the state whole, so one touched batch
+          // completes the migration for the relation.
+          widen(base0, changes.schema)
+            .withColumn("lsn", Envelope.normalizeLsn(col("lsn")))
       val casChanges =
         if (orderedTransport) changes
         else widen(changes, base0.schema)
@@ -785,7 +795,16 @@ object Streams {
     * both modes: `ensureTable` runs every batch and widens the remote
     * table (`ALTER TABLE ADD COLUMN`, nullable) when a drift restart
     * brings new payload columns — pre-drift rows read back as NULL,
-    * same contract as the parquet state's null-fill. */
+    * same contract as the parquet state's null-fill.
+    *
+    * LSN format note (r10): change LSNs arrive canonicalized to
+    * fixed-width `%08X/%08X` ([[Envelope.normalizeLsn]]), so the CAS
+    * guard's SQL `<` is numerically correct. A CAS table written by
+    * pre-canonicalization code holds raw wire LSNs and needs a
+    * one-time migration (`UPDATE ... SET lsn = <padded form>` in the
+    * target dialect, or a Spark read-normalize-rewrite) — the parquet
+    * path auto-migrates because it rewrites state per batch; a SQL
+    * table's rows persist untouched, so it cannot. */
   def materializeCdcJdbc(envelopes: DataFrame, checkpoint: String,
       url: String, table: String, props: Map[String, String] = Map.empty,
       orderedTransport: Boolean = true,

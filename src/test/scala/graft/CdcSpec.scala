@@ -138,6 +138,38 @@ class CdcSpec extends SparkSuite {
     assert(projected.columns.count(_.startsWith("email")) == 2)
   }
 
+  test("variable-width wire LSNs order numerically after canonicalization, not lexicographically") {
+    import java.nio.file.Files
+    // pg prints LSN halves WITHOUT leading zeros (the reference logs
+    // '0/16B2D80'): '0/9' > '0/10' lexicographically, and the hi half
+    // crosses its own width boundary at '1/0'. The projection
+    // canonicalizes to %08X/%08X so every downstream string compare
+    // (windows, CAS, JDBC '<') is numerically correct.
+    def img(fn: String) =
+      s""""new": {"id": 1, "first_name": "$fn", "last_name": "x", "date_of_birth": "1990-01-01", "status_id": 1}"""
+    val lines = Seq(
+      s"""{"lsn": "0/9", "tag": "insert", "table": "students", ${img("first")}}""",
+      s"""{"lsn": "0/10", "tag": "update", "table": "students", ${img("second")}}""",
+      s"""{"lsn": "0/16b2d80", "tag": "update", "table": "students", ${img("third")}}""",
+      s"""{"lsn": "0/FFFFFFFF", "tag": "update", "table": "students", ${img("fourth")}}""",
+      s"""{"lsn": "1/0", "tag": "update", "table": "students", ${img("final")}}""")
+    val dir = Files.createTempDirectory("graft_varlsn")
+    val f = dir.resolve("events.jsonl")
+    Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val projected = Envelope.project(
+      spark.read.schema(Envelope.schema).json(f.toString))
+    // canonical output format, lowercase input included
+    val lsns = projected.select("lsn").collect().map(_.getString(0)).toSet
+    assert(lsns == Set("00000000/00000009", "00000000/00000010", "00000000/016B2D80",
+      "00000000/FFFFFFFF", "00000001/00000000"), lsns.toString)
+    // last-image winner must be the numerically-latest event, which is
+    // lexicographically SMALLEST in raw wire form ('1/0')
+    val winner = Envelope.lastImageByKey(projected).collect()
+    assert(winner.length == 1 &&
+      winner.head.getString(winner.head.fieldIndex("firstName")) == "final",
+      winner.mkString(","))
+  }
+
   test("materializeChunks stamps every chunk strictly in the past, even at max chunk count") {
     // one line per chunk is the worst case for the stamp budget: the
     // most chunks, the widest stride span (incl. duplicate-chunk +1s)

@@ -358,8 +358,10 @@ class JdbcSpec extends SparkSuite {
     val c2 = java.sql.DriverManager.getConnection(casUrl)
     try {
       val st = c2.createStatement()
-      st.executeUpdate("""INSERT INTO cas_pre VALUES (1, NULL, NULL, NULL, NULL, '0/00000100', 'D')""")
-      st.executeUpdate("""INSERT INTO cas_pre VALUES (2, 'fn2', 'ln2', '1990-01-01', 1, '0/00000020', 'U')""")
+      // canonical %08X/%08X LSNs — a pre-canonicalization table would
+      // first get the one-time LSN migration the scaladoc documents
+      st.executeUpdate("""INSERT INTO cas_pre VALUES (1, NULL, NULL, NULL, NULL, '00000000/00000100', 'D')""")
+      st.executeUpdate("""INSERT INTO cas_pre VALUES (2, 'fn2', 'ln2', '1990-01-01', 1, '00000000/00000020', 'U')""")
       st.close()
     } finally c2.close()
     def img(id: Long, fn: String) =
