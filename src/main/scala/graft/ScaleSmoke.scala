@@ -19,12 +19,18 @@ import org.apache.spark.sql.functions._
   * get BIGGER, not just more numerous).
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleSmoke
-  * Optional args select sections: dedup | cdc | cdc_throughput | ann
-  * (no args = all).
+  * Optional args select sections: dedup | cdc | cdc_throughput |
+  * cdc_multi | ann (no args = all; unknown args fail loudly rather
+  * than silently selecting nothing).
   */
 object ScaleSmoke {
+  private val sections = Set("dedup", "cdc", "cdc_throughput", "cdc_multi", "ann")
+
   def main(args: Array[String]): Unit = {
     val only = args.toSet
+    require(only.subsetOf(sections),
+      s"[graft] unknown ScaleSmoke section(s) ${(only -- sections).mkString(", ")} — " +
+        s"valid: ${sections.toSeq.sorted.mkString(", ")}")
     def want(s: String) = only.isEmpty || only(s)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,8 +65,10 @@ object ScaleSmoke {
     }
 
     // unmeasured warmup: JIT/codegen/shuffle machinery bills to nobody,
-    // or the 1x point pays the whole JVM cold start and the curve lies
-    if (want("dedup")) {
+    // or the 1x point pays the whole JVM cold start and the curve lies.
+    // Runs for ANY wall-clock-curve section (dedup/ann) — the cdc
+    // curves exclude batch 0 instead, which absorbs their cold start.
+    if (want("dedup") || want("ann")) {
       val w = queries.Pipeline.minhashPairs(spark, sfDir)
         .select(col("da"), col("db")).persist()
       ops.Dedup.connectedComponents(w, "da", "db").count()
@@ -100,22 +108,12 @@ object ScaleSmoke {
     spark.stop()
   }
 
-  /** CDC materialization per-batch latency vs accumulated state size.
-    *
-    * Pins the two scale shapes against each other with the same change
-    * stream (the ~200-event fixture in 5 micro-batches) over seeded
-    * states grown 10× and 100×:
-    *  - `parquet_swap` ([[streaming.Streams.materializeCdc]]): the
-    *    merge never shuffles the state, but the swap REWRITES it whole
-    *    each batch — per-batch cost is O(state) scan+write by design
-    *    (the scaladoc points production at a transactional table
-    *    format; this measures what the swap costs until then);
-    *  - `jdbc` ([[streaming.Streams.materializeCdcJdbc]]): per-batch
-    *    work touches only the batch's keys (delete+reinsert) — this is
-    *    the flat-latency path, and the curve should show it staying
-    *    flat while the swap grows linearly.
-    */
-  private def cdcStateCurve(spark: SparkSession): Unit = {
+  /** Streaming-listener measurement harness shared by the cdc curves:
+    * collects per-(runId, batchId) `triggerExecution` and hands the
+    * body a lookup plus a quiesce; one definition so a fix to the
+    * duration capture can't silently diverge across curves. */
+  private def withBatchDurations(spark: SparkSession)(
+      body: (java.util.UUID => Seq[Long], () => Unit) => Unit): Unit = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     val durations = scala.collection.concurrent.TrieMap[(java.util.UUID, Long), Long]()
@@ -135,16 +133,35 @@ object ScaleSmoke {
         Thread.sleep(100); waited += 100
       }
     }
-    def seed(n: Long) = spark.range(n).select(
-      (col("id") + 1000000L).as("id"),
-      concat(lit("fn"), col("id")).as("firstName"),
-      concat(lit("ln"), col("id")).as("lastName"),
-      lit("1990-01-01").cast("date").as("dateOfBirth"),
-      lit(1).as("status"))
     def batchMs(runId: java.util.UUID): Seq[Long] =
       durations.collect { case ((r, b), ms) if r == runId => b -> ms }
         .toSeq.sortBy(_._1).map(_._2)
-    try {
+    try body(batchMs, () => quiesce()) finally spark.streams.removeListener(listener)
+  }
+
+  /** CDC materialization per-batch latency vs accumulated state size.
+    *
+    * Pins the two scale shapes against each other with the same change
+    * stream (the ~200-event fixture in 5 micro-batches) over seeded
+    * states grown 10× and 100×:
+    *  - `parquet_swap` ([[streaming.Streams.materializeCdc]]): the
+    *    merge never shuffles the state, but the swap REWRITES it whole
+    *    each batch — per-batch cost is O(state) scan+write by design
+    *    (the scaladoc points production at a transactional table
+    *    format; this measures what the swap costs until then);
+    *  - `jdbc` ([[streaming.Streams.materializeCdcJdbc]]): per-batch
+    *    work touches only the batch's keys (delete+reinsert) — this is
+    *    the flat-latency path, and the curve should show it staying
+    *    flat while the swap grows linearly.
+    */
+  private def cdcStateCurve(spark: SparkSession): Unit =
+    withBatchDurations(spark) { (batchMs, quiesce) =>
+      def seed(n: Long) = spark.range(n).select(
+        (col("id") + 1000000L).as("id"),
+        concat(lit("fn"), col("id")).as("firstName"),
+        concat(lit("ln"), col("id")).as("lastName"),
+        lit("1990-01-01").cast("date").as("dateOfBirth"),
+        lit(1).as("status"))
       for (stateRows <- Seq(10000L, 100000L, 1000000L)) {
         // parquet-swap materializer over a pre-grown state
         val stateDir = java.nio.file.Files.createTempDirectory(s"graft_cdcscale_$stateRows")
@@ -178,8 +195,7 @@ object ScaleSmoke {
         println(s"""{"metric":"cdc_state_scale","state_rows":$stateRows,""" +
           s""""swap_batch_ms":[${swapMs.mkString(",")}],"jdbc_batch_ms":[${jdbcMs.mkString(",")}]}""")
       }
-    } finally spark.streams.removeListener(listener)
-  }
+    }
 
   /** The OTHER axis of the JDBC materializer's curve: per-batch
     * wall-clock vs ROWS PER BATCH at FIXED state size (the state-growth
@@ -193,32 +209,10 @@ object ScaleSmoke {
     * per-partition batched DML, so cost should be ~linear in batch
     * rows with a flat per-batch floor — i.e. rows/s RISES with batch
     * size until the DML stream saturates. */
-  private def cdcThroughputCurve(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.streaming.StreamingQueryListener
-    import org.apache.spark.sql.streaming.StreamingQueryListener._
-    val durations = scala.collection.concurrent.TrieMap[(java.util.UUID, Long), Long]()
-    val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        val d = e.progress.durationMs
-        if (d != null && d.containsKey("triggerExecution"))
-          durations.put((e.progress.runId, e.progress.batchId), d.get("triggerExecution"))
-      }
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    }
-    spark.streams.addListener(listener)
-    def quiesce(): Unit = {
-      var waited = 0
-      while (spark.streams.active.nonEmpty && waited < 20000) {
-        Thread.sleep(100); waited += 100
-      }
-    }
-    def batchMs(runId: java.util.UUID): Seq[Long] =
-      durations.collect { case ((r, b), ms) if r == runId => b -> ms }
-        .toSeq.sortBy(_._1).map(_._2)
-    val stateRows = 100000L
-    val nBatches = 4
-    try {
+  private def cdcThroughputCurve(spark: SparkSession): Unit =
+    withBatchDurations(spark) { (batchMs, quiesce) =>
+      val stateRows = 100000L
+      val nBatches = 4
       for (rowsPerBatch <- Seq(200, 2000, 20000)) {
         val url = s"jdbc:derby:memory:graft_tput_$rowsPerBatch;create=true"
         val seedDf = spark.range(stateRows).select(
@@ -265,8 +259,7 @@ object ScaleSmoke {
           s""""rows_per_batch":$rowsPerBatch,"batch_ms":[${ms.mkString(",")}],""" +
           s""""steady_mean_ms":${f"$meanMs%.0f"},"rows_per_sec":${f"$rowsPerSec%.0f"}}""")
       }
-    } finally spark.streams.removeListener(listener)
-  }
+    }
 
   /** Demux cost of the multi-table materializer at the same TOTAL rows
     * per batch as the single-table 20k point: two relations
@@ -276,35 +269,13 @@ object ScaleSmoke {
     * machinery (batch persist, stray-table check, N filter+project
     * passes, N applies) costs; the seq-vs-par delta is what the
     * concurrency knob buys when the per-relation floors dominate. */
-  private def cdcMultiThroughput(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.streaming.StreamingQueryListener
-    import org.apache.spark.sql.streaming.StreamingQueryListener._
-    val durations = scala.collection.concurrent.TrieMap[(java.util.UUID, Long), Long]()
-    val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        val d = e.progress.durationMs
-        if (d != null && d.containsKey("triggerExecution"))
-          durations.put((e.progress.runId, e.progress.batchId), d.get("triggerExecution"))
-      }
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    }
-    spark.streams.addListener(listener)
-    def quiesce(): Unit = {
-      var waited = 0
-      while (spark.streams.active.nonEmpty && waited < 20000) {
-        Thread.sleep(100); waited += 100
-      }
-    }
-    def batchMs(runId: java.util.UUID): Seq[Long] =
-      durations.collect { case ((r, b), ms) if r == runId => b -> ms }
-        .toSeq.sortBy(_._1).map(_._2)
-    val relations = Seq(cdc.Envelope.studentsRelation, cdc.Envelope.statusRelation)
-    val union = cdc.Envelope.unionSchema(relations)
-    val stateRows = 100000L
-    val perRelation = 10000 // × 2 relations = the single-table 20k point
-    val nBatches = 4
-    try {
+  private def cdcMultiThroughput(spark: SparkSession): Unit =
+    withBatchDurations(spark) { (batchMs, quiesce) =>
+      val relations = Seq(cdc.Envelope.studentsRelation, cdc.Envelope.statusRelation)
+      val union = cdc.Envelope.unionSchema(relations)
+      val stateRows = 100000L
+      val perRelation = 10000 // × 2 relations = the single-table 20k point
+      val nBatches = 4
       for ((mode, conc) <- Seq(("seq", 1), ("par", 2))) {
         val url = s"jdbc:derby:memory:graft_multi_$mode;create=true"
         val students = spark.range(stateRows).select(
@@ -352,8 +323,7 @@ object ScaleSmoke {
           s""""rows_per_batch":$totalRows,"batch_ms":[${ms.mkString(",")}],""" +
           s""""steady_mean_ms":${f"$meanMs%.0f"},"rows_per_sec":${f"${totalRows / (meanMs / 1000.0)}%.0f"}}""")
       }
-    } finally spark.streams.removeListener(listener)
-  }
+    }
 
   /** ANN scale curve (p10 LSH / p12 IVF): 1× and 5× corpus, recording
     * candidate-pair volume, wall-clock, and recall@k vs the exact

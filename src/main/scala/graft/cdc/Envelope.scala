@@ -81,9 +81,17 @@ object Envelope {
     * conv() accepts upper/lower hex; 32-bit halves always fit %08X. */
   def normalizeLsn(c: Column): Column = {
     val parts = split(c, "/")
-    format_string("%08X/%08X",
-      conv(parts.getItem(0), 16, 10).cast(LongType),
-      conv(parts.getItem(1), 16, 10).cast(LongType))
+    // malformed input must fail LOUDLY, not sort arbitrarily: a
+    // slash-less or non-hex lsn would conv() to null halves and
+    // format as garbage that silently mis-orders every downstream
+    // compare — the opposite of the engine's fail-loudly guards
+    when(c.rlike("^[0-9a-fA-F]{1,8}/[0-9a-fA-F]{1,8}$"),
+      format_string("%08X/%08X",
+        conv(parts.getItem(0), 16, 10).cast(LongType),
+        conv(parts.getItem(1), 16, 10).cast(LongType)))
+      .otherwise(raise_error(concat(
+        lit("[graft] malformed LSN '"), coalesce(c, lit("<null>")),
+        lit("' — expected <hex32>/<hex32> wire format"))))
   }
 
   def project(df: DataFrame): DataFrame = {

@@ -113,24 +113,32 @@ object Jdbc {
     * null-fill). Existing columns are never altered or dropped —
     * narrowing and type changes stay a DBA decision. Driver-side, once
     * per micro-batch (a metadata read when nothing changed). */
+  /** Connection's current schema as a metadata pattern — scopes
+    * getTables/getColumns to where unqualified DDL/DML resolves, so a
+    * same-named table in ANOTHER schema can't contaminate results.
+    * null (= all schemas) only when the driver can't say. */
+  private def currentSchemaPattern(c: java.sql.Connection): String =
+    try c.getSchema catch { case _: Throwable => null }
+
   def ensureTable(url: String, table: String, schema: StructType, keyCol: String,
       props: Map[String, String] = Map.empty): Unit = {
     val c = connect(url, props)
     try {
-      // Metadata reads are SCOPED to this table's name pattern, not
-      // the whole catalog: an unscoped getColumns pulls every column
-      // of every table per micro-batch, and a same-named table in
-      // another schema could mark a genuinely-missing column present
-      // (widening ALTER skipped → the batch INSERT fails). Patterns
-      // match the STORED identifier case-sensitively and `_` is a
-      // single-char wildcard, so probe the common case folds and keep
-      // the case-insensitive TABLE_NAME screen for wildcard
-      // near-matches.
+      // Metadata reads are SCOPED to the connection's current schema +
+      // this table's name pattern, not the whole catalog: an unscoped
+      // getColumns pulls every column of every table per micro-batch,
+      // and a same-named table in another schema could mark a
+      // genuinely-missing column present (widening ALTER skipped → the
+      // batch INSERT fails). Patterns match the STORED identifier
+      // case-sensitively and `_` is a single-char wildcard, so probe
+      // the common case folds and keep the case-insensitive TABLE_NAME
+      // screen for wildcard near-matches.
+      val schemaPat = currentSchemaPattern(c)
       val tablePatterns = Seq(table,
         table.toUpperCase(java.util.Locale.ROOT),
         table.toLowerCase(java.util.Locale.ROOT)).distinct
       val exists = tablePatterns.exists { pat =>
-        val rs = c.getMetaData.getTables(null, null, pat, Array("TABLE"))
+        val rs = c.getMetaData.getTables(null, schemaPat, pat, Array("TABLE"))
         try Iterator.continually(rs).takeWhile(_.next())
           .exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
         finally rs.close()
@@ -144,7 +152,7 @@ object Jdbc {
         try st.executeUpdate(s"CREATE TABLE $table ($cols)") finally st.close()
       } else {
         val have = tablePatterns.flatMap { pat =>
-          val rs = c.getMetaData.getColumns(null, null, pat, null)
+          val rs = c.getMetaData.getColumns(null, schemaPat, pat, null)
           try Iterator.continually(rs).takeWhile(_.next())
             .filter(_.getString("TABLE_NAME").equalsIgnoreCase(table))
             .map(_.getString("COLUMN_NAME").toLowerCase(java.util.Locale.ROOT))
@@ -164,28 +172,67 @@ object Jdbc {
     } finally c.close()
   }
 
-  /** (lower-cased column name → java.sql.Types code) of an existing
-    * table; empty map when the table doesn't exist. Scoped metadata
-    * read like [[ensureTable]]'s. Used by the CDC materializer's
-    * non-additive-drift guard. */
-  def columnTypes(url: String, table: String,
-      props: Map[String, String] = Map.empty): Map[String, Int] = {
+  /** One remote column's metadata, for the drift guard: JDBC type
+    * plus whether an INSERT may omit it (nullable or defaulted). */
+  final case class ColumnMeta(jdbcType: Int, nullable: Boolean, hasDefault: Boolean)
+
+  /** (lower-cased column name → [[ColumnMeta]]) of an existing table;
+    * empty map when the table doesn't exist. Scoped metadata read like
+    * [[ensureTable]]'s (current schema + table-name pattern). Used by
+    * the CDC materializer's non-additive-drift guard. */
+  def columnMeta(url: String, table: String,
+      props: Map[String, String] = Map.empty): Map[String, ColumnMeta] = {
     val c = connect(url, props)
     try {
+      val schemaPat = currentSchemaPattern(c)
       val patterns = Seq(table,
         table.toUpperCase(java.util.Locale.ROOT),
         table.toLowerCase(java.util.Locale.ROOT)).distinct
       patterns.flatMap { pat =>
-        val rs = c.getMetaData.getColumns(null, null, pat, null)
+        val rs = c.getMetaData.getColumns(null, schemaPat, pat, null)
         try Iterator.continually(rs).takeWhile(_.next())
           .filter(_.getString("TABLE_NAME").equalsIgnoreCase(table))
           .map(r => r.getString("COLUMN_NAME").toLowerCase(java.util.Locale.ROOT) ->
-            r.getInt("DATA_TYPE"))
+            ColumnMeta(r.getInt("DATA_TYPE"),
+              r.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
+              r.getString("COLUMN_DEF") != null))
           .toList
         finally rs.close()
       }.toMap
     } finally c.close()
   }
+
+  /** (lower-cased column name → java.sql.Types code); see [[columnMeta]]. */
+  def columnTypes(url: String, table: String,
+      props: Map[String, String] = Map.empty): Map[String, Int] =
+    columnMeta(url, table, props).view.mapValues(_.jdbcType).toMap
+
+  /** Fail loudly when a CAS table holds NON-CANONICAL version strings
+    * (length ≠ 17 = `%08X/%08X`): raw wire LSNs compare WRONG against
+    * canonical ones (`'/'` sorts below `'0'`), so a stale change could
+    * beat a newer stored row. Run ONCE per stream start (it is a full
+    * scan — not a per-batch check); no-op while the table doesn't
+    * exist. The fix is the one-time migration in the materializer
+    * scaladoc. */
+  def requireCanonicalVersions(url: String, table: String, versionCol: String,
+      props: Map[String, String] = Map.empty): Unit =
+    if (columnMeta(url, table, props).nonEmpty) {
+      val c = connect(url, props)
+      try {
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"SELECT ${quoted(versionCol)} FROM $table WHERE LENGTH(${quoted(versionCol)}) <> 17")
+          try {
+            if (rs.next()) throw new IllegalStateException(
+              s"[graft] $table holds non-canonical version string '${rs.getString(1)}' " +
+                s"(expected 17-char %08X/%08X) — a pre-canonicalization CAS table must get " +
+                s"the one-time LSN migration before streaming resumes, or stale changes can " +
+                s"overwrite newer rows")
+          } finally rs.close()
+        } finally st.close()
+      } finally c.close()
+    }
 
   /** Coarse type family of a JDBC type code / Spark type — for the
     * drift guard's "is this migration even plausibly compatible"

@@ -400,9 +400,15 @@ object Streams {
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
         checkpoint, s"parquet:$statePath")
-      requireSingleTable(batch, "materializeCdc", "materializeCdcTables")
-      applyBatchParquet(Envelope.project(batch), statePath, batchId, "id",
-        orderedTransport, casTombstoneRetention)
+      // persist: the single-table guard, the empty-batch probe, and
+      // the merge each drive an action — unpersisted, every one
+      // re-reads the micro-batch source
+      val cached = batch.persist()
+      try {
+        requireSingleTable(cached, "materializeCdc", "materializeCdcTables")
+        applyBatchParquet(Envelope.project(cached), statePath, batchId, "id",
+          orderedTransport, casTombstoneRetention)
+      } finally cached.unpersist()
     })
 
   /** One relation's reduced micro-batch merged into its parquet state —
@@ -609,7 +615,15 @@ object Streams {
             def call(): Unit = apply(r)
           })
         }
-        futures.foreach(_.get()) // settle ALL, rethrow the first failure
+        // settle ALL before rethrowing: a bare foreach(_.get()) throws
+        // at the first failed future in LIST order while later applies
+        // are still writing — the restart's replay would then race the
+        // orphaned in-flight swap on the same state dir
+        val settled = futures.map(f => scala.util.Try(f.get()))
+        settled.collectFirst { case scala.util.Failure(t) => t }.foreach {
+          case e: java.util.concurrent.ExecutionException if e.getCause != null => throw e.getCause
+          case e => throw e
+        }
       } finally pool.shutdown()
     }
 
@@ -678,26 +692,37 @@ object Streams {
     * table doesn't exist yet. */
   private def requireCompatibleDriftJdbc(url: String, table: String,
       incoming: org.apache.spark.sql.types.StructType,
-      props: Map[String, String]): Unit = {
-    val remote = graft.sources.Jdbc.columnTypes(url, table, props)
+      props: Map[String, String], allowSinkOnlyColumns: Boolean): Unit = {
+    val remote = graft.sources.Jdbc.columnMeta(url, table, props)
     if (remote.nonEmpty) {
       val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
       val bookkeeping = Set("op", "lsn", lower(casBatchCol))
       val incomingByName = incoming.fields.map(f => lower(f.name) -> f).toMap
-      val removed = remote.keys.filterNot(c =>
-        bookkeeping(c) || incomingByName.contains(c)).toSeq.sorted
+      // A remote-only column is ambiguous at a SQL sink: producer
+      // column REMOVAL (must fail — the strict default), or a
+      // DBA-added sink-side column the materializer never wrote
+      // (audit timestamps etc.). `allowSinkOnlyColumns` opts into the
+      // latter reading for columns an INSERT may omit (nullable or
+      // defaulted); a NOT NULL column without a default still fails —
+      // every batch INSERT would die on it anyway.
+      val removed = remote.filterNot { case (c, m) =>
+        bookkeeping(c) || incomingByName.contains(c) ||
+          (allowSinkOnlyColumns && (m.nullable || m.hasDefault))
+      }.keys.toSeq.sorted
       if (removed.nonEmpty) throw new IllegalStateException(
         s"[graft] non-additive schema drift at $url#$table: table column(s) " +
           removed.mkString("'", "', '", "'") +
           " are absent from the incoming change schema — column removal is a deliberate " +
-          "migration (migrate the table, re-bind the checkpoint), not a streaming restart")
+          "migration (migrate the table, re-bind the checkpoint), not a streaming " +
+          "restart. (A DBA-added nullable/defaulted sink column is accepted under " +
+          "allowSinkOnlyColumns = true.)")
       incoming.fields.foreach { f =>
-        remote.get(lower(f.name)).foreach { jdbcType =>
-          val (rf, sf) = (graft.sources.Jdbc.typeFamily(jdbcType),
+        remote.get(lower(f.name)).foreach { m =>
+          val (rf, sf) = (graft.sources.Jdbc.typeFamily(m.jdbcType),
             graft.sources.Jdbc.typeFamily(f.dataType))
           if (rf != sf) throw new IllegalStateException(
             s"[graft] incompatible type drift at $url#$table: column '${f.name}' is " +
-              s"$rf (JDBC type $jdbcType) in the table but $sf " +
+              s"$rf (JDBC type ${m.jdbcType}) in the table but $sf " +
               s"(${f.dataType.simpleString}) in the change batch — no safe widening " +
               "exists; migrate the table deliberately")
         }
@@ -808,14 +833,25 @@ object Streams {
   def materializeCdcJdbc(envelopes: DataFrame, checkpoint: String,
       url: String, table: String, props: Map[String, String] = Map.empty,
       orderedTransport: Boolean = true,
-      casTombstoneRetention: Long = Long.MaxValue): StreamingQuery =
+      casTombstoneRetention: Long = Long.MaxValue,
+      allowSinkOnlyColumns: Boolean = false): StreamingQuery = {
+    // one canonical-LSN probe per stream START, not per batch (it is a
+    // full scan): a pre-canonicalization CAS table mis-orders against
+    // canonical change LSNs, so refuse to stream onto one
+    val probed = new java.util.concurrent.atomic.AtomicBoolean(false)
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
         checkpoint, s"jdbc:$url#$table")
-      requireSingleTable(batch, "materializeCdcJdbc", "materializeCdcJdbcTables")
-      applyBatchJdbc(Envelope.project(batch), url, table, batchId, "id", props,
-        orderedTransport, casTombstoneRetention)
+      if (!orderedTransport && probed.compareAndSet(false, true))
+        graft.sources.Jdbc.requireCanonicalVersions(url, table, "lsn", props)
+      val cached = batch.persist()
+      try {
+        requireSingleTable(cached, "materializeCdcJdbc", "materializeCdcJdbcTables")
+        applyBatchJdbc(Envelope.project(cached), url, table, batchId, "id", props,
+          orderedTransport, casTombstoneRetention, allowSinkOnlyColumns)
+      } finally cached.unpersist()
     })
+  }
 
   /** One relation's reduced micro-batch applied to its JDBC table —
     * the per-batch body shared by [[materializeCdcJdbc]] and
@@ -826,13 +862,14 @@ object Streams {
     * table is created eagerly on the first batch either way. */
   private def applyBatchJdbc(projected: DataFrame, url: String, table: String,
       batchId: Long, keyCol: String, props: Map[String, String],
-      orderedTransport: Boolean, casTombstoneRetention: Long): Unit = {
+      orderedTransport: Boolean, casTombstoneRetention: Long,
+      allowSinkOnlyColumns: Boolean): Unit = {
     val reduced = reduceBatch(projected, keyCol)
     if (orderedTransport) {
       val changes = reduced.drop("lsn")
       val payload = org.apache.spark.sql.types.StructType(
         changes.schema.fields.filterNot(_.name.equalsIgnoreCase("op")))
-      requireCompatibleDriftJdbc(url, table, payload, props)
+      requireCompatibleDriftJdbc(url, table, payload, props, allowSinkOnlyColumns)
       graft.sources.Jdbc.ensureTable(url, table, payload, keyCol, props)
       graft.sources.Jdbc.applyChanges(changes, url, table, keyCol, "op", props)
     } else {
@@ -842,7 +879,7 @@ object Streams {
       require(!reduced.columns.exists(_.equalsIgnoreCase(casBatchCol)),
         s"[graft] materializeCdcJdbc reserves column '$casBatchCol' — rename it in the source schema")
       val stamped = reduced.withColumn(casBatchCol, lit(batchId))
-      requireCompatibleDriftJdbc(url, table, stamped.schema, props)
+      requireCompatibleDriftJdbc(url, table, stamped.schema, props, allowSinkOnlyColumns)
       graft.sources.Jdbc.ensureTable(url, table, stamped.schema, keyCol, props)
       // tombstone GC, same horizon contract as materializeCdc: one
       // driver-side DELETE per batch; replay recomputes the same
@@ -878,11 +915,16 @@ object Streams {
       props: Map[String, String] = Map.empty,
       orderedTransport: Boolean = true,
       casTombstoneRetention: Long = Long.MaxValue,
-      maxConcurrentRelations: Int = 1): StreamingQuery =
+      maxConcurrentRelations: Int = 1,
+      allowSinkOnlyColumns: Boolean = false): StreamingQuery = {
+    val probed = new java.util.concurrent.atomic.AtomicBoolean(false)
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
         checkpoint,
         s"jdbc-multi:$url#${relations.map(r => tableNames(r.name)).sorted.mkString(",")}")
+      if (!orderedTransport && probed.compareAndSet(false, true))
+        relations.foreach(rel =>
+          graft.sources.Jdbc.requireCanonicalVersions(url, tableNames(rel.name), "lsn", props))
       val cached = batch.persist()
       try {
         requireNoStrayTables(cached, relations.map(_.name))
@@ -890,10 +932,11 @@ object Streams {
           applyBatchJdbc(
             Envelope.projectRelation(cached.filter(col("table") === rel.name), rel),
             url, tableNames(rel.name), batchId, rel.outName(rel.key), props,
-            orderedTransport, casTombstoneRetention)
+            orderedTransport, casTombstoneRetention, allowSinkOnlyColumns)
         }
       } finally cached.unpersist()
     })
+  }
 
   /** Live rows of a CAS-mode [[materializeCdcJdbc]] table: filters the
     * delete tombstones and drops the version/op bookkeeping — the JDBC

@@ -170,6 +170,24 @@ class CdcSpec extends SparkSuite {
       winner.mkString(","))
   }
 
+  test("a malformed LSN fails the projection loudly instead of sorting as garbage") {
+    import java.nio.file.Files
+    // slash-less / non-hex LSNs would conv() to null halves and format
+    // as arbitrary-sorting strings — silent mis-ordering, the opposite
+    // of the engine's fail-loudly guards
+    val line =
+      s"""{"lsn": "LSN:0/16B2D80", "tag": "insert", "table": "students", "new": {"id": 1, "first_name": "a", "last_name": "b", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    val dir = Files.createTempDirectory("graft_badlsn")
+    val f = dir.resolve("events.jsonl")
+    Files.write(f, line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[Exception] {
+      Envelope.project(spark.read.schema(Envelope.schema).json(f.toString)).collect()
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs(e).contains("malformed LSN") && msgs(e).contains("LSN:0/16B2D80"), msgs(e))
+  }
+
   test("materializeChunks stamps every chunk strictly in the past, even at max chunk count") {
     // one line per chunk is the worst case for the stamp budget: the
     // most chunks, the widest stride span (incl. duplicate-chunk +1s)

@@ -126,6 +126,45 @@ class DriftNegativeSpec extends SparkSuite {
       "table untouched after the refusal")
   }
 
+  test("jdbc: a DBA-added nullable sink column is refused by default and accepted under allowSinkOnlyColumns") {
+    // a remote-only column is ambiguous at a SQL sink: producer
+    // removal (the strict default's reading) vs a sink-side audit
+    // column the materializer never wrote — the knob opts into the
+    // latter for columns an INSERT may omit
+    val url = "jdbc:derby:memory:graft_dba_jdbc;create=true"
+    val feed = new Feed
+    val ckpt = Files.createTempDirectory("graft_dba_ckpt").toString
+    feed.deliver(s"""{"lsn": "0/00000010", "tag": "insert", "table": "students", ${img(1L)}}""")
+    Streams.materializeCdcJdbc(
+      Streams.envelopeStream(spark, feed.dir.toString), ckpt, url, "students_dba")
+      .awaitTermination()
+    quiesce()
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate("""ALTER TABLE students_dba ADD COLUMN "audit_ts" TIMESTAMP""")
+      st.close()
+    } finally c.close()
+    feed.deliver(s"""{"lsn": "0/00000020", "tag": "insert", "table": "students", ${img(2L)}}""")
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.materializeCdcJdbc(
+        Streams.envelopeStream(spark, feed.dir.toString), ckpt, url, "students_dba")
+        .awaitTermination()
+    }
+    assert(msgs(failed).contains("non-additive schema drift") &&
+      msgs(failed).contains("'audit_ts'") &&
+      msgs(failed).contains("allowSinkOnlyColumns"), msgs(failed))
+    quiesce()
+    // opt in: the batch lands, the audit column stays NULL
+    Streams.materializeCdcJdbc(
+      Streams.envelopeStream(spark, feed.dir.toString), ckpt, url, "students_dba",
+      allowSinkOnlyColumns = true).awaitTermination()
+    quiesce()
+    val rows = graft.sources.Jdbc.snapshot(spark, url, "students_dba")
+    assert(rows.count() == 2)
+    assert(rows.filter(org.apache.spark.sql.functions.col("audit_ts").isNotNull).count() == 0)
+  }
+
   test("jdbc: an int->string type change fails with the named incompatible-type error before any DML") {
     val url = "jdbc:derby:memory:graft_negty_jdbc;create=true"
     val feed = new Feed

@@ -400,6 +400,41 @@ class JdbcSpec extends SparkSuite {
     assert(liveIds() == Set(2L))
   }
 
+  test("CAS streaming refuses a table holding non-canonical version strings at stream start") {
+    import java.nio.file.Files
+    import graft.streaming.Streams
+    import org.apache.spark.sql.types._
+    // a pre-canonicalization table's raw wire LSNs compare WRONG
+    // against canonical change LSNs ('/' sorts below '0'), so the
+    // stream must refuse to apply onto it until the one-time migration
+    val probeUrl = "jdbc:derby:memory:graft_canon_probe;create=true"
+    val preSchema = StructType(Seq(
+      StructField("id", LongType), StructField("firstName", StringType),
+      StructField("lastName", StringType), StructField("dateOfBirth", DateType),
+      StructField("status", IntegerType), StructField("lsn", StringType),
+      StructField("op", StringType), StructField("__graft_arrival_batch", LongType)))
+    Jdbc.ensureTable(probeUrl, "cas_raw", preSchema, "id")
+    val c3 = java.sql.DriverManager.getConnection(probeUrl)
+    try {
+      val st = c3.createStatement()
+      st.executeUpdate("""INSERT INTO cas_raw VALUES (1, 'fn', 'ln', '1990-01-01', 1, '0/16B2D80', 'U', 0)""")
+      st.close()
+    } finally c3.close()
+    val dir = Files.createTempDirectory("graft_canon_in")
+    Files.write(dir.resolve("chunk_0000.jsonl"),
+      s"""{"lsn": "0/20", "tag": "insert", "table": "students", "new": {"id": 2, "first_name": "x", "last_name": "y", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val ckpt = Files.createTempDirectory("graft_canon_ckpt").toString
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.materializeCdcJdbc(Streams.envelopeStream(spark, dir.toString), ckpt,
+        probeUrl, "cas_raw", orderedTransport = false).awaitTermination()
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs(failed).contains("non-canonical version string") &&
+      msgs(failed).contains("0/16B2D80"), msgs(failed))
+  }
+
   test("CAS insert fallback fires on count 0 AND on SUCCESS_NO_INFO, never on a positive row count") {
     // Oracle always returns Statement.SUCCESS_NO_INFO (-2) from
     // executeBatch; PostgreSQL does with reWriteBatchedInserts. An
