@@ -842,13 +842,17 @@ object Streams {
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
         checkpoint, s"jdbc:$url#$table")
-      if (!orderedTransport && probed.compareAndSet(false, true))
+      // first batch of this run: canonical-version probe + NULL-stamp
+      // backfill — both O(state) scans that must not recur per batch
+      val firstBatch = probed.compareAndSet(false, true)
+      if (!orderedTransport && firstBatch)
         graft.sources.Jdbc.requireCanonicalVersions(url, table, "lsn", props)
       val cached = batch.persist()
       try {
         requireSingleTable(cached, "materializeCdcJdbc", "materializeCdcJdbcTables")
         applyBatchJdbc(Envelope.project(cached), url, table, batchId, "id", props,
-          orderedTransport, casTombstoneRetention, allowSinkOnlyColumns)
+          orderedTransport, casTombstoneRetention, allowSinkOnlyColumns,
+          backfillStamps = firstBatch)
       } finally cached.unpersist()
     })
   }
@@ -863,7 +867,7 @@ object Streams {
   private def applyBatchJdbc(projected: DataFrame, url: String, table: String,
       batchId: Long, keyCol: String, props: Map[String, String],
       orderedTransport: Boolean, casTombstoneRetention: Long,
-      allowSinkOnlyColumns: Boolean): Unit = {
+      allowSinkOnlyColumns: Boolean, backfillStamps: Boolean = false): Unit = {
     val reduced = reduceBatch(projected, keyCol)
     if (orderedTransport) {
       val changes = reduced.drop("lsn")
@@ -889,9 +893,15 @@ object Streams {
       // NULLs so they were GC-safe, but without the backfill they
       // would never age and the tombstone set would stay monotonic,
       // the exact growth the horizon exists to bound (parquet-path
-      // parity). Backfill runs BEFORE the apply so this batch's own
-      // rows (all freshly stamped) are untouched by it.
-      if (casTombstoneRetention != Long.MaxValue)
+      // parity). Backfill runs BEFORE the apply (this batch's own rows
+      // are all freshly stamped) and only on the FIRST batch of a run
+      // (the caller gates it): it is a stamp-IS-NULL full scan, and on
+      // the flat-latency path a per-batch O(state) statement is the
+      // cost shape this sink exists to avoid. (The GC DELETE below
+      // also scans without an index — production puts a partial index
+      // on (op, stamp); Derby has no partial indexes, so the harness
+      // measures the scan.)
+      if (backfillStamps && casTombstoneRetention != Long.MaxValue)
         graft.sources.Jdbc.backfillNullStamps(url, table, casBatchCol, batchId, props)
       graft.sources.Jdbc.applyChangesVersioned(stamped, url, table, keyCol, "lsn", "op", props)
       if (casTombstoneRetention != Long.MaxValue)
@@ -922,7 +932,8 @@ object Streams {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
         checkpoint,
         s"jdbc-multi:$url#${relations.map(r => tableNames(r.name)).sorted.mkString(",")}")
-      if (!orderedTransport && probed.compareAndSet(false, true))
+      val firstBatch = probed.compareAndSet(false, true)
+      if (!orderedTransport && firstBatch)
         relations.foreach(rel =>
           graft.sources.Jdbc.requireCanonicalVersions(url, tableNames(rel.name), "lsn", props))
       val cached = batch.persist()
@@ -932,7 +943,8 @@ object Streams {
           applyBatchJdbc(
             Envelope.projectRelation(cached.filter(col("table") === rel.name), rel),
             url, tableNames(rel.name), batchId, rel.outName(rel.key), props,
-            orderedTransport, casTombstoneRetention, allowSinkOnlyColumns)
+            orderedTransport, casTombstoneRetention, allowSinkOnlyColumns,
+            backfillStamps = firstBatch)
         }
       } finally cached.unpersist()
     })
