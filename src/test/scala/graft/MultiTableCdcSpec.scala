@@ -384,6 +384,47 @@ class MultiTableCdcSpec extends SparkSuite {
       "recovery must sweep swap/prev artifacts for both relations")
   }
 
+  test("a relation keyed on a non-'id' column demuxes and merges on ITS key end-to-end") {
+    import java.nio.file.Files
+    // the key parameter threads projectRelation -> reduceBatch ->
+    // Merge; every shipped relation keys on 'id', so pin the
+    // parameterization with a string-keyed 'tags' relation
+    val tags = Envelope.Relation("tags", StructType(Seq(
+      StructField("code", StringType),
+      StructField("label", StringType))), key = "code")
+    val rels = Seq(tags)
+    val schema = Envelope.unionSchema(rels)
+    val src = Files.createTempDirectory("graft_key_in")
+    val lines = Seq(
+      """{"lsn": "0/10", "tag": "insert", "table": "tags", "new": {"code": "a", "label": "alpha"}}""",
+      """{"lsn": "0/20", "tag": "insert", "table": "tags", "new": {"code": "b", "label": "beta"}}""",
+      """{"lsn": "0/30", "tag": "update", "table": "tags", "new": {"code": "a", "label": "alef"}}""",
+      """{"lsn": "0/40", "tag": "delete", "table": "tags", "old": {"code": "b"}}""",
+      """{"lsn": "0/50", "tag": "insert", "table": "tags", "new": {"code": "c", "label": "gamma"}}""")
+    Files.write(src.resolve("chunk_0000.jsonl"),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val ckpt = Files.createTempDirectory("graft_key_ckpt").toString
+    val root = Files.createTempDirectory("graft_key_state").toString
+    Streams.materializeCdcTables(
+      Streams.envelopeStream(spark, src.toString, schema = schema), ckpt, root, rels)
+      .awaitTermination()
+    quiesce()
+    val got = spark.read.parquet(s"$root/tags").collect()
+      .map(r => r.getString(r.fieldIndex("code")) -> r.getString(r.fieldIndex("label"))).toMap
+    assert(got == Map("a" -> "alef", "c" -> "gamma"),
+      s"update wins by LSN on the string key, delete drops by old.code: $got")
+    // JDBC twin: same relation, same key, queryable table
+    val url = "jdbc:derby:memory:graft_key_jdbc;create=true"
+    val ckpt2 = Files.createTempDirectory("graft_key_ckpt2").toString
+    Streams.materializeCdcJdbcTables(
+      Streams.envelopeStream(spark, src.toString, schema = schema), ckpt2, url, rels)
+      .awaitTermination()
+    quiesce()
+    val jgot = graft.sources.Jdbc.snapshot(spark, url, "tags").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(jgot == Map("a" -> "alef", "c" -> "gamma"), jgot.toString)
+  }
+
   test("concurrent relation applies (maxConcurrentRelations=2) converge to the same per-relation states") {
     // the scale path for FOR ALL TABLES catalogs: per-relation applies
     // are independent (disjoint state dirs, each idempotent), so they
