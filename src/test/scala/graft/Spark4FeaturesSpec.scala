@@ -102,4 +102,36 @@ class Spark4FeaturesSpec extends SparkSuite {
     val eq = spark.sql("SELECT 'URGENT' COLLATE UTF8_LCASE = 'urgent' AS e").first()
     assert(eq.getBoolean(0))
   }
+
+  test("GROUP BY ALL / ORDER BY ALL resolve the non-aggregate columns and plan like the explicit form") {
+    graft.sources.Tables.registerAll(spark, sf)
+    val viaAll = spark.sql(
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin)
+    val explicit = spark.sql(
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority, o_orderstatus, n""".stripMargin)
+    assert(viaAll.collect().toSeq == explicit.collect().toSeq,
+      "GROUP BY ALL must expand to every non-aggregate select column, in order")
+  }
+
+  test("SQL session variables: DECLARE / SET VAR / reference without string splicing") {
+    graft.sources.Tables.registerAll(spark, sf)
+    spark.sql("DECLARE OR REPLACE VARIABLE seg STRING DEFAULT 'BUILDING'")
+    try {
+      val viaVar = spark.sql(
+        "SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment = seg").first().getLong(0)
+      val literal = spark.sql(
+        "SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment = 'BUILDING'").first().getLong(0)
+      assert(viaVar == literal && literal > 0)
+      // SET VAR re-binds; the same query text now sees the new value
+      spark.sql("SET VAR seg = 'AUTOMOBILE'")
+      val rebound = spark.sql(
+        "SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment = seg").first().getLong(0)
+      val expected = spark.sql(
+        "SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment = 'AUTOMOBILE'").first().getLong(0)
+      assert(rebound == expected && rebound != viaVar)
+    } finally spark.sql("DROP TEMPORARY VARIABLE IF EXISTS seg")
+  }
 }
