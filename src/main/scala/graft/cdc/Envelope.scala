@@ -232,6 +232,28 @@ object Envelope {
       s"[graft] relation '${rel.name}' image field would shadow envelope bookkeeping (lsn/tag)")
     require(rel.image.fields.exists(_.name == rel.key),
       s"[graft] relation '${rel.name}' key '${rel.key}' is not an image field")
+    // the cast below goes from the UNION-widened read type down to the
+    // relation's declared type — a NARROWING numeric cast (another
+    // relation shares the field name with a wider type) would wrap
+    // out-of-range values silently with ANSI mode off, unlike every
+    // other guard in this engine. Refuse at plan build: the fix is to
+    // declare the unified type in this relation's image.
+    df.schema.fields.find(_.name == "new").map(_.dataType).foreach {
+      case readStruct: StructType =>
+        rel.image.fields.foreach { f =>
+          readStruct.fields.find(_.name == f.name).foreach { actual =>
+            if (actual.dataType != f.dataType &&
+                widerNumericType(actual.dataType, f.dataType).contains(actual.dataType))
+              throw new IllegalArgumentException(
+                s"[graft] relation '${rel.name}' declares field '${f.name}' as " +
+                  s"${f.dataType.simpleString} but the stream reads it as the wider " +
+                  s"${actual.dataType.simpleString} (another relation shares the name) — " +
+                  s"a narrowing cast wraps out-of-range values silently; declare the " +
+                  s"unified type in the relation image")
+          }
+        }
+      case _ => ()
+    }
     val cols = rel.image.fields.map { f =>
       val src =
         if (f.name == rel.key)

@@ -120,6 +120,41 @@ object Jdbc {
   private def currentSchemaPattern(c: java.sql.Connection): String =
     try c.getSchema catch { case _: Throwable => null }
 
+  /** Case-fold name patterns for a metadata probe: getTables/getColumns
+    * patterns match the STORED identifier case-sensitively (and `_` is
+    * a single-char wildcard), so probe the common folds first. A table
+    * stored under a MIXED-case identifier (quoted DDL) matches none of
+    * them — the caller falls back to a `null` pattern (full-schema
+    * listing) screened by the same case-insensitive TABLE_NAME check,
+    * so existence detection can never diverge from the database's
+    * actual identifier (a divergence silently turns the drift and
+    * canonical-version guards into no-ops). */
+  private def tableNamePatterns(table: String): Seq[String] =
+    Seq(table,
+      table.toUpperCase(java.util.Locale.ROOT),
+      table.toLowerCase(java.util.Locale.ROOT)).distinct
+
+  /** (lower-cased column name → [[ColumnMeta]]) over an open
+    * connection — the case-fold patterns, then the mixed-case
+    * fallback; empty when the table doesn't exist in the connection's
+    * current schema. */
+  private def columnMetaOn(c: java.sql.Connection, table: String): Map[String, ColumnMeta] = {
+    val schemaPat = currentSchemaPattern(c)
+    def scan(pat: String): Map[String, ColumnMeta] = {
+      val rs = c.getMetaData.getColumns(null, schemaPat, pat, null)
+      try Iterator.continually(rs).takeWhile(_.next())
+        .filter(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+        .map(r => r.getString("COLUMN_NAME").toLowerCase(java.util.Locale.ROOT) ->
+          ColumnMeta(r.getInt("DATA_TYPE"),
+            r.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
+            r.getString("COLUMN_DEF") != null))
+        .toMap
+      finally rs.close()
+    }
+    val folded = tableNamePatterns(table).flatMap(p => scan(p)).toMap
+    if (folded.nonEmpty) folded else scan(null)
+  }
+
   def ensureTable(url: String, table: String, schema: StructType, keyCol: String,
       props: Map[String, String] = Map.empty): Unit = {
     val c = connect(url, props)
@@ -129,21 +164,10 @@ object Jdbc {
       // getColumns pulls every column of every table per micro-batch,
       // and a same-named table in another schema could mark a
       // genuinely-missing column present (widening ALTER skipped → the
-      // batch INSERT fails). Patterns match the STORED identifier
-      // case-sensitively and `_` is a single-char wildcard, so probe
-      // the common case folds and keep the case-insensitive TABLE_NAME
-      // screen for wildcard near-matches.
-      val schemaPat = currentSchemaPattern(c)
-      val tablePatterns = Seq(table,
-        table.toUpperCase(java.util.Locale.ROOT),
-        table.toLowerCase(java.util.Locale.ROOT)).distinct
-      val exists = tablePatterns.exists { pat =>
-        val rs = c.getMetaData.getTables(null, schemaPat, pat, Array("TABLE"))
-        try Iterator.continually(rs).takeWhile(_.next())
-          .exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
-        finally rs.close()
-      }
-      if (!exists) {
+      // batch INSERT fails). The full-schema listing runs only as the
+      // mixed-case fallback ([[tableNamePatterns]]).
+      val have = columnMetaOn(c, table).keySet
+      if (have.isEmpty) {
         val cols = schema.fields.map { f =>
           val pk = if (f.name.equalsIgnoreCase(keyCol)) " NOT NULL PRIMARY KEY" else ""
           s"${quoted(f.name)} ${ddlType(f.dataType)}$pk"
@@ -151,14 +175,6 @@ object Jdbc {
         val st = c.createStatement()
         try st.executeUpdate(s"CREATE TABLE $table ($cols)") finally st.close()
       } else {
-        val have = tablePatterns.flatMap { pat =>
-          val rs = c.getMetaData.getColumns(null, schemaPat, pat, null)
-          try Iterator.continually(rs).takeWhile(_.next())
-            .filter(_.getString("TABLE_NAME").equalsIgnoreCase(table))
-            .map(_.getString("COLUMN_NAME").toLowerCase(java.util.Locale.ROOT))
-            .toList
-          finally rs.close()
-        }.toSet
         val missing = schema.fields.filterNot(f =>
           have(f.name.toLowerCase(java.util.Locale.ROOT)))
         if (missing.nonEmpty) {
@@ -178,28 +194,13 @@ object Jdbc {
 
   /** (lower-cased column name → [[ColumnMeta]]) of an existing table;
     * empty map when the table doesn't exist. Scoped metadata read like
-    * [[ensureTable]]'s (current schema + table-name pattern). Used by
-    * the CDC materializer's non-additive-drift guard. */
+    * [[ensureTable]]'s (current schema + table-name pattern, with the
+    * mixed-case fallback). Used by the CDC materializer's
+    * non-additive-drift guard. */
   def columnMeta(url: String, table: String,
       props: Map[String, String] = Map.empty): Map[String, ColumnMeta] = {
     val c = connect(url, props)
-    try {
-      val schemaPat = currentSchemaPattern(c)
-      val patterns = Seq(table,
-        table.toUpperCase(java.util.Locale.ROOT),
-        table.toLowerCase(java.util.Locale.ROOT)).distinct
-      patterns.flatMap { pat =>
-        val rs = c.getMetaData.getColumns(null, schemaPat, pat, null)
-        try Iterator.continually(rs).takeWhile(_.next())
-          .filter(_.getString("TABLE_NAME").equalsIgnoreCase(table))
-          .map(r => r.getString("COLUMN_NAME").toLowerCase(java.util.Locale.ROOT) ->
-            ColumnMeta(r.getInt("DATA_TYPE"),
-              r.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
-              r.getString("COLUMN_DEF") != null))
-          .toList
-        finally rs.close()
-      }.toMap
-    } finally c.close()
+    try columnMetaOn(c, table) finally c.close()
   }
 
   /** (lower-cased column name → java.sql.Types code); see [[columnMeta]]. */
@@ -207,13 +208,16 @@ object Jdbc {
       props: Map[String, String] = Map.empty): Map[String, Int] =
     columnMeta(url, table, props).view.mapValues(_.jdbcType).toMap
 
-  /** Fail loudly when a CAS table holds NON-CANONICAL version strings
-    * (length ≠ 17 = `%08X/%08X`): raw wire LSNs compare WRONG against
-    * canonical ones (`'/'` sorts below `'0'`), so a stale change could
-    * beat a newer stored row. Run ONCE per stream start (it is a full
+  /** Fail loudly when a CAS table holds NON-CANONICAL version strings:
+    * raw wire LSNs compare WRONG against canonical `%08X/%08X` ones
+    * (`'/'` sorts below `'0'`), so a stale change could beat a newer
+    * stored row. The probe rejects any value off the exact canonical
+    * shape — wrong LENGTH, lowercase hex (a hand-rolled `%08x`
+    * migration is 17 chars but `'a' > 'A'` and `'a' > '9'` in the SQL
+    * `<`), or a misplaced separator — via dialect-portable
+    * LENGTH/UPPER/SUBSTR. Run ONCE per stream start (it is a full
     * scan — not a per-batch check); no-op while the table doesn't
-    * exist. The fix is the one-time migration in the materializer
-    * scaladoc. */
+    * exist. The fix is the one-time [[canonicalizeLsns]] migration. */
   def requireCanonicalVersions(url: String, table: String, versionCol: String,
       props: Map[String, String] = Map.empty): Unit =
     if (columnMeta(url, table, props).nonEmpty) {
@@ -221,14 +225,16 @@ object Jdbc {
       try {
         val st = c.createStatement()
         try {
+          val v = quoted(versionCol)
           val rs = st.executeQuery(
-            s"SELECT ${quoted(versionCol)} FROM $table WHERE LENGTH(${quoted(versionCol)}) <> 17")
+            s"SELECT $v FROM $table WHERE LENGTH($v) <> 17 OR UPPER($v) <> $v " +
+              s"OR SUBSTR($v, 9, 1) <> '/'")
           try {
             if (rs.next()) throw new IllegalStateException(
               s"[graft] $table holds non-canonical version string '${rs.getString(1)}' " +
                 s"(expected 17-char %08X/%08X) — a pre-canonicalization CAS table must get " +
-                s"the one-time LSN migration before streaming resumes, or stale changes can " +
-                s"overwrite newer rows")
+                s"the one-time LSN migration (Jdbc.canonicalizeLsns) before streaming " +
+                s"resumes, or stale changes can overwrite newer rows")
           } finally rs.close()
         } finally st.close()
       } finally c.close()

@@ -283,7 +283,15 @@ object Streams {
     * [[Envelope.project]] produced, drift extras included); snapshot
     * columns the stream doesn't carry are dropped, stream columns the
     * snapshot predates are null-filled — a snapshot taken before a
-    * schema drift still unions cleanly with post-drift changes. */
+    * schema drift still unions cleanly with post-drift changes.
+    *
+    * The changes' LSNs are re-canonicalized here
+    * ([[Envelope.normalizeLsn]], idempotent on already-canonical
+    * values): the snapshot sentinel is only below every CANONICAL
+    * LSN — a raw wire LSN sorts BELOW it (`'/'` < `'0'`), so changes
+    * from a caller that skipped [[Envelope.project]] would silently
+    * all lose to the snapshot. Normalizing makes them order
+    * correctly, and malformed LSNs fail loudly instead. */
   def snapshotThenStream(snapshot: DataFrame, changes: DataFrame,
       keyCol: String = "id"): DataFrame = {
     val payload = changes.columns.filterNot(c =>
@@ -297,7 +305,8 @@ object Streams {
         else lit(null).cast(changes.schema(c).dataType).as(c)
       }: _*)
     Envelope.lastImageByKey(snapAsEvents.unionByName(
-      changes.select(("lsn" +: "tag" +: payload).map(col): _*)), keyCol)
+      changes.select(Envelope.normalizeLsn(col("lsn")).as("lsn") +:
+        col("tag") +: payload.map(col): _*)), keyCol)
   }
 
   /** Snapshot-then-stream for a MULTI-TABLE stream (A6 × the demux):

@@ -435,6 +435,53 @@ class JdbcSpec extends SparkSuite {
       msgs(failed).contains("0/16B2D80"), msgs(failed))
   }
 
+  test("canonical-version probe rejects lowercase hex and misplaced separators, not just wrong length") {
+    import org.apache.spark.sql.types._
+    // a hand-rolled %08x migration produces 17-char LOWERCASE hex,
+    // which passes a length-only probe but still mis-orders in the
+    // SQL '<' CAS guard ('a' > 'A' and 'a' > '9'); same for a 17-char
+    // value with the '/' off position 9
+    val u = "jdbc:derby:memory:graft_canon_shape;create=true"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lsn", StringType),
+      StructField("op", StringType)))
+    def probe(version: String): Unit = {
+      Jdbc.ensureTable(u, "cas_shape", schema, "id")
+      val c = java.sql.DriverManager.getConnection(u)
+      try {
+        val st = c.createStatement()
+        st.executeUpdate(s"DELETE FROM cas_shape")
+        st.executeUpdate(s"INSERT INTO cas_shape VALUES (1, '$version', 'U')")
+        st.close()
+      } finally c.close()
+      Jdbc.requireCanonicalVersions(u, "cas_shape", "lsn")
+    }
+    probe("00000000/016B2D80") // canonical: passes
+    val lower = intercept[IllegalStateException](probe("00000000/016b2d80"))
+    assert(lower.getMessage.contains("non-canonical"), lower.getMessage)
+    val shifted = intercept[IllegalStateException](probe("000000000/16B2D80"))
+    assert(shifted.getMessage.contains("non-canonical"), shifted.getMessage)
+  }
+
+  test("metadata reads find a table stored under a mixed-case quoted identifier") {
+    // quoted DDL stores the identifier case-exact; every case-fold
+    // pattern (as-is/UPPER/lower of the caller's name) misses it, so
+    // the metadata read must fall back to the full-schema listing —
+    // otherwise requireCompatibleDriftJdbc and
+    // requireCanonicalVersions silently no-op ("table doesn't exist")
+    val u = "jdbc:derby:memory:graft_mixed_ident;create=true"
+    val c = java.sql.DriverManager.getConnection(u)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE "Students_Mixed" ("id" BIGINT NOT NULL PRIMARY KEY, "lsn" VARCHAR(17))""")
+      st.close()
+    } finally c.close()
+    val meta = Jdbc.columnMeta(u, "students_mixed")
+    assert(meta.keySet == Set("id", "lsn"), meta)
+    assert(!meta("id").nullable && meta("lsn").nullable)
+  }
+
   test("CAS insert fallback fires on count 0 AND on SUCCESS_NO_INFO, never on a positive row count") {
     // Oracle always returns Statement.SUCCESS_NO_INFO (-2) from
     // executeBatch; PostgreSQL does with reWriteBatchedInserts. An

@@ -88,6 +88,26 @@ class MultiTableCdcSpec extends SparkSuite {
     assert(e.getMessage.contains("incompatible types"), e.getMessage)
   }
 
+  test("projectRelation refuses a narrowing cast from the union-widened read type") {
+    // when two relations share a field name and one declares the
+    // narrower numeric type, the union READ schema widens (pinned
+    // above) — but projecting the narrow relation would cast back
+    // down, wrapping out-of-range values silently with ANSI off.
+    // Refuse at plan build; the fix is declaring the unified type.
+    val counters = Envelope.Relation("counters", StructType(Seq(
+      StructField("id", IntegerType), StructField("n", LongType))))
+    val widened = Envelope.unionSchema(Seq(Envelope.statusRelation, counters))
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+    // the relation declaring the unified type still projects fine
+    Envelope.projectRelation(df.filter(col("table") === "status"), Envelope.statusRelation)
+    val e = intercept[IllegalArgumentException] {
+      Envelope.projectRelation(df.filter(col("table") === "counters"), counters)
+    }
+    assert(e.getMessage.contains("narrowing") && e.getMessage.contains("unified type"),
+      e.getMessage)
+  }
+
   test("projectRelation(students) under the union schema equals the authoritative single-table projection") {
     val mixed = spark.read.schema(union).json(
       writeLines(Fixture.multiTableJsonLines))

@@ -382,6 +382,29 @@ class StreamsExtraSpec extends SparkSuite {
     assert(merged.exceptAll(expected).isEmpty && expected.exceptAll(merged).isEmpty)
   }
 
+  test("snapshot-then-stream: raw wire LSN changes still beat the snapshot sentinel") {
+    // the sentinel '00000000/00000000' is only below CANONICAL LSNs —
+    // a raw wire LSN ('0/10') sorts BELOW it ('/' < '0'), so changes
+    // from a caller that skipped Envelope.project would silently all
+    // lose to the snapshot; snapshotThenStream re-canonicalizes
+    // (idempotent for already-canonical LSNs) instead
+    val snapshot = Seq((0L, "Old")).toDF("id", "firstName")
+    val changes = Seq(("0/10", "update", 0L, "New"))
+      .toDF("lsn", "tag", "id", "firstName")
+    val merged = Streams.snapshotThenStream(snapshot, changes)
+    val r = merged.collect()
+    assert(r.length == 1 && r.head.getString(r.head.fieldIndex("firstName")) == "New",
+      "a raw wire LSN must order ABOVE the snapshot sentinel")
+    // and a malformed LSN fails loudly instead of sorting as garbage
+    val bad = Seq(("not-an-lsn", "update", 0L, "X")).toDF("lsn", "tag", "id", "firstName")
+    val e = intercept[Exception] {
+      Streams.snapshotThenStream(snapshot, bad).collect()
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs(e).contains("malformed LSN"), msgs(e))
+  }
+
   test("snapshot-then-stream across a schema drift: pre-drift snapshot null-fills the drifted column, stream images carry it") {
     import org.apache.spark.sql.types._
     // a snapshot taken BEFORE the drift (no email) unioned with
