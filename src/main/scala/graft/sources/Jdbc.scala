@@ -240,6 +240,76 @@ object Jdbc {
       } finally c.close()
     }
 
+  /** One-time LSN canonicalization migration for a CAS table written
+    * by pre-canonicalization code — the fix [[requireCanonicalVersions]]
+    * prescribes when it refuses to stream. Rewrites every
+    * NON-canonical `versionCol` value to fixed-width `%08X/%08X`:
+    *
+    *  - IDEMPOTENT: already-canonical rows don't match the probe
+    *    predicate, so a re-run (including after a crash — the commit
+    *    is all-or-nothing) touches zero rows;
+    *  - TRANSACTIONAL: one connection, autocommit off, one commit
+    *    after every update — a failure mid-way rolls back to the
+    *    untouched table;
+    *  - DIALECT-PORTABLE: the predicate is the probe's
+    *    LENGTH/UPPER/SUBSTR; the canonical form is computed
+    *    CLIENT-SIDE per DISTINCT raw value (no string-format SQL
+    *    dependence), then applied as batched
+    *    `UPDATE … SET v = ? WHERE v = ?` — O(distinct raw LSNs)
+    *    statements, each a value-indexed rewrite, not O(rows);
+    *  - FAIL-LOUD: a value that isn't a `<hex32>/<hex32>` wire LSN
+    *    aborts the migration BEFORE any update (zero rows touched) —
+    *    rewriting around it would leave a mix of canonical and
+    *    garbage orderings, the exact state the guard exists to refuse.
+    *
+    * Returns the number of rows rewritten. Stop the stream, run this
+    * once, restart — the stream-start probe then passes and the SQL
+    * `<` CAS guard orders numerically again. */
+  def canonicalizeLsns(url: String, table: String, versionCol: String,
+      props: Map[String, String] = Map.empty): Long = {
+    val wire = "^([0-9a-fA-F]{1,8})/([0-9a-fA-F]{1,8})$".r
+    def canonical(raw: String): String = raw match {
+      case wire(hi, lo) =>
+        f"${java.lang.Long.parseLong(hi, 16)}%08X/${java.lang.Long.parseLong(lo, 16)}%08X"
+      case _ => throw new IllegalStateException(
+        s"[graft] $table.$versionCol holds '$raw' — not a <hex32>/<hex32> wire LSN; " +
+          s"canonicalizeLsns migrates wire LSNs only (no rows were touched)")
+    }
+    val c = connect(url, props)
+    try {
+      c.setAutoCommit(false)
+      val v = quoted(versionCol)
+      val raws = scala.collection.mutable.ArrayBuffer[String]()
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT DISTINCT $v FROM $table WHERE LENGTH($v) <> 17 " +
+            s"OR UPPER($v) <> $v OR SUBSTR($v, 9, 1) <> '/'")
+        try while (rs.next()) raws += rs.getString(1) finally rs.close()
+      } finally st.close()
+      // validate ALL before updating ANY — see FAIL-LOUD above
+      val mapping = raws.map(r => r -> canonical(r))
+      var total = 0L
+      val upd = c.prepareStatement(s"UPDATE $table SET $v = ? WHERE $v = ?")
+      try {
+        mapping.grouped(1000).foreach { chunk =>
+          chunk.foreach { case (raw, canon) =>
+            upd.setString(1, canon); upd.setString(2, raw); upd.addBatch()
+          }
+          // SUCCESS_NO_INFO (-2) drivers don't report per-statement
+          // counts — the migration still applied; the total is best-effort
+          total += upd.executeBatch().filter(_ > 0).map(_.toLong).sum
+        }
+        c.commit()
+      } finally upd.close()
+      total
+    } catch {
+      case t: Throwable =>
+        try c.rollback() catch { case _: Throwable => () }
+        throw t
+    } finally c.close()
+  }
+
   /** Coarse type family of a JDBC type code / Spark type — for the
     * drift guard's "is this migration even plausibly compatible"
     * check. In-family changes (INT→BIGINT, VARCHAR(64)→VARCHAR(512))

@@ -834,11 +834,12 @@ object Streams {
     * LSN format note (r10): change LSNs arrive canonicalized to
     * fixed-width `%08X/%08X` ([[Envelope.normalizeLsn]]), so the CAS
     * guard's SQL `<` is numerically correct. A CAS table written by
-    * pre-canonicalization code holds raw wire LSNs and needs a
-    * one-time migration (`UPDATE ... SET lsn = <padded form>` in the
-    * target dialect, or a Spark read-normalize-rewrite) — the parquet
-    * path auto-migrates because it rewrites state per batch; a SQL
-    * table's rows persist untouched, so it cannot. */
+    * pre-canonicalization code holds raw wire LSNs and needs the
+    * one-time [[graft.sources.Jdbc.canonicalizeLsns]] migration
+    * (idempotent, transactional; the stream-start probe names it when
+    * it refuses) — the parquet path auto-migrates because it rewrites
+    * state per batch; a SQL table's rows persist untouched, so it
+    * cannot. */
   def materializeCdcJdbc(envelopes: DataFrame, checkpoint: String,
       url: String, table: String, props: Map[String, String] = Map.empty,
       orderedTransport: Boolean = true,

@@ -463,6 +463,62 @@ class JdbcSpec extends SparkSuite {
     assert(shifted.getMessage.contains("non-canonical"), shifted.getMessage)
   }
 
+  test("canonicalizeLsns: refuse -> migrate -> pass, and a late older change still loses the CAS") {
+    import org.apache.spark.sql.types._
+    val u = "jdbc:derby:memory:graft_canon_mig;create=true"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("firstName", StringType),
+      StructField("lsn", StringType), StructField("op", StringType),
+      StructField("__graft_arrival_batch", LongType)))
+    Jdbc.ensureTable(u, "cas_mig", schema, "id")
+    val c = java.sql.DriverManager.getConnection(u)
+    try {
+      val st = c.createStatement()
+      // raw variable-width wire LSNs — the pre-canonicalization shape.
+      // '0/16B2D80' < '00000000/01000000' lexicographically ('/' <
+      // '0'), so before migration a STALE canonical change would win
+      // the SQL '<' CAS against this newer stored row.
+      st.executeUpdate("INSERT INTO cas_mig VALUES (1, 'fresh', '0/16B2D80', 'U', 0)")
+      st.executeUpdate("INSERT INTO cas_mig VALUES (2, 'two', '0/9', 'U', 0)")
+      st.executeUpdate("INSERT INTO cas_mig VALUES (3, NULL, '0/A0', 'D', 0)")
+      st.close()
+    } finally c.close()
+    // the stream-start guard refuses the pre-canonical table
+    val refused = intercept[IllegalStateException](
+      Jdbc.requireCanonicalVersions(u, "cas_mig", "lsn"))
+    assert(refused.getMessage.contains("canonicalizeLsns"), refused.getMessage)
+    // the migration it names rewrites exactly the non-canonical rows
+    assert(Jdbc.canonicalizeLsns(u, "cas_mig", "lsn") == 3L)
+    Jdbc.requireCanonicalVersions(u, "cas_mig", "lsn") // passes now
+    assert(Jdbc.canonicalizeLsns(u, "cas_mig", "lsn") == 0L, "idempotent re-run")
+    def row1() = Jdbc.snapshot(spark, u, "cas_mig").filter(col("id") === 1L)
+      .select("firstName", "lsn").collect().head
+    assert(row1().getString(1) == "00000000/016B2D80", "0/16B2D80 -> %08X/%08X")
+    // a LATE OLDER change (the mis-ordering victim) must now lose
+    val stale = Seq((1L, "stale", "00000000/01000000", "U", 1L))
+      .toDF("id", "firstName", "lsn", "op", "__graft_arrival_batch")
+    Jdbc.applyChangesVersioned(stale, u, "cas_mig", "id", "lsn", "op")
+    assert(row1().getString(0) == "fresh", "older version must lose the CAS post-migration")
+    // and a genuinely newer one still wins
+    val newer = Seq((1L, "newest", "00000000/02000000", "U", 2L))
+      .toDF("id", "firstName", "lsn", "op", "__graft_arrival_batch")
+    Jdbc.applyChangesVersioned(newer, u, "cas_mig", "id", "lsn", "op")
+    assert(row1().getString(0) == "newest")
+    // a non-LSN version value aborts BEFORE any rewrite
+    val c2 = java.sql.DriverManager.getConnection(u)
+    try {
+      val st = c2.createStatement()
+      st.executeUpdate("INSERT INTO cas_mig VALUES (9, 'bad', 'not-an-lsn', 'U', 0)")
+      st.executeUpdate("INSERT INTO cas_mig VALUES (10, 'raw', '0/77', 'U', 0)")
+      st.close()
+    } finally c2.close()
+    val aborted = intercept[IllegalStateException](Jdbc.canonicalizeLsns(u, "cas_mig", "lsn"))
+    assert(aborted.getMessage.contains("not-an-lsn"), aborted.getMessage)
+    val untouched = Jdbc.snapshot(spark, u, "cas_mig").filter(col("id") === 10L)
+      .select("lsn").collect().head.getString(0)
+    assert(untouched == "0/77", "a malformed sibling must abort with zero rows touched")
+  }
+
   test("metadata reads find a table stored under a mixed-case quoted identifier") {
     // quoted DDL stores the identifier case-exact; every case-fold
     // pattern (as-is/UPPER/lower of the caller's name) misses it, so
