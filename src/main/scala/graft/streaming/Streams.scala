@@ -414,9 +414,10 @@ object Streams {
       // re-reads the micro-batch source
       val cached = batch.persist()
       try {
-        requireSingleTable(cached, "materializeCdc", "materializeCdcTables")
-        applyBatchParquet(Envelope.project(cached), statePath, batchId, "id",
-          orderedTransport, casTombstoneRetention)
+        val n = requireSingleTable(cached, "materializeCdc", "materializeCdcTables")
+        if (n > 0L)
+          applyBatchParquet(Envelope.project(cached), statePath, batchId, "id",
+            orderedTransport, casTombstoneRetention, knownNonEmpty = true)
       } finally cached.unpersist()
     })
 
@@ -426,11 +427,15 @@ object Streams {
     * A sub-batch with NO events for this relation returns without
     * touching the state: rewriting an untouched relation's whole state
     * parquet every micro-batch would make quiet relations pay the
-    * busiest relation's write amplification. */
+    * busiest relation's write amplification. Callers that already
+    * counted the batch (the census / single-table guard, whose one agg
+    * job materializes the cache) pass `knownNonEmpty = true` and the
+    * probe job is skipped — no second pass re-asks an answered
+    * question. */
   private def applyBatchParquet(projected: DataFrame, statePath: String,
       batchId: Long, keyCol: String, orderedTransport: Boolean,
-      casTombstoneRetention: Long): Unit = {
-    if (!projected.isEmpty) {
+      casTombstoneRetention: Long, knownNonEmpty: Boolean = false): Unit = {
+    if (knownNonEmpty || !projected.isEmpty) {
       val spark = projected.sparkSession
       val reduced = reduceBatch(projected, keyCol)
       require(!reduced.columns.exists(_.equalsIgnoreCase(casBatchCol)),
@@ -590,12 +595,15 @@ object Streams {
         checkpoint, s"parquet-multi:$stateRoot")
       val cached = batch.persist()
       try {
-        requireNoStrayTables(cached, relations.map(_.name))
-        applyRelations(relations, maxConcurrentRelations) { rel =>
+        val census = tableCensus(cached, relations.map(_.name))
+        // quiet relations are skipped OUTRIGHT — the census already
+        // proved they have no events, so no probe job runs for them
+        applyRelations(relations.filter(r => census.getOrElse(r.name, 0L) > 0L),
+          maxConcurrentRelations) { rel =>
           applyBatchParquet(
             Envelope.projectRelation(cached.filter(col("table") === rel.name), rel),
             s"$stateRoot/${rel.name}", batchId, rel.outName(rel.key),
-            orderedTransport, casTombstoneRetention)
+            orderedTransport, casTombstoneRetention, knownNonEmpty = true)
         }
       } finally cached.unpersist()
     })
@@ -640,16 +648,21 @@ object Streams {
     * keys ACROSS relations (student 7 and status 7 collapse to one
     * row) — fail the batch instead. Table names are a tiny set, so a
     * map-side collect_set per batch is one cheap global agg, not a
-    * shuffle of the data. */
-  private def requireSingleTable(batch: DataFrame, op: String, alt: String): Unit =
+    * shuffle of the data. Returns the batch's row-change event count —
+    * the one action doubles as the persist materialization AND the
+    * caller's empty-batch probe, so no second pass re-asks either
+    * question. */
+  private def requireSingleTable(batch: DataFrame, op: String, alt: String): Long =
     if (batch.columns.contains("table")) {
-      val tbls = batch.filter(Envelope.tagFilter(batch))
-        .agg(collect_set(col("table"))).head().getSeq[String](0)
+      val row = batch.filter(Envelope.tagFilter(batch))
+        .agg(collect_set(col("table")), count(lit(1))).head()
+      val tbls = row.getSeq[String](0)
       require(tbls.size <= 1,
         s"[graft] $op materializes ONE relation but this batch carries tables " +
           tbls.sorted.mkString("'", "', '", "'") +
           s" — a FOR ALL TABLES publication must go through $alt, which demuxes per relation")
-    }
+      row.getLong(1)
+    } else batch.filter(Envelope.tagFilter(batch)).count()
 
   /** NON-ADDITIVE schema drift fails loudly BEFORE any state is
     * touched — the two migrations a streaming restart must not paper
@@ -739,19 +752,31 @@ object Streams {
     }
   }
 
-  /** Row-change events for tables absent from the registry fail the
-    * multi-table batch loudly (data loss if dropped, cross-relation
-    * corruption if merged). */
-  private def requireNoStrayTables(batch: DataFrame, known: Seq[String]): Unit = {
-    val stray = batch
-      .filter(Envelope.tagFilter(batch) &&
-        (col("table").isNull || !col("table").isin(known.map(x => x: Any): _*)))
-      .select("table").distinct().limit(5).collect()
-      .map(r => Option(r.getString(0)).getOrElse("<null>"))
+  /** One census per demuxed micro-batch: row-change event count per
+    * table name, from a single tiny aggregation job (≤ catalog size +
+    * strays rows to the driver). The job doubles as the persist
+    * materialization — the first action over the cached batch — and
+    * its result answers BOTH guard questions with zero further passes:
+    *
+    *  - events for tables absent from the registry fail the batch
+    *    loudly (data loss if dropped, cross-relation corruption if
+    *    merged) — the former dedicated stray-scan job, now in-flight;
+    *  - relations QUIET in this batch are skipped by the demux loop
+    *    without so much as a per-relation probe job (parquet) or
+    *    metadata round-trip (JDBC) — at FOR ALL TABLES catalog sizes
+    *    most relations are quiet in any batch, so per-batch cost
+    *    scales with the relations the batch TOUCHES, not the catalog.
+    */
+  private def tableCensus(batch: DataFrame, known: Seq[String]): Map[String, Long] = {
+    val counts = batch.filter(Envelope.tagFilter(batch))
+      .groupBy("table").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") -> r.getLong(1)).toMap
+    val stray = counts.keys.filterNot(known.toSet).toSeq.sorted
     require(stray.isEmpty,
-      s"[graft] CDC stream carries unregistered table(s) ${stray.sorted.mkString("'", "', '", "'")} — " +
+      s"[graft] CDC stream carries unregistered table(s) ${stray.take(5).mkString("'", "', '", "'")} — " +
         s"register every relation the publication ships (FOR ALL TABLES means exactly that) " +
         s"or filter the stream upstream; silently ignoring a relation's changes is data loss")
+    counts
   }
 
   /** Bind a CDC checkpoint to the ONE sink it materializes. The
@@ -869,11 +894,14 @@ object Streams {
 
   /** One relation's reduced micro-batch applied to its JDBC table —
     * the per-batch body shared by [[materializeCdcJdbc]] and
-    * [[materializeCdcJdbcTables]]. Unlike the parquet path there is no
-    * empty-batch skip: `ensureTable` is a scoped metadata read (plus
-    * the widening ALTER when drift landed), so an untouched relation
-    * costs one metadata round-trip, not a state rewrite — and the
-    * table is created eagerly on the first batch either way. */
+    * [[materializeCdcJdbcTables]]. No empty-batch skip HERE:
+    * `ensureTable` is a scoped metadata read (plus the widening ALTER
+    * when drift landed) and the table is created eagerly on the first
+    * batch either way. The multi-table demux skips quiet relations
+    * BEFORE this call on non-first batches (census-driven), so the
+    * metadata round-trip is paid only by touched relations — and by
+    * every relation on the first batch, which is what creates the
+    * tables. */
   private def applyBatchJdbc(projected: DataFrame, url: String, table: String,
       batchId: Long, keyCol: String, props: Map[String, String],
       orderedTransport: Boolean, casTombstoneRetention: Long,
@@ -948,8 +976,15 @@ object Streams {
           graft.sources.Jdbc.requireCanonicalVersions(url, tableNames(rel.name), "lsn", props))
       val cached = batch.persist()
       try {
-        requireNoStrayTables(cached, relations.map(_.name))
-        applyRelations(relations, maxConcurrentRelations) { rel =>
+        val census = tableCensus(cached, relations.map(_.name))
+        // the FIRST batch of a run applies every relation (eager table
+        // creation + stamp backfill, both first-batch contracts); later
+        // batches skip quiet relations outright — zero Spark jobs AND
+        // zero JDBC round-trips for the catalog's untouched majority
+        val active =
+          if (firstBatch) relations
+          else relations.filter(r => census.getOrElse(r.name, 0L) > 0L)
+        applyRelations(active, maxConcurrentRelations) { rel =>
           applyBatchJdbc(
             Envelope.projectRelation(cached.filter(col("table") === rel.name), rel),
             url, tableNames(rel.name), batchId, rel.outName(rel.key), props,

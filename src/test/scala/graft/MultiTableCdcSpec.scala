@@ -579,6 +579,55 @@ class MultiTableCdcSpec extends SparkSuite {
     assert(collectStatus(spark.read.parquet(s"$root/status")) == statusFinal)
   }
 
+  test("the stray guard rides the census job: a quiet micro-batch runs one aggregation, zero per-relation probe jobs") {
+    import java.nio.file.Files
+    // r10 nit: the guard was a SECOND per-batch job
+    // (distinct().limit(5).collect()) on top of a per-relation
+    // isEmpty probe each. Now one census aggregation materializes the
+    // cache, answers the stray question, and tells the demux which
+    // relations to skip — a batch touching nothing runs ONE action.
+    val src = Files.createTempDirectory("graft_mtjobs_in")
+    val ckpt = Files.createTempDirectory("graft_mtjobs_ckpt").toString
+    val root = Files.createTempDirectory("graft_mtjobs_state").toString
+    val now = System.currentTimeMillis()
+    def writeChunk(name: String, mtime: Long, lines: String*): Unit = {
+      val f = src.resolve(name)
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+    }
+    writeChunk("chunk_0000.jsonl", now - 60000L,
+      """{"lsn": "0/00000010", "tag": "insert", "table": "students", "new": {"id": 1, "first_name": "a", "last_name": "b", "date_of_birth": "1990-01-01", "status_id": 1}}""",
+      """{"lsn": "0/00000018", "tag": "insert", "table": "status", "new": {"id": 1, "value": "active"}}""")
+    Streams.materializeCdcTables(
+      Streams.envelopeStream(spark, src.toString, schema = union), ckpt, root, relations)
+      .awaitTermination()
+    quiesce()
+    // second run processes ONLY the control-tag chunk: both relations
+    // quiet, so the whole batch must cost exactly the census action
+    writeChunk("chunk_0001.jsonl", now - 30000L,
+      """{"lsn": "0/00000020", "tag": "begin", "table": null}""",
+      """{"lsn": "0/00000028", "tag": "commit", "table": null}""")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Streams.materializeCdcTables(
+        Streams.envelopeStream(spark, src.toString, schema = union), ckpt, root, relations)
+        .awaitTermination()
+      quiesce()
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 2,
+      s"a control-only micro-batch must cost only the census aggregation " +
+        s"(got ${jobs.get()} jobs — per-relation probes or a dedicated stray job are back)")
+    // and the states are untouched by the quiet batch
+    assert(spark.read.parquet(s"$root/students").count() == 1L)
+    assert(spark.read.parquet(s"$root/status").count() == 1L)
+  }
+
   test("a batch with no events for a relation skips that relation's state rewrite entirely") {
     import java.nio.file.Files
     val src = Files.createTempDirectory("graft_mtskip_in")
