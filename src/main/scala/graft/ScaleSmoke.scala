@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleSmoke
   * Optional args select sections: dedup | cdc | cdc_throughput |
-  * cdc_multi | ann (no args = all; unknown args fail loudly rather
-  * than silently selecting nothing).
+  * cdc_multi | cdc_relcount | cdc_soak | ann (no args = all; unknown
+  * args fail loudly rather than silently selecting nothing).
   */
 object ScaleSmoke {
-  private val sections = Set("dedup", "cdc", "cdc_throughput", "cdc_multi", "ann")
+  private val sections =
+    Set("dedup", "cdc", "cdc_throughput", "cdc_multi", "cdc_relcount", "cdc_soak", "ann")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -104,6 +105,8 @@ object ScaleSmoke {
     if (want("cdc")) cdcStateCurve(spark)
     if (want("cdc_throughput")) cdcThroughputCurve(spark)
     if (want("cdc_multi")) cdcMultiThroughput(spark)
+    if (want("cdc_relcount")) cdcRelationCountCurve(spark)
+    if (want("cdc_soak")) cdcSoak(spark)
     if (want("ann")) annCurve(spark, sfDir)
     spark.stop()
   }
@@ -323,6 +326,141 @@ object ScaleSmoke {
           s""""rows_per_batch":$totalRows,"batch_ms":[${ms.mkString(",")}],""" +
           s""""steady_mean_ms":${f"$meanMs%.0f"},"rows_per_sec":${f"${totalRows / (meanMs / 1000.0)}%.0f"}}""")
       }
+    }
+
+  /** Relation-COUNT axis of the demux (the 2-relation cdc_multi point
+    * left the catalog-size question open): N ∈ {8, 16} synthetic
+    * relations at FIXED total rows per batch (split evenly, so the
+    * per-relation apply floor — not row volume — is what N scales),
+    * swept over maxConcurrentRelations ∈ {1, 2, 4, 8}. This is the
+    * relation count a real `FOR ALL TABLES` publication ships, and
+    * the data behind the concurrency knob at that size: the applies
+    * are independent (disjoint tables, idempotent), so the knob
+    * should fold the N serialized per-relation floors toward
+    * max(floor) while the shared census/persist cost stays fixed. */
+  private def cdcRelationCountCurve(spark: SparkSession): Unit =
+    withBatchDurations(spark) { (batchMs, quiesce) =>
+      val totalPerBatch = 16000
+      val stateRows = 20000L
+      val nBatches = 4
+      for (nRel <- Seq(8, 16); conc <- Seq(1, 2, 4, 8)) {
+        val relations = (0 until nRel).map { i =>
+          cdc.Envelope.Relation(f"t$i%02d",
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("val",
+                org.apache.spark.sql.types.StringType))))
+        }
+        val union = cdc.Envelope.unionSchema(relations)
+        val url = s"jdbc:derby:memory:graft_relcount_${nRel}_$conc;create=true"
+        relations.foreach { rel =>
+          val seedDf = spark.range(stateRows).select(
+            col("id"), concat(lit("v"), col("id")).as("val"))
+          sources.Jdbc.ensureTable(url, rel.name, seedDf.schema, "id")
+          sources.Jdbc.write(seedDf, url, rel.name,
+            org.apache.spark.sql.SaveMode.Append)
+        }
+        val perRelation = totalPerBatch / nRel
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_relcount_${nRel}_$conc")
+        val t0 = System.currentTimeMillis() - 2000L * (nBatches + 1)
+        var lsnSeq = 16L
+        for (b <- 0 until nBatches) {
+          val sb = new StringBuilder(totalPerBatch * 90)
+          for (i <- 0 until perRelation; rel <- relations) {
+            val id = (b.toLong * perRelation + i) % stateRows
+            val lsn = f"0/$lsnSeq%08X"; lsnSeq += 16L
+            sb.append(s"""{"lsn": "$lsn", "tag": "update", "table": "${rel.name}", "new": {"id": $id, "val": "b${b}v$id"}}""")
+            sb.append('\n')
+          }
+          val f = dir.resolve(f"chunk_$b%04d.jsonl")
+          java.nio.file.Files.write(f, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          f.toFile.setLastModified(t0 + b * 2000L)
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft_relc_ckpt_${nRel}_$conc").toString
+        val q = streaming.Streams.materializeCdcJdbcTables(
+          streaming.Streams.envelopeStream(spark, dir.toString, schema = union),
+          ckpt, url, relations, maxConcurrentRelations = conc)
+        val runId = q.runId
+        q.awaitTermination(); quiesce()
+        val ms = batchMs(runId)
+        val steady = ms.drop(1)
+        val meanMs = if (steady.nonEmpty) steady.sum.toDouble / steady.size else Double.NaN
+        println(s"""{"metric":"cdc_relcount","relations":$nRel,"concurrency":$conc,""" +
+          s""""rows_per_batch":$totalPerBatch,"batch_ms":[${ms.mkString(",")}],""" +
+          s""""steady_mean_ms":${f"$meanMs%.0f"},""" +
+          s""""rows_per_sec":${f"${totalPerBatch / (meanMs / 1000.0)}%.0f"}}""")
+      }
+    }
+
+  /** Steady-state soak of the CAS-mode JDBC materializer: ~50
+    * micro-batches (1k rows each, ~90% updates / 10% deletes) against
+    * a seeded keyed 50k-row CAS table with tombstone GC on
+    * (retention 5). The flat-latency machinery under test: the
+    * canonical-LSN probe and NULL-stamp backfill are FIRST-batch-only,
+    * the per-batch GC DELETE is horizon-bounded, and the apply touches
+    * only batch keys — so batch wall-clock must stay FLAT (no
+    * monotonic growth across 50 batches) and the tombstone count must
+    * stay bounded by the GC horizon, not accumulate one row per delete
+    * ever issued. Prints first/last-quartile means (the drift signal)
+    * and end-state tombstone counts vs the unbounded total. */
+  private def cdcSoak(spark: SparkSession): Unit =
+    withBatchDurations(spark) { (batchMs, quiesce) =>
+      val stateRows = 50000L
+      val rowsPerBatch = 1000
+      val nBatches = 50
+      val retention = 5L
+      val url = "jdbc:derby:memory:graft_soak;create=true"
+      // CAS-shaped seed: payload + canonical lsn + op + arrival stamp
+      // (a CAS table's rows must carry their version; NULL versions
+      // would lose every CAS by three-valued logic)
+      val seedDf = spark.range(stateRows).select(
+        col("id"),
+        concat(lit("fn"), col("id")).as("firstName"),
+        lit("00000000/00000010").as("lsn"),
+        lit("U").as("op"),
+        lit(0L).as("__graft_arrival_batch"))
+      sources.Jdbc.ensureTable(url, "soak", seedDf.schema, "id")
+      sources.Jdbc.write(seedDf, url, "soak", org.apache.spark.sql.SaveMode.Append)
+      val dir = java.nio.file.Files.createTempDirectory("graft_soak_in")
+      val t0 = System.currentTimeMillis() - 2000L * (nBatches + 1)
+      var lsnSeq = 32L
+      var deletesIssued = 0L
+      for (b <- 0 until nBatches) {
+        val sb = new StringBuilder(rowsPerBatch * 160)
+        for (i <- 0 until rowsPerBatch) {
+          val id = (b.toLong * rowsPerBatch + i) % stateRows
+          val lsn = f"0/$lsnSeq%08X"; lsnSeq += 16L
+          if (i % 10 == 9) {
+            deletesIssued += 1
+            sb.append(s"""{"lsn": "$lsn", "tag": "delete", "table": "students", "old": {"id": $id}}""")
+          } else
+            sb.append(s"""{"lsn": "$lsn", "tag": "update", "table": "students", "new": {"id": $id, "first_name": "b${b}fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}""")
+          sb.append('\n')
+        }
+        val f = dir.resolve(f"chunk_$b%04d.jsonl")
+        java.nio.file.Files.write(f, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        f.toFile.setLastModified(t0 + b * 2000L)
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_soak_ckpt").toString
+      val q = streaming.Streams.materializeCdcJdbc(
+        streaming.Streams.envelopeStream(spark, dir.toString), ckpt, url, "soak",
+        orderedTransport = false, casTombstoneRetention = retention)
+      val runId = q.runId
+      q.awaitTermination(); quiesce()
+      val ms = batchMs(runId)
+      val steady = ms.drop(1)
+      val quarter = steady.size / 4
+      val firstQ = steady.take(quarter)
+      val lastQ = steady.takeRight(quarter)
+      def mean(xs: Seq[Long]) = if (xs.nonEmpty) xs.sum.toDouble / xs.size else Double.NaN
+      val tombstones = sources.Jdbc.snapshot(spark, url, "soak")
+        .filter(col("op") === "D").count()
+      println(s"""{"metric":"cdc_soak","batches":${ms.size},"rows_per_batch":$rowsPerBatch,""" +
+        s""""retention":$retention,"first_quartile_mean_ms":${f"${mean(firstQ)}%.0f"},""" +
+        s""""last_quartile_mean_ms":${f"${mean(lastQ)}%.0f"},""" +
+        s""""end_tombstones":$tombstones,"deletes_issued":$deletesIssued,""" +
+        s""""batch_ms":[${ms.mkString(",")}]}""")
     }
 
   /** ANN scale curve (p10 LSH / p12 IVF): 1× and 5× corpus, recording
