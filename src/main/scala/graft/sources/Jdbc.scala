@@ -134,25 +134,82 @@ object Jdbc {
       table.toUpperCase(java.util.Locale.ROOT),
       table.toLowerCase(java.util.Locale.ROOT)).distinct
 
-  /** (lower-cased column name → [[ColumnMeta]]) over an open
-    * connection — the case-fold patterns, then the mixed-case
-    * fallback; empty when the table doesn't exist in the connection's
-    * current schema. */
-  private def columnMetaOn(c: java.sql.Connection, table: String): Map[String, ColumnMeta] = {
+  /** The STORED identifier and metadata TABLE_TYPE for `table` in the
+    * connection's current schema, or None when nothing matches. Probes
+    * the case-fold patterns first; when all miss, falls back to a
+    * full-schema `getTables` listing (one row per TABLE — far cheaper
+    * than the column listing) screened case-insensitively, so a
+    * mixed-case quoted identifier is still FOUND rather than silently
+    * turning the drift/canonical guards into no-ops. If several stored
+    * identifiers match case-insensitively (quoted DDL can put
+    * `"students"` next to `STUDENTS`), the one unquoted SQL can
+    * actually address wins: exact form, then UPPER, then lower, then
+    * the mixed-case leftover — merging their metadata would be wrong. */
+  private def findStoredTable(c: java.sql.Connection,
+      table: String): Option[(String, String)] = {
     val schemaPat = currentSchemaPattern(c)
-    def scan(pat: String): Map[String, ColumnMeta] = {
-      val rs = c.getMetaData.getColumns(null, schemaPat, pat, null)
+    def scan(pat: String): List[(String, String)] = {
+      val rs = c.getMetaData.getTables(null, schemaPat, pat, null)
       try Iterator.continually(rs).takeWhile(_.next())
         .filter(_.getString("TABLE_NAME").equalsIgnoreCase(table))
-        .map(r => r.getString("COLUMN_NAME").toLowerCase(java.util.Locale.ROOT) ->
-          ColumnMeta(r.getInt("DATA_TYPE"),
-            r.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
-            r.getString("COLUMN_DEF") != null))
-        .toMap
+        .map(r => r.getString("TABLE_NAME") ->
+          Option(r.getString("TABLE_TYPE")).getOrElse("UNKNOWN"))
+        .toList
       finally rs.close()
     }
-    val folded = tableNamePatterns(table).flatMap(p => scan(p)).toMap
-    if (folded.nonEmpty) folded else scan(null)
+    val hits = {
+      val folded = tableNamePatterns(table).flatMap(scan).distinct
+      if (folded.nonEmpty) folded else scan(null).distinct
+    }
+    val rank = tableNamePatterns(table)
+    hits.sortBy { case (stored, _) =>
+      val i = rank.indexOf(stored); if (i < 0) rank.size else i
+    }.headOption
+  }
+
+  /** A stored identifier every engine statement can reach: the
+    * materializer's DDL/DML and the guards' probes all use the
+    * UNQUOTED name, which the dialect folds — a mixed-case stored
+    * identifier (quoted DDL) is findable in metadata but unaddressable
+    * by that SQL, so every subsequent statement would raw-fail
+    * ("table does not exist") in a per-batch crash loop. Refuse ONCE,
+    * loudly, with the identifier named instead. */
+  private def requireAddressable(stored: String, table: String): Unit =
+    if (!tableNamePatterns(table).contains(stored))
+      throw new IllegalStateException(
+        s"[graft] table '$table' exists only as the mixed-case identifier '$stored' " +
+          s"(quoted DDL) — the engine's unquoted SQL cannot address it; rename the " +
+          s"table to an unquoted-addressable form or pass the exact stored name")
+
+  /** (lower-cased column name → [[ColumnMeta]]) over an open
+    * connection — existence via [[findStoredTable]], then ONE exact
+    * `getColumns` on the stored identifier; empty when the table
+    * doesn't exist in the connection's current schema. Fails loudly
+    * (rather than returning metadata the engine's SQL can't use) when
+    * the only match is a mixed-case identifier. */
+  private def columnMetaOn(c: java.sql.Connection, table: String): Map[String, ColumnMeta] =
+    findStoredTable(c, table) match {
+      case None => Map.empty
+      case Some((stored, _)) =>
+        requireAddressable(stored, table)
+        columnsOfStored(c, stored)
+    }
+
+  /** `getColumns` on an already-resolved STORED identifier. `_` in the
+    * name is a pattern wildcard: screen rows on the EXACT stored
+    * identifier, not case-insensitively — a sibling differing only by
+    * case must not merge its columns in. */
+  private def columnsOfStored(c: java.sql.Connection,
+      stored: String): Map[String, ColumnMeta] = {
+    val rs = c.getMetaData.getColumns(null, currentSchemaPattern(c), stored, null)
+    try Iterator.continually(rs).takeWhile(_.next())
+      .filter(_.getString("TABLE_NAME") == stored)
+      .map(r => r.getString("COLUMN_NAME").toLowerCase(java.util.Locale.ROOT) ->
+        ColumnMeta(r.getInt("DATA_TYPE"),
+          r.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
+          r.getString("COLUMN_DEF") != null))
+      .toMap
+    finally rs.close()
   }
 
   def ensureTable(url: String, table: String, schema: StructType, keyCol: String,
@@ -165,25 +222,35 @@ object Jdbc {
       // and a same-named table in another schema could mark a
       // genuinely-missing column present (widening ALTER skipped → the
       // batch INSERT fails). The full-schema listing runs only as the
-      // mixed-case fallback ([[tableNamePatterns]]).
-      val have = columnMetaOn(c, table).keySet
-      if (have.isEmpty) {
-        val cols = schema.fields.map { f =>
-          val pk = if (f.name.equalsIgnoreCase(keyCol)) " NOT NULL PRIMARY KEY" else ""
-          s"${quoted(f.name)} ${ddlType(f.dataType)}$pk"
-        }.mkString(", ")
-        val st = c.createStatement()
-        try st.executeUpdate(s"CREATE TABLE $table ($cols)") finally st.close()
-      } else {
-        val missing = schema.fields.filterNot(f =>
-          have(f.name.toLowerCase(java.util.Locale.ROOT)))
-        if (missing.nonEmpty) {
+      // mixed-case fallback ([[findStoredTable]]).
+      findStoredTable(c, table) match {
+        case Some((stored, ttype)) if ttype != "TABLE" =>
+          // a VIEW (or synonym) under the target name must not be
+          // widened with ALTER or silently written THROUGH into its
+          // base table — CREATE would clash on the name anyway
+          throw new IllegalStateException(
+            s"[graft] '$table' exists as $ttype '$stored', not a base table — the CDC " +
+              s"materializer will not write through or alter a $ttype; drop or rename it, " +
+              s"or point the materializer at a different table name")
+        case None =>
+          val cols = schema.fields.map { f =>
+            val pk = if (f.name.equalsIgnoreCase(keyCol)) " NOT NULL PRIMARY KEY" else ""
+            s"${quoted(f.name)} ${ddlType(f.dataType)}$pk"
+          }.mkString(", ")
           val st = c.createStatement()
-          try missing.foreach { f =>
-            st.executeUpdate(
-              s"ALTER TABLE $table ADD COLUMN ${quoted(f.name)} ${ddlType(f.dataType)}")
-          } finally st.close()
-        }
+          try st.executeUpdate(s"CREATE TABLE $table ($cols)") finally st.close()
+        case Some((stored, _)) =>
+          requireAddressable(stored, table)
+          val have = columnsOfStored(c, stored).keySet
+          val missing = schema.fields.filterNot(f =>
+            have(f.name.toLowerCase(java.util.Locale.ROOT)))
+          if (missing.nonEmpty) {
+            val st = c.createStatement()
+            try missing.foreach { f =>
+              st.executeUpdate(
+                s"ALTER TABLE $table ADD COLUMN ${quoted(f.name)} ${ddlType(f.dataType)}")
+            } finally st.close()
+          }
       }
     } finally c.close()
   }
@@ -195,8 +262,10 @@ object Jdbc {
   /** (lower-cased column name → [[ColumnMeta]]) of an existing table;
     * empty map when the table doesn't exist. Scoped metadata read like
     * [[ensureTable]]'s (current schema + table-name pattern, with the
-    * mixed-case fallback). Used by the CDC materializer's
-    * non-additive-drift guard. */
+    * mixed-case fallback — which fails LOUDLY rather than returning
+    * metadata for an identifier the engine's unquoted SQL can't
+    * address). Used by the CDC materializer's non-additive-drift
+    * guard. */
   def columnMeta(url: String, table: String,
       props: Map[String, String] = Map.empty): Map[String, ColumnMeta] = {
     val c = connect(url, props)
@@ -208,16 +277,36 @@ object Jdbc {
       props: Map[String, String] = Map.empty): Map[String, Int] =
     columnMeta(url, table, props).view.mapValues(_.jdbcType).toMap
 
+  /** SQL predicate matching every `versionCol` value OFF the exact
+    * canonical `%08X/%08X` shape, shared by [[requireCanonicalVersions]]
+    * and [[canonicalizeLsns]] so the probe and the migration can never
+    * disagree about what needs fixing. Catches NULL explicitly (SQL
+    * three-valued logic would otherwise let NULL rows pass every
+    * comparison — and a NULL version makes the CAS `<` guard
+    * permanently false, an un-updatable row), wrong LENGTH, a
+    * misplaced separator, and any non-uppercase-hex character at any
+    * of the 16 digit positions (a 17-char value like `'zz…'` or
+    * `'ZZZZZZZZ/00000001'` sorts ABOVE every real LSN in the SQL `<`,
+    * so its key silently wins every CAS forever). Dialect-portable:
+    * LENGTH/SUBSTR/IN only. */
+  private def nonCanonicalPredicate(v: String): String = {
+    val hex = (('0' to '9') ++ ('A' to 'F')).map(c => s"'$c'").mkString(", ")
+    val digitPositions = ((1 to 8) ++ (10 to 17))
+      .map(i => s"SUBSTR($v, $i, 1) NOT IN ($hex)")
+    (Seq(s"$v IS NULL", s"LENGTH($v) <> 17", s"SUBSTR($v, 9, 1) <> '/'")
+      ++ digitPositions).mkString(" OR ")
+  }
+
   /** Fail loudly when a CAS table holds NON-CANONICAL version strings:
     * raw wire LSNs compare WRONG against canonical `%08X/%08X` ones
     * (`'/'` sorts below `'0'`), so a stale change could beat a newer
     * stored row. The probe rejects any value off the exact canonical
-    * shape — wrong LENGTH, lowercase hex (a hand-rolled `%08x`
-    * migration is 17 chars but `'a' > 'A'` and `'a' > '9'` in the SQL
-    * `<`), or a misplaced separator — via dialect-portable
-    * LENGTH/UPPER/SUBSTR. Run ONCE per stream start (it is a full
-    * scan — not a per-batch check); no-op while the table doesn't
-    * exist. The fix is the one-time [[canonicalizeLsns]] migration. */
+    * shape — NULL, wrong LENGTH, lowercase or non-hex characters
+    * (`'a' > 'A'` and `'Z' > 'F'` in the SQL `<`), or a misplaced
+    * separator — via the dialect-portable [[nonCanonicalPredicate]].
+    * Run ONCE per stream start (it is a full scan — not a per-batch
+    * check); no-op while the table doesn't exist. The fix is the
+    * one-time [[canonicalizeLsns]] migration. */
   def requireCanonicalVersions(url: String, table: String, versionCol: String,
       props: Map[String, String] = Map.empty): Unit =
     if (columnMeta(url, table, props).nonEmpty) {
@@ -227,11 +316,11 @@ object Jdbc {
         try {
           val v = quoted(versionCol)
           val rs = st.executeQuery(
-            s"SELECT $v FROM $table WHERE LENGTH($v) <> 17 OR UPPER($v) <> $v " +
-              s"OR SUBSTR($v, 9, 1) <> '/'")
+            s"SELECT $v FROM $table WHERE ${nonCanonicalPredicate(v)}")
           try {
             if (rs.next()) throw new IllegalStateException(
-              s"[graft] $table holds non-canonical version string '${rs.getString(1)}' " +
+              s"[graft] $table holds non-canonical version string " +
+                s"'${Option(rs.getString(1)).getOrElse("NULL")}' " +
                 s"(expected 17-char %08X/%08X) — a pre-canonicalization CAS table must get " +
                 s"the one-time LSN migration (Jdbc.canonicalizeLsns) before streaming " +
                 s"resumes, or stale changes can overwrite newer rows")
@@ -252,7 +341,7 @@ object Jdbc {
     *    after every update — a failure mid-way rolls back to the
     *    untouched table;
     *  - DIALECT-PORTABLE: the predicate is the probe's
-    *    LENGTH/UPPER/SUBSTR; the canonical form is computed
+    *    [[nonCanonicalPredicate]]; the canonical form is computed
     *    CLIENT-SIDE per DISTINCT raw value (no string-format SQL
     *    dependence), then applied as batched
     *    `UPDATE … SET v = ? WHERE v = ?` — O(distinct raw LSNs)
@@ -269,6 +358,10 @@ object Jdbc {
       props: Map[String, String] = Map.empty): Long = {
     val wire = "^([0-9a-fA-F]{1,8})/([0-9a-fA-F]{1,8})$".r
     def canonical(raw: String): String = raw match {
+      case null => throw new IllegalStateException(
+        s"[graft] $table.$versionCol holds NULL — a NULL version makes the CAS guard " +
+          s"permanently false for its key; repair or delete those rows first " +
+          s"(no rows were touched)")
       case wire(hi, lo) =>
         f"${java.lang.Long.parseLong(hi, 16)}%08X/${java.lang.Long.parseLong(lo, 16)}%08X"
       case _ => throw new IllegalStateException(
@@ -282,9 +375,12 @@ object Jdbc {
       val raws = scala.collection.mutable.ArrayBuffer[String]()
       val st = c.createStatement()
       try {
+        // the probe's exact predicate ([[nonCanonicalPredicate]]): the
+        // migration selects precisely what the guard refuses, so a
+        // value the guard flags can never slip past the migration's
+        // fail-loud validation below
         val rs = st.executeQuery(
-          s"SELECT DISTINCT $v FROM $table WHERE LENGTH($v) <> 17 " +
-            s"OR UPPER($v) <> $v OR SUBSTR($v, 9, 1) <> '/'")
+          s"SELECT DISTINCT $v FROM $table WHERE ${nonCanonicalPredicate(v)}")
         try while (rs.next()) raws += rs.getString(1) finally rs.close()
       } finally st.close()
       // validate ALL before updating ANY — see FAIL-LOUD above

@@ -753,10 +753,10 @@ object Streams {
   }
 
   /** One census per demuxed micro-batch: row-change event count per
-    * table name, from a single tiny aggregation job (≤ catalog size +
-    * strays rows to the driver). The job doubles as the persist
-    * materialization — the first action over the cached batch — and
-    * its result answers BOTH guard questions with zero further passes:
+    * REGISTERED table name, from a single tiny aggregation job. The
+    * job doubles as the persist materialization — the first action
+    * over the cached batch — and its result answers BOTH guard
+    * questions with zero further passes on the happy path:
     *
     *  - events for tables absent from the registry fail the batch
     *    loudly (data loss if dropped, cross-relation corruption if
@@ -766,17 +766,32 @@ object Streams {
     *    metadata round-trip (JDBC) — at FOR ALL TABLES catalog sizes
     *    most relations are quiet in any batch, so per-batch cost
     *    scales with the relations the batch TOUCHES, not the catalog.
-    */
+    *
+    * Every unregistered (or NULL) table name folds into ONE overflow
+    * group before the collect, so the driver pulls at most catalog+1
+    * rows even from a misbound feed whose 'table' field carries
+    * per-row garbage — an unbounded `groupBy(table).collect()` there
+    * would stall the driver before the guard could fire. Stray NAMES
+    * for the error message come from a second bounded sample job that
+    * runs only on the already-fatal path. */
   private def tableCensus(batch: DataFrame, known: Seq[String]): Map[String, Long] = {
-    val counts = batch.filter(Envelope.tagFilter(batch))
-      .groupBy("table").count().collect()
-      .map(r => Option(r.getString(0)).getOrElse("<null>") -> r.getLong(1)).toMap
-    val stray = counts.keys.filterNot(known.toSet).toSeq.sorted
-    require(stray.isEmpty,
-      s"[graft] CDC stream carries unregistered table(s) ${stray.take(5).mkString("'", "', '", "'")} — " +
-        s"register every relation the publication ships (FOR ALL TABLES means exactly that) " +
-        s"or filter the stream upstream; silently ignoring a relation's changes is data loss")
-    counts
+    val knownAny = known.map(x => x: Any)
+    val evts = batch.filter(Envelope.tagFilter(batch))
+    val rows = evts
+      .groupBy(when(col("table").isin(knownAny: _*), col("table")).as("table"))
+      .count().collect()
+    val strays = rows.exists(r => r.isNullAt(0) && r.getLong(1) > 0L)
+    if (strays) {
+      val sample = evts
+        .filter(col("table").isNull || !col("table").isin(knownAny: _*))
+        .select("table").distinct().limit(5).collect()
+        .map(r => Option(r.getString(0)).getOrElse("<null>")).sorted
+      throw new IllegalArgumentException(
+        s"[graft] CDC stream carries unregistered table(s) ${sample.mkString("'", "', '", "'")} — " +
+          s"register every relation the publication ships (FOR ALL TABLES means exactly that) " +
+          s"or filter the stream upstream; silently ignoring a relation's changes is data loss")
+    }
+    rows.iterator.filterNot(_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   /** Bind a CDC checkpoint to the ONE sink it materializes. The
@@ -956,7 +971,12 @@ object Streams {
     * exactly-once-equivalence per relation: the shared checkpoint
     * replays the whole batch, and every relation's apply is
     * idempotent, so a crash between relation applies re-lands the
-    * applied ones as no-ops and completes the rest. */
+    * applied ones as no-ops and completes the rest. In CAS mode with a
+    * tombstone retention set, `casQuietGcEvery` is the cadence (in
+    * micro-batches) at which QUIET relations — skipped by the census
+    * demux, and therefore skipping their per-apply tombstone GC — get
+    * a standalone GC sweep, so a relation that takes deletes and then
+    * goes silent still ages its tombstones out. */
   def materializeCdcJdbcTables(envelopes: DataFrame, checkpoint: String,
       url: String, relations: Seq[Envelope.Relation],
       tableNames: String => String = identity,
@@ -964,7 +984,10 @@ object Streams {
       orderedTransport: Boolean = true,
       casTombstoneRetention: Long = Long.MaxValue,
       maxConcurrentRelations: Int = 1,
-      allowSinkOnlyColumns: Boolean = false): StreamingQuery = {
+      allowSinkOnlyColumns: Boolean = false,
+      casQuietGcEvery: Long = 32L): StreamingQuery = {
+    require(casQuietGcEvery > 0L,
+      s"[graft] casQuietGcEvery must be positive (got $casQuietGcEvery)")
     val probed = new java.util.concurrent.atomic.AtomicBoolean(false)
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
@@ -990,6 +1013,22 @@ object Streams {
             url, tableNames(rel.name), batchId, rel.outName(rel.key), props,
             orderedTransport, casTombstoneRetention, allowSinkOnlyColumns,
             backfillStamps = firstBatch)
+        }
+        // the quiet-relation skip also skips applyBatchJdbc's tombstone
+        // GC, so a relation that takes deletes then goes quiet would
+        // hold its tombstones past the retention horizon forever. Sweep
+        // quiet relations' tombstones every casQuietGcEvery-th batch:
+        // one DELETE round-trip per quiet relation, amortized to ~zero
+        // per batch, and idempotent under checkpoint replay (the same
+        // batchId recomputes the same horizon). Tables exist — the
+        // first batch of every run applies ALL relations (ensureTable).
+        if (!orderedTransport && casTombstoneRetention != Long.MaxValue &&
+            !firstBatch && batchId % casQuietGcEvery == 0L) {
+          val activeNames = active.map(_.name).toSet
+          relations.filterNot(r => activeNames(r.name)).foreach { rel =>
+            graft.sources.Jdbc.deleteExpiredTombstones(url, tableNames(rel.name),
+              "op", casBatchCol, batchId - casTombstoneRetention, props)
+          }
         }
       } finally cached.unpersist()
     })

@@ -519,12 +519,18 @@ class JdbcSpec extends SparkSuite {
     assert(untouched == "0/77", "a malformed sibling must abort with zero rows touched")
   }
 
-  test("metadata reads find a table stored under a mixed-case quoted identifier") {
+  test("metadata reads refuse a table stored under a mixed-case quoted identifier, loudly") {
+    import org.apache.spark.sql.types._
     // quoted DDL stores the identifier case-exact; every case-fold
     // pattern (as-is/UPPER/lower of the caller's name) misses it, so
-    // the metadata read must fall back to the full-schema listing —
-    // otherwise requireCompatibleDriftJdbc and
-    // requireCanonicalVersions silently no-op ("table doesn't exist")
+    // the metadata read falls back to a full-schema listing — finding
+    // it must NOT silently no-op requireCompatibleDriftJdbc /
+    // requireCanonicalVersions ("table doesn't exist"). But the
+    // engine's DDL/DML and guard probes are all UNQUOTED SQL, which
+    // the dialect folds — they can't address 'Students_Mixed' at all,
+    // so returning its metadata would trade the silent no-op for a
+    // per-batch raw-SQLException crash loop. The contract is a named
+    // refusal at detection, once.
     val u = "jdbc:derby:memory:graft_mixed_ident;create=true"
     val c = java.sql.DriverManager.getConnection(u)
     try {
@@ -533,9 +539,96 @@ class JdbcSpec extends SparkSuite {
         """CREATE TABLE "Students_Mixed" ("id" BIGINT NOT NULL PRIMARY KEY, "lsn" VARCHAR(17))""")
       st.close()
     } finally c.close()
-    val meta = Jdbc.columnMeta(u, "students_mixed")
-    assert(meta.keySet == Set("id", "lsn"), meta)
-    assert(!meta("id").nullable && meta("lsn").nullable)
+    val refused = intercept[IllegalStateException](Jdbc.columnMeta(u, "students_mixed"))
+    assert(refused.getMessage.contains("Students_Mixed"), refused.getMessage)
+    assert(refused.getMessage.contains("mixed-case"), refused.getMessage)
+    // ensureTable hits the same named refusal instead of skipping
+    // CREATE and crash-looping on unquoted ALTER/INSERT
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lsn", StringType)))
+    val ensure = intercept[IllegalStateException](
+      Jdbc.ensureTable(u, "students_mixed", schema, "id"))
+    assert(ensure.getMessage.contains("mixed-case"), ensure.getMessage)
+  }
+
+  test("ensureTable refuses a VIEW under the target name instead of writing through it") {
+    import org.apache.spark.sql.types._
+    // getColumns-style existence would see the view's columns, skip
+    // CREATE, and let the materializer ALTER (SQL error) or INSERT
+    // THROUGH an updatable view into its base table — silent writes to
+    // a table nobody named. The existence probe reads TABLE_TYPE and
+    // refuses non-base-tables by name.
+    val u = "jdbc:derby:memory:graft_view_clash;create=true"
+    val c = java.sql.DriverManager.getConnection(u)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE view_base (\"id\" BIGINT NOT NULL PRIMARY KEY, \"name\" VARCHAR(32))")
+      st.executeUpdate("CREATE VIEW students_v AS SELECT * FROM view_base")
+      st.close()
+    } finally c.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val refused = intercept[IllegalStateException](
+      Jdbc.ensureTable(u, "students_v", schema, "id"))
+    assert(refused.getMessage.contains("VIEW"), refused.getMessage)
+    // the base table itself stays usable
+    Jdbc.ensureTable(u, "view_base", schema, "id")
+  }
+
+  test("canonical-version probe catches NULL and hex-shaped garbage, migration refuses both") {
+    import org.apache.spark.sql.types._
+    // NULL passes every SQL comparison via three-valued logic, so the
+    // old LENGTH/UPPER/SUBSTR predicate never returned those rows —
+    // yet a NULL version makes the CAS '<' guard permanently false:
+    // the key can never be updated again, silently. And a 17-char
+    // UPPERCASE value with non-hex characters ('Z' > 'F') passes a
+    // shape-only probe while sorting above every real LSN — its key
+    // wins every CAS forever. Both must be flagged at stream start and
+    // refused (not rewritten around) by the migration.
+    val u = "jdbc:derby:memory:graft_cas_nullhex;create=true"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("firstName", StringType),
+      StructField("lsn", StringType), StructField("op", StringType),
+      StructField("__graft_arrival_batch", LongType)))
+    Jdbc.ensureTable(u, "cas_nullhex", schema, "id")
+    val c = java.sql.DriverManager.getConnection(u)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate("INSERT INTO cas_nullhex VALUES (1, 'ok', '00000000/00000001', 'U', 0)")
+      st.executeUpdate("INSERT INTO cas_nullhex VALUES (2, 'null-lsn', NULL, 'U', 0)")
+      st.close()
+    } finally c.close()
+    val nullRefused = intercept[IllegalStateException](
+      Jdbc.requireCanonicalVersions(u, "cas_nullhex", "lsn"))
+    assert(nullRefused.getMessage.contains("NULL"), nullRefused.getMessage)
+    val nullAborted = intercept[IllegalStateException](
+      Jdbc.canonicalizeLsns(u, "cas_nullhex", "lsn"))
+    assert(nullAborted.getMessage.contains("NULL"), nullAborted.getMessage)
+    // clear the NULL, plant hex-shaped garbage: right length, right
+    // separator, uppercase — wrong alphabet
+    val c2 = java.sql.DriverManager.getConnection(u)
+    try {
+      val st = c2.createStatement()
+      st.executeUpdate("UPDATE cas_nullhex SET \"lsn\" = '00000000/00000002' WHERE \"id\" = 2")
+      st.executeUpdate("INSERT INTO cas_nullhex VALUES (3, 'garbage', 'ZZZZZZZZ/00000001', 'U', 0)")
+      st.close()
+    } finally c2.close()
+    val hexRefused = intercept[IllegalStateException](
+      Jdbc.requireCanonicalVersions(u, "cas_nullhex", "lsn"))
+    assert(hexRefused.getMessage.contains("ZZZZZZZZ/00000001"), hexRefused.getMessage)
+    val hexAborted = intercept[IllegalStateException](
+      Jdbc.canonicalizeLsns(u, "cas_nullhex", "lsn"))
+    assert(hexAborted.getMessage.contains("ZZZZZZZZ/00000001"), hexAborted.getMessage)
+    // with the garbage repaired, probe and migration both settle
+    val c3 = java.sql.DriverManager.getConnection(u)
+    try {
+      val st = c3.createStatement()
+      st.executeUpdate("UPDATE cas_nullhex SET \"lsn\" = '00000000/00000003' WHERE \"id\" = 3")
+      st.close()
+    } finally c3.close()
+    Jdbc.requireCanonicalVersions(u, "cas_nullhex", "lsn")
+    assert(Jdbc.canonicalizeLsns(u, "cas_nullhex", "lsn") == 0L)
   }
 
   test("CAS insert fallback fires on count 0 AND on SUCCESS_NO_INFO, never on a positive row count") {

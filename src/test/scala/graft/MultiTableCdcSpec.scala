@@ -669,6 +669,65 @@ class MultiTableCdcSpec extends SparkSuite {
       "the touched relation still advances")
   }
 
+  test("a quiet relation's tombstones still age out: the periodic GC sweep reaches relations the census skips") {
+    // The census-driven demux skips quiet relations entirely — which
+    // also skips applyBatchJdbc's per-apply tombstone GC. Without the
+    // sweep, a relation that takes deletes and then goes silent keeps
+    // its tombstones past the retention horizon forever while its
+    // siblings stay busy.
+    import java.nio.file.Files
+    val sinkUrl = "jdbc:derby:memory:graft_mt_quietgc;create=true"
+    val src = Files.createTempDirectory("graft_mtqgc_in")
+    val ckpt = Files.createTempDirectory("graft_mtqgc_ckpt").toString
+    val now = System.currentTimeMillis()
+    def writeChunk(name: String, mtime: Long, lines: String*): Unit = {
+      val f = src.resolve(name)
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+    }
+    def student(lsn: String, id: Long, fn: String) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "students", "new": {"id": $id, "first_name": "$fn", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    def studentDelete(lsn: String, id: Long) =
+      s"""{"lsn": "$lsn", "tag": "delete", "table": "students", "old": {"id": $id}}"""
+    def status(lsn: String, id: Long, v: String) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "status", "new": {"id": $id, "value": "$v"}}"""
+    def run(): Unit = {
+      Streams.materializeCdcJdbcTables(
+        Streams.envelopeStream(spark, src.toString, schema = union), ckpt, sinkUrl,
+        relations, tableNames = n => s"qgc_$n", orderedTransport = false,
+        casTombstoneRetention = 1L, casQuietGcEvery = 1L).awaitTermination()
+      quiesce()
+    }
+    def studentTombstones(): Seq[Long] =
+      graft.sources.Jdbc.snapshot(spark, sinkUrl, "qgc_students")
+        .filter(col("op") === "D").collect()
+        .map(r => r.getLong(r.fieldIndex("id"))).toSeq.sorted
+    // batch 0: students takes an insert and a delete (tombstone stamped
+    // 0), status an insert — then students goes permanently quiet
+    writeChunk("chunk_0000.jsonl", now - 60000L,
+      student("0/00000010", 1L, "one"), student("0/00000014", 2L, "two"),
+      studentDelete("0/00000018", 1L), status("0/00000020", 1L, "active"))
+    run()
+    assert(studentTombstones() == Seq(1L),
+      "the delete must land as a tombstone before the horizon passes")
+    // batch 1 is a restart's FIRST batch (applies every relation; its
+    // per-apply GC horizon 1-1=0 keeps stamp-0 tombstones). Batch 2 is
+    // the steady state: students is quiet, the census skips it, and
+    // ONLY the sweep (horizon 2-1=1 > stamp 0) can collect the
+    // tombstone.
+    writeChunk("chunk_0001.jsonl", now - 40000L, status("0/00000030", 2L, "pending"))
+    writeChunk("chunk_0002.jsonl", now - 20000L, status("0/00000040", 3L, "closed"))
+    run()
+    assert(studentTombstones() == Seq.empty,
+      "the periodic sweep must age out a quiet relation's expired tombstones")
+    // the sweep deletes ONLY expired tombstones — live rows survive it
+    val live = Streams.cdcLiveStateJdbc(spark, sinkUrl, "qgc_students")
+      .collect().map(r => r.getLong(r.fieldIndex("id"))).toSeq.sorted
+    assert(live == Seq(2L), s"live rows must survive the sweep: $live")
+    assert(collectStatus(Streams.cdcLiveStateJdbc(spark, sinkUrl, "qgc_status")) ==
+      Map(1L -> "active", 2L -> "pending", 3L -> "closed"))
+  }
+
   private def writeLines(lines: Seq[String]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_mt_lines")
     val f = dir.resolve("all.jsonl")
