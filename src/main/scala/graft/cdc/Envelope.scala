@@ -45,9 +45,60 @@ object Envelope {
     * (`customMapper.ts:12-13`). */
   val controlTags: Seq[String] = Seq("begin", "commit", "relation")
 
-  /** A4 — keep only row-change events. */
-  def tagFilter(df: DataFrame): Column =
-    !col("tag").isin(controlTags.map(x => x: Any): _*)
+  /** Row-change tags the engine can apply incrementally. */
+  val rowTags: Seq[String] = Seq("insert", "update", "delete")
+
+  /** A4 — keep only row-change events. NULL tags are KEPT, not
+    * dropped: a null tag is corrupt input (a garbled line under
+    * PERMISSIVE JSON parsing reads back as an all-null envelope), and
+    * the old `!isin(...)` predicate's three-valued logic silently
+    * filtered it — a lost change event diverging the materialized
+    * state with no error. Kept rows hit [[checkedTag]]'s loud refusal
+    * at the projection instead. */
+  def tagFilter: Column =
+    coalesce(!col("tag").isin(controlTags.map(x => x: Any): _*), lit(true))
+
+  /** The projection's tag gate: anything that survives [[tagFilter]]
+    * but is not a row-change tag fails the batch LOUDLY — 'truncate'
+    * above all (a `FOR ALL TABLES` publication replicates TRUNCATE by
+    * default; the reference's mapper silently drops imageless events,
+    * `customMapper.ts:16-24`, which for a truncate means state
+    * silently retains every row the source just removed), but also
+    * informational messages ('message'/'origin'/'type') and corrupt
+    * input (NULL tag). Applying a truncate incrementally is
+    * impossible — the fix is a re-snapshot + stream restart;
+    * informational messages need an upstream filter (or an extended
+    * [[controlTags]]) — both operator decisions the engine must not
+    * silently make. */
+  private def checkedTag: Column =
+    when(col("tag").isin(rowTags.map(x => x: Any): _*), col("tag"))
+      .otherwise(raise_error(concat(
+        lit("[graft] unsupported CDC tag '"), coalesce(col("tag"), lit("<null>")),
+        lit("' — the engine applies insert/update/delete incrementally; a truncate " +
+          "requires a re-snapshot + stream restart, informational messages an upstream " +
+          "filter, and a NULL tag is corrupt input"))))
+
+  /** The projection's key gate: a NULL merge key never matches any
+    * null-unsafe join downstream, so the row would silently re-insert
+    * a duplicate on every at-least-once delivery instead of merging —
+    * refuse at the projection, where the key is born. */
+  private def checkedKey(c: Column, name: String, t: DataType): Column =
+    when(c.isNotNull, c).otherwise(raise_error(lit(
+      s"[graft] CDC event with NULL key '$name' — inserts/updates must carry new.$name, " +
+        s"deletes old.$name (REPLICA IDENTITY); a null key cannot merge and would " +
+        s"silently duplicate on redelivery")).cast(t))
+
+  /** Output-name injectivity under case-insensitive resolution —
+    * shared by [[project]]'s drift extras and [[projectRelation]]'s
+    * registry outputs, so the two edges can never drift apart on what
+    * "collides" means. */
+  private def requireInjectiveOutputs(what: String, outs: Seq[(String, String)]): Unit =
+    outs.groupBy(_._2.toLowerCase(java.util.Locale.ROOT)).values
+      .filter(_.size > 1).foreach { clash =>
+        throw new IllegalArgumentException(
+          s"[graft] $what fields ${clash.map(_._1).mkString("'", "', '", "'")} " +
+            s"all fold to output name '${clash.head._2}' — rename them upstream")
+      }
 
   /** A5 — null-safe row-image extraction with the authoritative
     * snake_case→camelCase mapping (FIXTURES.md §2 table). Delete events
@@ -99,7 +150,20 @@ object Envelope {
       case Some(s: StructType) => s.fields.filterNot(f => knownImageFields(f.name)).toSeq
       case _ => Seq.empty
     }
-    val fixedNames = Set("lsn", "tag", "id", "firstname", "lastname", "dateofbirth", "status")
+    // ONE list is both the select and the shadow-guard vocabulary —
+    // deriving fixedNames from it means adding a projected column can
+    // never silently re-open the drift-shadowing hole a stale
+    // hand-maintained set would leave
+    val fixedCols: Seq[(String, Column)] = Seq(
+      "lsn" -> normalizeLsn(col("lsn")),
+      "tag" -> checkedTag,
+      "id" -> checkedKey(coalesce(col("new.id"), col("old.id")), "id", LongType),
+      "firstName" -> col("new.first_name"),
+      "lastName" -> col("new.last_name"),
+      "dateOfBirth" -> col("new.date_of_birth").cast(DateType),
+      "status" -> col("new.status_id"))
+    val fixedNames = fixedCols.map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet +
+      "__rn" // lastImageByKey's bookkeeping — shadowing it clobbers the fold
     extras.foreach { f =>
       val out = camelCase(f.name)
       require(!fixedNames.contains(out.toLowerCase(java.util.Locale.ROOT)),
@@ -109,22 +173,9 @@ object Envelope {
     // fields collapsing to one camelCase (`email_x` and `emailX`) would
     // emit duplicate output columns and poison every downstream
     // resolution with ambiguity errors — refuse at the projection
-    extras.map(f => f.name -> camelCase(f.name))
-      .groupBy(_._2.toLowerCase(java.util.Locale.ROOT)).values
-      .filter(_.size > 1).foreach { clash =>
-        throw new IllegalArgumentException(
-          s"[graft] drifted image fields ${clash.map(_._1).mkString("'", "', '", "'")} " +
-            s"all fold to camelCase '${clash.head._2}' — rename them upstream")
-      }
-    df.filter(tagFilter(df))
-      .select(Seq(
-        normalizeLsn(col("lsn")).as("lsn"),
-        col("tag"),
-        coalesce(col("new.id"), col("old.id")).as("id"),
-        col("new.first_name").as("firstName"),
-        col("new.last_name").as("lastName"),
-        col("new.date_of_birth").cast(DateType).as("dateOfBirth"),
-        col("new.status_id").as("status")) ++
+    requireInjectiveOutputs("drifted image", extras.map(f => f.name -> camelCase(f.name)))
+    df.filter(tagFilter)
+      .select(fixedCols.map { case (n, c) => c.as(n) } ++
         extras.map(f => col(s"new.${f.name}").as(camelCase(f.name))): _*)
   }
 
@@ -225,11 +276,11 @@ object Envelope {
   def projectRelation(df: DataFrame, rel: Relation): DataFrame = {
     val outs = rel.image.fields.map(f => f.name -> rel.outName(f.name))
     val lowered = outs.map(_._2.toLowerCase(java.util.Locale.ROOT))
-    require(lowered.distinct.size == lowered.size,
-      s"[graft] relation '${rel.name}' image fields fold to duplicate output names: " +
-        outs.map { case (s, o) => s"$s->$o" }.mkString(", "))
-    require(!lowered.exists(Set("lsn", "tag").contains),
-      s"[graft] relation '${rel.name}' image field would shadow envelope bookkeeping (lsn/tag)")
+    requireInjectiveOutputs(s"relation '${rel.name}' image", outs)
+    require(!lowered.exists(Set("lsn", "tag", "__rn").contains),
+      s"[graft] relation '${rel.name}' image field would shadow engine bookkeeping " +
+        s"(lsn/tag/__rn) — a rename to '__rn' would be silently clobbered by the " +
+        s"last-image fold's row-number column")
     require(rel.image.fields.exists(_.name == rel.key),
       s"[graft] relation '${rel.name}' key '${rel.key}' is not an image field")
     // the cast below goes from the UNION-widened read type down to the
@@ -257,12 +308,13 @@ object Envelope {
     val cols = rel.image.fields.map { f =>
       val src =
         if (f.name == rel.key)
-          coalesce(col(s"new.${f.name}"), col(s"old.${f.name}"))
-        else col(s"new.${f.name}")
-      src.cast(f.dataType).as(rel.outName(f.name))
+          checkedKey(coalesce(col(s"new.${f.name}"), col(s"old.${f.name}"))
+            .cast(f.dataType), f.name, f.dataType)
+        else col(s"new.${f.name}").cast(f.dataType)
+      src.as(rel.outName(f.name))
     }
-    df.filter(tagFilter(df))
-      .select(normalizeLsn(col("lsn")).as("lsn") +: col("tag") +: cols: _*)
+    df.filter(tagFilter)
+      .select(normalizeLsn(col("lsn")).as("lsn") +: checkedTag.as("tag") +: cols: _*)
   }
 
   /** A9/Q19 — final-state replay: latest event per key wins (LSN order,
@@ -270,6 +322,8 @@ object Envelope {
     * Idempotent under duplicated batches: re-applying any prefix of
     * already-seen events cannot change the winner. */
   def lastImageByKey(projected: DataFrame, keyCol: String = "id"): DataFrame = {
+    require(!projected.columns.exists(_.equalsIgnoreCase("__rn")),
+      "[graft] column name '__rn' is reserved by lastImageByKey — rename it on the input")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("lsn").desc)
     projected
       .withColumn("__rn", row_number().over(w))

@@ -57,18 +57,48 @@ object Merge {
   }
 
   private def validate(base: DataFrame, changes: DataFrame,
-      key: String, opCol: String): (String, String) = {
-    def resolve(df: DataFrame, name: String, what: String, side: String): String =
-      resolveCol(df, name, what, side)
-    val k = resolve(base, key, "key", "base")
-    resolve(changes, key, "key", "changes")
-    val op = resolve(changes, opCol, "op column", "changes")
+      key: String, opCol: String): (String, String, String) = {
+    val k = resolveCol(base, key, "key", "base")
+    val kc = resolveCol(changes, key, "key", "changes")
+    val op = resolveCol(changes, opCol, "op column", "changes")
     def clashes(df: DataFrame) =
       if (caseSensitive(base)) df.columns.contains(presentCol)
       else df.columns.exists(_.equalsIgnoreCase(presentCol))
     require(!clashes(base) && !clashes(changes),
       s"[graft] column name '$presentCol' is reserved by MERGE — rename it on the input")
-    (k, op)
+    (k, kc, op)
+  }
+
+  /** NULL merge keys on the change side fail the batch LOUDLY: every
+    * join here is null-UNSAFE equality, so a null-key change row never
+    * matches base NOR the insert anti-probe — it appends a fresh row
+    * on EVERY delivery, silently breaking both the one-row-per-key
+    * invariant and at-least-once idempotence.
+    *
+    * The guard rides inside a CARRIER column (`opCol` here, the
+    * version column in [[upsertVersioned]]) rather than the key
+    * itself: rewriting the join key into a CASE expression would hide
+    * its bucket-hash provenance from the planner and re-introduce the
+    * exchange the bucketed layout exists to avoid (LayoutSpec pins the
+    * exchange-free apply). The carrier is sound because every subtree
+    * that can KEEP a change row evaluates it: [[upsert]]'s delete
+    * filter reads `c.op` for every present row, and
+    * [[upsertSmallChanges]]'s insert branch — the only place a
+    * null-key row survives to (it matches neither anti-probe) —
+    * filters on `op`. A dropped standalone assert column would be
+    * pruned away, check and all. The base side is not re-scanned: base
+    * rows originate as checked change rows (or a caller-stamped
+    * snapshot), so the invariant holds inductively. */
+  private def nullKeyError(kc: String, opName: String): String =
+    s"[graft] $opName: null merge key '$kc' in changes — a null key matches no " +
+      s"join, so the row would silently duplicate on every redelivery"
+
+  private def guardNullKey(changes: DataFrame, kc: String, carrier: String,
+      opName: String): DataFrame = {
+    val cType = changes.schema(carrier).dataType
+    changes.withColumn(carrier,
+      when(col(kc).isNotNull, col(carrier))
+        .otherwise(raise_error(lit(nullKeyError(kc, opName))).cast(cType)))
   }
 
   private def caseSensitive(df: DataFrame): Boolean =
@@ -96,7 +126,8 @@ object Merge {
     */
   def upsert(base: DataFrame, changes: DataFrame, key: String, opCol: String,
       partialImages: Boolean = true): DataFrame = {
-    val (k, op) = validate(base, changes, key, opCol)
+    val (k, kc, op) = validate(base, changes, key, opCol)
+    val checked = guardNullKey(changes, kc, op, "MERGE upsert")
     val valueCols = base.columns.filter(_ != k).toSeq
     val inChanges = changeColMatcher(base, changes)
     // Presence of a change row must be its own witness, not inferred
@@ -104,7 +135,7 @@ object Merge {
     // the contract, and inferring presence from it would silently treat
     // the row as absent in full-image mode.
     val merged = base.alias("b")
-      .join(changes.withColumn(presentCol, lit(true)).alias("c"), Seq(k), "full_outer")
+      .join(checked.withColumn(presentCol, lit(true)).alias("c"), Seq(k), "full_outer")
     val matched = col(s"c.$presentCol").isNotNull
     merged
       .filter(!(matched && (col(s"c.$op") <=> lit("D"))))
@@ -145,13 +176,14 @@ object Merge {
     */
   def upsertSmallChanges(base: DataFrame, changes: DataFrame, key: String, opCol: String,
       partialImages: Boolean = true, cacheMatched: Boolean = true): DataFrame = {
-    val (k, op) = validate(base, changes, key, opCol)
+    val (k, kc, op) = validate(base, changes, key, opCol)
+    val checked = guardNullKey(changes, kc, op, "MERGE upsertSmallChanges")
     val valueCols = base.columns.filter(_ != k).toSeq
     val inChanges = changeColMatcher(base, changes)
     val isDelete = col(op) <=> lit("D")
     // base rows whose key has no change: pass through (scan + broadcast anti)
     val untouched = base
-      .join(broadcast(changes.select(col(k))), Seq(k), "left_anti")
+      .join(broadcast(checked.select(col(k))), Seq(k), "left_anti")
       .select(col(k) +: valueCols.map(col): _*)
     // matched (key in both): merge per column; D drops the row. The
     // result is ≤ |changes| rows and feeds BOTH the applied branch and
@@ -159,7 +191,7 @@ object Merge {
     // two scans (released by the session-level clearCache teardown the
     // engine's drivers run between queries, as with q41's own persist).
     val matchedJoin = base.alias("b")
-      .join(broadcast(changes.alias("c")), Seq(k), "inner")
+      .join(broadcast(checked.alias("c")), Seq(k), "inner")
     val matched = if (cacheMatched) matchedJoin.persist() else matchedJoin
     val applied = matched
       .filter(!(col(s"c.$op") <=> lit("D")))
@@ -171,7 +203,7 @@ object Merge {
     // inserts: change keys absent from base. The matched-key set is
     // ≤ |changes| rows, so the anti probe broadcasts it — the base
     // contributes only through the (unshuffled) inner join above.
-    val inserts = changes
+    val inserts = checked
       .join(broadcast(matched.select(col(k))), Seq(k), "left_anti")
       .filter(!isDelete)
       .select(col(k) +: valueCols.map { v =>
@@ -215,7 +247,7 @@ object Merge {
   def upsertVersioned(base: DataFrame, changes: DataFrame, key: String,
       versionCol: String, cacheMatched: Boolean = true): DataFrame = {
     val k = resolveCol(base, key, "key", "base")
-    resolveCol(changes, key, "key", "changes")
+    val kc = resolveCol(changes, key, "key", "changes")
     val verB = resolveCol(base, versionCol, "version column", "base")
     val verC0 = resolveCol(changes, versionCol, "version column", "changes")
     def fold(s: String) =
@@ -223,13 +255,19 @@ object Merge {
     require(base.columns.map(fold).sorted.toSeq == changes.columns.map(fold).sorted.toSeq,
       s"[graft] versioned MERGE needs identical columns on both sides: " +
         s"base ${base.columns.mkString("[", ", ", "]")} vs changes ${changes.columns.mkString("[", ", ", "]")}")
-    // Null check rides inside the version column itself (not a dropped
-    // assert_true column the optimizer could prune away with its check).
+    // Null checks ride inside the VERSION column (the [[guardNullKey]]
+    // carrier pattern — rewriting the key would break bucketed
+    // co-location; a dropped assert column would be pruned away with
+    // its check): the version is never pruned here because the
+    // pre-reduce's max_by orders by it, which evaluates the guard for
+    // every change row BEFORE any join.
     val verType = changes.schema(verC0).dataType
     val checked0 = changes.withColumn(verC0,
-      when(col(verC0).isNotNull, col(verC0))
-        .otherwise(raise_error(lit(
-          s"[graft] versioned MERGE: null $verC0 in changes — versions (LSN/offset) must be non-null"))
+      when(col(verC0).isNotNull && col(kc).isNotNull, col(verC0))
+        .otherwise(raise_error(
+          when(col(kc).isNull, lit(nullKeyError(kc, "versioned MERGE")))
+            .otherwise(lit(
+              s"[graft] versioned MERGE: null $verC0 in changes — versions (LSN/offset) must be non-null")))
           .cast(verType)))
     // Pre-reduce to the winning (highest-version) row per key, so a
     // batch with a key's whole update chain behaves as its last image

@@ -654,7 +654,7 @@ object Streams {
     * question. */
   private def requireSingleTable(batch: DataFrame, op: String, alt: String): Long =
     if (batch.columns.contains("table")) {
-      val row = batch.filter(Envelope.tagFilter(batch))
+      val row = batch.filter(Envelope.tagFilter)
         .agg(collect_set(col("table")), count(lit(1))).head()
       val tbls = row.getSeq[String](0)
       require(tbls.size <= 1,
@@ -662,7 +662,7 @@ object Streams {
           tbls.sorted.mkString("'", "', '", "'") +
           s" — a FOR ALL TABLES publication must go through $alt, which demuxes per relation")
       row.getLong(1)
-    } else batch.filter(Envelope.tagFilter(batch)).count()
+    } else batch.filter(Envelope.tagFilter).count()
 
   /** NON-ADDITIVE schema drift fails loudly BEFORE any state is
     * touched — the two migrations a streaming restart must not paper
@@ -776,7 +776,7 @@ object Streams {
     * runs only on the already-fatal path. */
   private def tableCensus(batch: DataFrame, known: Seq[String]): Map[String, Long] = {
     val knownAny = known.map(x => x: Any)
-    val evts = batch.filter(Envelope.tagFilter(batch))
+    val evts = batch.filter(Envelope.tagFilter)
     val rows = evts
       .groupBy(when(col("table").isin(knownAny: _*), col("table")).as("table"))
       .count().collect()

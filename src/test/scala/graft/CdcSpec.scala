@@ -125,7 +125,7 @@ class CdcSpec extends SparkSuite {
     })
     val df = spark.read.schema(widened).json(Fixture.materialize())
     val e = intercept[IllegalArgumentException](Envelope.project(df))
-    assert(e.getMessage.contains("fold to camelCase") &&
+    assert(e.getMessage.contains("fold to output name") &&
       e.getMessage.contains("email_x") && e.getMessage.contains("emailX"), e.getMessage)
     // two distinct extras still pass together
     val ok = StructType(Envelope.schema.fields.map {
@@ -186,6 +186,62 @@ class CdcSpec extends SparkSuite {
     def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
     assert(msgs(e).contains("malformed LSN") && msgs(e).contains("LSN:0/16B2D80"), msgs(e))
+  }
+
+  private def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+
+  private def projectLines(lines: String*): org.apache.spark.sql.DataFrame = {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_cdcline")
+    val f = dir.resolve("events.jsonl")
+    Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Envelope.project(spark.read.schema(Envelope.schema).json(f.toString))
+  }
+
+  test("a truncate event fails the projection loudly — it cannot be applied incrementally") {
+    // a FOR ALL TABLES publication replicates TRUNCATE by default; the
+    // reference's mapper silently drops imageless events
+    // (customMapper.ts:16-24), which for a truncate means state keeps
+    // every row the source just removed. The engine refuses instead:
+    // the operator must re-snapshot and restart.
+    val e = intercept[Exception] {
+      projectLines(
+        s"""{"lsn": "0/10", "tag": "insert", "table": "students", "new": {"id": 1, "first_name": "a", "last_name": "b", "date_of_birth": "1990-01-01", "status_id": 1}}""",
+        s"""{"lsn": "0/20", "tag": "truncate", "table": "students"}""").collect()
+    }
+    assert(msgs(e).contains("unsupported CDC tag") && msgs(e).contains("truncate"), msgs(e))
+  }
+
+  test("a corrupt envelope line fails loudly instead of being silently dropped") {
+    // PERMISSIVE JSON parsing turns a garbled line into an all-null
+    // envelope; the old null-unaware tag filter dropped it — a lost
+    // change event silently diverging the state. The null tag now
+    // reaches the projection's tag gate and raises.
+    // whichever guard fires first (the all-null row trips the LSN gate
+    // before the tag gate), the batch fails loudly — silence is the bug
+    def loud(m: String): Boolean =
+      m.contains("unsupported CDC tag") || m.contains("malformed LSN")
+    val e = intercept[Exception] {
+      projectLines("""{"lsn": "0/10", "tag": "ins""").collect()
+    }
+    assert(loud(msgs(e)), msgs(e))
+    // same through the kafka-style from_json edge
+    import spark.implicits._
+    val e2 = intercept[Exception] {
+      Envelope.project(Envelope.parse(
+        Seq("""{"half an envel""").toDF("value"))).collect()
+    }
+    assert(loud(msgs(e2)), msgs(e2))
+  }
+
+  test("an event with a NULL key fails the projection loudly instead of silently duplicating downstream") {
+    // a null key matches no null-unsafe join: the row would re-insert
+    // a duplicate on every at-least-once redelivery
+    val e = intercept[Exception] {
+      projectLines("""{"lsn": "0/10", "tag": "delete", "table": "students", "old": {}}""").collect()
+    }
+    assert(msgs(e).contains("NULL key"), msgs(e))
   }
 
   test("materializeChunks stamps every chunk strictly in the past, even at max chunk count") {

@@ -92,6 +92,37 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("Merge: a NULL merge key in changes fails every variant loudly instead of duplicating on redelivery") {
+    // null-unsafe joins never match a null key: the row would append a
+    // fresh duplicate on EVERY at-least-once delivery, silently
+    // breaking one-row-per-key. The guard rides inside the key column
+    // (like upsertVersioned's version check) so pruning can't drop it.
+    val base = Seq((1L, "a", 10.0)).toDF("k", "name", "v")
+    val changes = Seq(
+      (java.lang.Long.valueOf(2L), "U", "b", 20.0),
+      (null.asInstanceOf[java.lang.Long], "U", "x", 99.0))
+      .toDF("k", "op", "name", "v")
+    def loud(body: => Unit): Unit = {
+      val e = intercept[Exception](body)
+      val m = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+      assert(m.contains("null merge key"), m)
+    }
+    loud(graft.ops.Merge.upsert(base, changes, "k", "op").collect())
+    loud(graft.ops.Merge.upsertSmallChanges(base, changes, "k", "op").collect())
+    val vbase = Seq((1L, "a", "0/10")).toDF("k", "name", "lsn")
+    val vchanges = Seq(
+      (java.lang.Long.valueOf(2L), "b", "0/20"),
+      (null.asInstanceOf[java.lang.Long], "x", "0/30"))
+      .toDF("k", "name", "lsn")
+    loud(graft.ops.Merge.upsertVersioned(vbase, vchanges, "k", "lsn").collect())
+    // non-null keys still merge fine through the guard
+    val ok = graft.ops.Merge.upsert(base,
+      Seq((2L, "U", "b", 20.0)).toDF("k", "op", "name", "v"), "k", "op")
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(ok == Seq(1L, 2L))
+  }
+
   test("Merge.upsertVersioned: higher version wins whole-row, equal/lower keeps the base") {
     val base = Seq((1L, 10L, "v10"), (2L, 20L, "v20"), (3L, 30L, "v30"))
       .toDF("k", "ver", "payload")

@@ -108,6 +108,24 @@ class MultiTableCdcSpec extends SparkSuite {
       e.getMessage)
   }
 
+  test("a relation rename to engine bookkeeping ('__rn') is refused, not silently clobbered by the fold") {
+    // lastImageByKey injects a '__rn' row-number column; a Relation
+    // rename mapping a payload field onto that name would pass the
+    // lsn/tag guard and then be silently REPLACED by the fold — the
+    // field's data vanishing from final state with no error.
+    val rel = Envelope.Relation("students", Envelope.studentsRelation.image,
+      renames = Map("first_name" -> "__rn"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], union)
+    val e = intercept[IllegalArgumentException](Envelope.projectRelation(df, rel))
+    assert(e.getMessage.contains("__rn"), e.getMessage)
+    // and lastImageByKey itself refuses a pre-existing '__rn' input
+    import spark.implicits._
+    val clash = Seq((1L, "0/10", "insert", "x")).toDF("id", "lsn", "tag", "__rn")
+    val e2 = intercept[IllegalArgumentException](Envelope.lastImageByKey(clash))
+    assert(e2.getMessage.contains("__rn"), e2.getMessage)
+  }
+
   test("projectRelation(students) under the union schema equals the authoritative single-table projection") {
     val mixed = spark.read.schema(union).json(
       writeLines(Fixture.multiTableJsonLines))
