@@ -212,48 +212,74 @@ object Jdbc {
     finally rs.close()
   }
 
-  def ensureTable(url: String, table: String, schema: StructType, keyCol: String,
-      props: Map[String, String] = Map.empty): Unit = {
+  /** One open connection for a sequence of driver-side metadata/DDL
+    * steps — the per-batch guard+ensure path opens ONE connection and
+    * probes the table ONCE instead of re-resolving identifier and
+    * columns per step over fresh connections. */
+  private[graft] def withConnection[T](url: String,
+      props: Map[String, String] = Map.empty)(f: java.sql.Connection => T): T = {
     val c = connect(url, props)
-    try {
-      // Metadata reads are SCOPED to the connection's current schema +
-      // this table's name pattern, not the whole catalog: an unscoped
-      // getColumns pulls every column of every table per micro-batch,
-      // and a same-named table in another schema could mark a
-      // genuinely-missing column present (widening ALTER skipped → the
-      // batch INSERT fails). The full-schema listing runs only as the
-      // mixed-case fallback ([[findStoredTable]]).
-      findStoredTable(c, table) match {
-        case Some((stored, ttype)) if ttype != "TABLE" =>
-          // a VIEW (or synonym) under the target name must not be
-          // widened with ALTER or silently written THROUGH into its
-          // base table — CREATE would clash on the name anyway
-          throw new IllegalStateException(
-            s"[graft] '$table' exists as $ttype '$stored', not a base table — the CDC " +
-              s"materializer will not write through or alter a $ttype; drop or rename it, " +
-              s"or point the materializer at a different table name")
-        case None =>
-          val cols = schema.fields.map { f =>
-            val pk = if (f.name.equalsIgnoreCase(keyCol)) " NOT NULL PRIMARY KEY" else ""
-            s"${quoted(f.name)} ${ddlType(f.dataType)}$pk"
-          }.mkString(", ")
-          val st = c.createStatement()
-          try st.executeUpdate(s"CREATE TABLE $table ($cols)") finally st.close()
-        case Some((stored, _)) =>
-          requireAddressable(stored, table)
-          val have = columnsOfStored(c, stored).keySet
-          val missing = schema.fields.filterNot(f =>
-            have(f.name.toLowerCase(java.util.Locale.ROOT)))
-          if (missing.nonEmpty) {
-            val st = c.createStatement()
-            try missing.foreach { f =>
-              st.executeUpdate(
-                s"ALTER TABLE $table ADD COLUMN ${quoted(f.name)} ${ddlType(f.dataType)}")
-            } finally st.close()
-          }
-      }
-    } finally c.close()
+    try f(c) finally c.close()
   }
+
+  /** One resolution of a table's existence, stored identifier, type,
+    * and columns — shared by the drift guard and [[ensureTable]] so a
+    * micro-batch pays ONE metadata probe, not one per consumer. */
+  private[graft] final case class TableProbe(
+      stored: Option[(String, String)], columns: Map[String, ColumnMeta])
+
+  private[graft] def probeTable(c: java.sql.Connection, table: String): TableProbe =
+    findStoredTable(c, table) match {
+      case None => TableProbe(None, Map.empty)
+      case hit @ Some((stored, _)) =>
+        requireAddressable(stored, table)
+        TableProbe(hit, columnsOfStored(c, stored))
+    }
+
+  def ensureTable(url: String, table: String, schema: StructType, keyCol: String,
+      props: Map[String, String] = Map.empty): Unit =
+    withConnection(url, props)(c => ensureTableOn(c, table, schema, keyCol, probeTable(c, table)))
+
+  /** [[ensureTable]] against an open connection and a pre-fetched
+    * [[TableProbe]].
+    *
+    * Metadata reads are SCOPED to the connection's current schema +
+    * this table's name pattern, not the whole catalog: an unscoped
+    * getColumns pulls every column of every table per micro-batch,
+    * and a same-named table in another schema could mark a
+    * genuinely-missing column present (widening ALTER skipped → the
+    * batch INSERT fails). The full-schema listing runs only as the
+    * mixed-case fallback ([[findStoredTable]]). */
+  private[graft] def ensureTableOn(c: java.sql.Connection, table: String,
+      schema: StructType, keyCol: String, probe: TableProbe): Unit =
+    probe.stored match {
+      case Some((stored, ttype)) if ttype != "TABLE" =>
+        // a VIEW (or synonym) under the target name must not be
+        // widened with ALTER or silently written THROUGH into its
+        // base table — CREATE would clash on the name anyway
+        throw new IllegalStateException(
+          s"[graft] '$table' exists as $ttype '$stored', not a base table — the CDC " +
+            s"materializer will not write through or alter a $ttype; drop or rename it, " +
+            s"or point the materializer at a different table name")
+      case None =>
+        val cols = schema.fields.map { f =>
+          val pk = if (f.name.equalsIgnoreCase(keyCol)) " NOT NULL PRIMARY KEY" else ""
+          s"${quoted(f.name)} ${ddlType(f.dataType)}$pk"
+        }.mkString(", ")
+        val st = c.createStatement()
+        try st.executeUpdate(s"CREATE TABLE $table ($cols)") finally st.close()
+      case Some(_) =>
+        val have = probe.columns.keySet
+        val missing = schema.fields.filterNot(f =>
+          have(f.name.toLowerCase(java.util.Locale.ROOT)))
+        if (missing.nonEmpty) {
+          val st = c.createStatement()
+          try missing.foreach { f =>
+            st.executeUpdate(
+              s"ALTER TABLE $table ADD COLUMN ${quoted(f.name)} ${ddlType(f.dataType)}")
+          } finally st.close()
+        }
+    }
 
   /** One remote column's metadata, for the drift guard: JDBC type
     * plus whether an INSERT may omit it (nullable or defaulted). */
@@ -545,8 +571,20 @@ object Jdbc {
     val updateSql = s"UPDATE $table SET " +
       nonKey.map(f => s"${quoted(f.name)} = ?").mkString(", ") +
       s" WHERE ${quoted(keyName)} = ? AND ${quoted(schema.fields(verIdx).name)} < ?"
+    // the single-row FROM source for the guarded SELECT: the SQL
+    // standard's `(VALUES 1)` derived table works on Derby/Postgres/
+    // H2/SQL Server, but Oracle has no VALUES-in-FROM (needs DUAL) and
+    // MySQL requires DUAL for SELECT..WHERE — the very drivers whose
+    // SUCCESS_NO_INFO batch counts this fallback exists to serve, so
+    // pick the dual form from the JDBC URL instead of failing their
+    // first new-key batch on a syntax error
+    val oneRowFrom = url.toLowerCase(java.util.Locale.ROOT) match {
+      case u if u.startsWith("jdbc:oracle") => "FROM dual"
+      case u if u.startsWith("jdbc:mysql") || u.startsWith("jdbc:mariadb") => "FROM DUAL"
+      case _ => "FROM (VALUES 1) AS v(x)"
+    }
     val insertSql = s"INSERT INTO $table (${schema.fields.map(f => quoted(f.name)).mkString(", ")}) " +
-      s"SELECT ${schema.fields.map(_ => "?").mkString(", ")} FROM (VALUES 1) AS v(x) " +
+      s"SELECT ${schema.fields.map(_ => "?").mkString(", ")} $oneRowFrom " +
       s"WHERE NOT EXISTS (SELECT 1 FROM $table WHERE ${quoted(keyName)} = ?)"
     val updSlots = nonKey.zipWithIndex.map { case (f, i) =>
       (f.dataType, schema.fieldIndex(f.name), i + 1)

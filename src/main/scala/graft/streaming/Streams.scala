@@ -81,15 +81,19 @@ object Streams {
   def userStateMachine(events: DataFrame)(implicit spark: SparkSession): Dataset[UserState] = {
     import spark.implicits._
     events
-      .selectExpr("user_id", "event_type")
-      .as[(Long, String)]
+      .selectExpr("user_id", "event_id", "event_type")
+      .as[(Long, Long, String)]
       .groupByKey(_._1)
       .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[UserState]) =>
           val prev = state.getOption.getOrElse(UserState(uid, 0L, 0L, null))
-          val next = rows.foldLeft(prev) { (st, r) =>
+          // the group iterator's order is partition-layout-dependent;
+          // fold in event_id order (errorBursts does the same) so
+          // lastType — and a checkpoint-replayed batch's committed
+          // state — is deterministic for the same input
+          val next = rows.toSeq.sortBy(_._2).foldLeft(prev) { (st, r) =>
             UserState(uid, st.nEvents + 1,
-              st.nErrors + (if (r._2 == "error") 1L else 0L), r._2)
+              st.nErrors + (if (r._3 == "error") 1L else 0L), r._3)
           }
           state.update(next)
           next
@@ -150,19 +154,32 @@ object Streams {
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, java.sql.Timestamp), Inactivity] {
     @transient private var lastSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    // the ARMED deadline is state, not recomputed as lastSeen + gapMs:
+    // a restart with a DIFFERENT gap would make the recomputation miss
+    // every previously-armed timer — the fired timer would be treated
+    // as stale, the key never emitted, and its state row leaked
+    // forever. Comparing against the deadline actually registered
+    // keeps pre-restart keys correct under their old gap while new
+    // events re-arm under the new one.
+    @transient private var deadline: org.apache.spark.sql.streaming.ValueState[Long] = _
     override def init(outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       lastSeen = getHandle.getValueState[Long]("lastSeen",
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+      deadline = getHandle.getValueState[Long]("deadline",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
     override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Inactivity] = {
       val maxTs = rows.map(_._2.getTime).max
       val prev = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
       if (maxTs > prev) {
-        // re-arm: timers are identified by expiry, so drop the stale one
-        if (prev != Long.MinValue) getHandle.deleteTimer(prev + gapMs)
+        // re-arm: timers are identified by expiry, so drop the armed one
+        if (deadline.exists()) getHandle.deleteTimer(deadline.get())
         lastSeen.update(maxTs)
+        deadline.update(maxTs + gapMs)
         getHandle.registerTimer(maxTs + gapMs)
       }
       Iterator.empty
@@ -170,11 +187,13 @@ object Streams {
     override def handleExpiredTimer(key: Long,
         timers: org.apache.spark.sql.streaming.TimerValues,
         info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Inactivity] = {
-      val last = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      val armed = if (deadline.exists()) deadline.get() else Long.MinValue
       // a fired timer can be stale if a same-batch event re-armed after
-      // the watermark was computed — emit only the current deadline
-      if (last != Long.MinValue && info.getExpiryTimeInMs == last + gapMs) {
+      // the watermark was computed — emit only the armed deadline
+      if (armed != Long.MinValue && info.getExpiryTimeInMs == armed) {
+        val last = lastSeen.get()
         lastSeen.clear()
+        deadline.clear()
         Iterator.single(Inactivity(key, last))
       } else Iterator.empty
     }
@@ -280,10 +299,13 @@ object Streams {
     * keys only in the snapshot keep the snapshot image.
     *
     * Payload columns are taken from the CHANGES side (whatever
-    * [[Envelope.project]] produced, drift extras included); snapshot
-    * columns the stream doesn't carry are dropped, stream columns the
-    * snapshot predates are null-filled — a snapshot taken before a
-    * schema drift still unions cleanly with post-drift changes.
+    * [[Envelope.project]] produced, drift extras included); stream
+    * columns the snapshot predates are null-filled — a snapshot taken
+    * before an ADDITIVE schema drift still unions cleanly with
+    * post-drift changes. A snapshot column matching NO change column
+    * is refused loudly (see the guard below): the engine's own drift
+    * guards refuse column removal, so an unmatched snapshot column is
+    * a naming mismatch, not a migration.
     *
     * The changes' LSNs are re-canonicalized here
     * ([[Envelope.normalizeLsn]], idempotent on already-canonical
@@ -296,6 +318,23 @@ object Streams {
       keyCol: String = "id"): DataFrame = {
     val payload = changes.columns.filterNot(c =>
       c.equalsIgnoreCase("lsn") || c.equalsIgnoreCase("tag")).toSeq
+    val payloadSet = payload.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    // "snapshot columns the stream doesn't carry are dropped" covers a
+    // snapshot taken before a COLUMN REMOVAL — not a NAMING MISMATCH.
+    // A snapshot passed with its raw database column names
+    // (FIRST_NAME/first_name vs the projection's firstName) would
+    // resolve ZERO payload columns and null-fill every one: an
+    // all-null seed with only the key intact (the key resolves
+    // case-insensitively, masking the break), silently. Refuse when a
+    // snapshot column matches nothing — the caller must rename the
+    // snapshot to the projected output names (Relation.outName).
+    val unmatched = snapshot.columns.filterNot(c =>
+      payloadSet(c.toLowerCase(java.util.Locale.ROOT)))
+    require(unmatched.isEmpty,
+      s"[graft] snapshot columns ${unmatched.sorted.mkString("'", "', '", "'")} match no " +
+        s"projected change column ${payload.mkString("[", ", ", "]")} — they would be " +
+        s"silently dropped and their state null-filled; rename the snapshot columns to " +
+        s"the projection's output names before seeding")
     val snapCols = snapshot.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val snapAsEvents = snapshot.select(
       lit("00000000/00000000").as("lsn") +: // canonical LSN zero, below every wire LSN
@@ -405,21 +444,26 @@ object Streams {
     */
   def materializeCdc(envelopes: DataFrame, checkpoint: String,
       statePath: String, orderedTransport: Boolean = true,
-      casTombstoneRetention: Long = Long.MaxValue): StreamingQuery =
+      casTombstoneRetention: Long = Long.MaxValue): StreamingQuery = {
+    val boundTable = new java.util.concurrent.atomic.AtomicReference[String]()
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
-        checkpoint, s"parquet:$statePath")
+        checkpoint, s"parquet:$statePath:${modeTag(orderedTransport)}")
       // persist: the single-table guard, the empty-batch probe, and
       // the merge each drive an action — unpersisted, every one
       // re-reads the micro-batch source
       val cached = batch.persist()
       try {
-        val n = requireSingleTable(cached, "materializeCdc", "materializeCdcTables")
+        val (tbl, n) = requireSingleTable(cached, "materializeCdc", "materializeCdcTables")
+        tbl.foreach(requireTableBinding(
+          batch.sparkSession.sparkContext.hadoopConfiguration, checkpoint, _,
+          "materializeCdcTables", boundTable))
         if (n > 0L)
           applyBatchParquet(Envelope.project(cached), statePath, batchId, "id",
             orderedTransport, casTombstoneRetention, knownNonEmpty = true)
       } finally cached.unpersist()
     })
+  }
 
   /** One relation's reduced micro-batch merged into its parquet state —
     * the per-batch body shared by [[materializeCdc]] (one relation) and
@@ -589,10 +633,21 @@ object Streams {
       stateRoot: String, relations: Seq[Envelope.Relation],
       orderedTransport: Boolean = true,
       casTombstoneRetention: Long = Long.MaxValue,
-      maxConcurrentRelations: Int = 1): StreamingQuery =
+      maxConcurrentRelations: Int = 1): StreamingQuery = {
+    // each relation's state dir sits NEXT TO its siblings under
+    // stateRoot, and every apply runs recoverCdcState, whose crash
+    // sweep deletes `<state>__prev` and `<state>__swap_<batchId>`
+    // siblings — a relation NAMED like another's bookkeeping would
+    // have its entire state destroyed by that sweep. Refuse at build.
+    for (a <- relations.map(_.name); b <- relations.map(_.name) if a != b)
+      require(b != s"${a}__prev" &&
+          !(b.startsWith(s"${a}__swap_") && b.stripPrefix(s"${a}__swap_").matches("\\d+")),
+        s"[graft] relation name '$b' collides with relation '$a''s state-swap bookkeeping " +
+          s"(<state>__prev / <state>__swap_<batchId>) — '$a''s crash recovery would sweep " +
+          s"'$b''s state dir; rename one of them")
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
-        checkpoint, s"parquet-multi:$stateRoot")
+        checkpoint, s"parquet-multi:$stateRoot:${modeTag(orderedTransport)}")
       val cached = batch.persist()
       try {
         val census = tableCensus(cached, relations.map(_.name))
@@ -607,6 +662,7 @@ object Streams {
         }
       } finally cached.unpersist()
     })
+  }
 
   /** Run the per-relation applies of one micro-batch, optionally
     * `parallelism`-wide. The applies are INDEPENDENT by construction —
@@ -648,11 +704,13 @@ object Streams {
     * keys ACROSS relations (student 7 and status 7 collapse to one
     * row) — fail the batch instead. Table names are a tiny set, so a
     * map-side collect_set per batch is one cheap global agg, not a
-    * shuffle of the data. Returns the batch's row-change event count —
+    * shuffle of the data. Returns the observed table name (when the
+    * envelope carries one) and the batch's row-change event count —
     * the one action doubles as the persist materialization AND the
     * caller's empty-batch probe, so no second pass re-asks either
     * question. */
-  private def requireSingleTable(batch: DataFrame, op: String, alt: String): Long =
+  private def requireSingleTable(batch: DataFrame, op: String,
+      alt: String): (Option[String], Long) =
     if (batch.columns.contains("table")) {
       val row = batch.filter(Envelope.tagFilter)
         .agg(collect_set(col("table")), count(lit(1))).head()
@@ -661,8 +719,50 @@ object Streams {
         s"[graft] $op materializes ONE relation but this batch carries tables " +
           tbls.sorted.mkString("'", "', '", "'") +
           s" — a FOR ALL TABLES publication must go through $alt, which demuxes per relation")
-      row.getLong(1)
-    } else batch.filter(Envelope.tagFilter).count()
+      (tbls.headOption, row.getLong(1))
+    } else (None, batch.filter(Envelope.tagFilter).count())
+
+  /** The cross-BATCH twin of [[requireSingleTable]]: with per-table
+    * chunk files and `maxFilesPerTrigger = 1`, every batch is
+    * single-table while the stream as a whole interleaves relations —
+    * each batch passes the per-batch guard and the materializer merges
+    * keys across tables anyway. Bind the FIRST observed table name
+    * into the checkpoint (`graft_source_table`, temp+rename like the
+    * sink identity) and require every later batch — across restarts —
+    * to match. The in-memory cache keeps the steady state at zero
+    * filesystem reads; the file makes the bind survive restarts. */
+  private def requireTableBinding(hconf: org.apache.hadoop.conf.Configuration,
+      checkpoint: String, observed: String, alt: String,
+      cache: java.util.concurrent.atomic.AtomicReference[String]): Unit = {
+    val bound = cache.get()
+    if (bound == null) {
+      val p = new org.apache.hadoop.fs.Path(checkpoint, "graft_source_table")
+      val fs = p.getFileSystem(hconf)
+      val stored =
+        if (fs.exists(p)) {
+          val in = fs.open(p)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+            new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+          } finally in.close()
+        } else {
+          val tmp = new org.apache.hadoop.fs.Path(checkpoint, "graft_source_table.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(observed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          checkedFs(fs.rename(tmp, p), s"bind source table $tmp -> $p")
+          observed
+        }
+      cache.set(stored)
+    }
+    val expect = cache.get()
+    require(expect == observed,
+      s"[graft] this checkpoint materializes relation '$expect' but the stream now " +
+        s"carries '$observed' — a multi-table publication delivering one table per " +
+        s"micro-batch still merges keys across relations here; use $alt, or point " +
+        s"each relation at its own checkpoint+sink")
+  }
 
   /** NON-ADDITIVE schema drift fails loudly BEFORE any state is
     * touched — the two migrations a streaming restart must not paper
@@ -712,10 +812,10 @@ object Streams {
     * like INT→BIGINT stays the database's business — Streams only
     * refuses what has no safe interpretation at all). No-op while the
     * table doesn't exist yet. */
-  private def requireCompatibleDriftJdbc(url: String, table: String,
+  private def requireCompatibleDriftJdbc(remote: Map[String, graft.sources.Jdbc.ColumnMeta],
+      url: String, table: String,
       incoming: org.apache.spark.sql.types.StructType,
-      props: Map[String, String], allowSinkOnlyColumns: Boolean): Unit = {
-    val remote = graft.sources.Jdbc.columnMeta(url, table, props)
+      allowSinkOnlyColumns: Boolean): Unit = {
     if (remote.nonEmpty) {
       val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
       val bookkeeping = Set("op", "lsn", lower(casBatchCol))
@@ -726,7 +826,12 @@ object Streams {
       // (audit timestamps etc.). `allowSinkOnlyColumns` opts into the
       // latter reading for columns an INSERT may omit (nullable or
       // defaulted); a NOT NULL column without a default still fails —
-      // every batch INSERT would die on it anyway.
+      // every batch INSERT would die on it anyway. MODE CAVEAT: the
+      // ordered apply is delete+reinsert, so a touched key's sink-only
+      // values reset to their DEFAULT (or NULL) on every change — the
+      // right semantics for a per-write audit stamp, wrong for
+      // manually-curated values; CAS mode UPDATEs only the change
+      // columns and preserves them.
       val removed = remote.filterNot { case (c, m) =>
         bookkeeping(c) || incomingByName.contains(c) ||
           (allowSinkOnlyColumns && (m.nullable || m.hasDefault))
@@ -798,10 +903,16 @@ object Streams {
     * checkpoint's offsets mean "these batches are already applied" —
     * restarting the same checkpoint against a different state path /
     * table silently yields partial state (every pre-restart batch is
-    * skipped there). First batch records the sink identity inside the
-    * checkpoint dir; every later batch requires it to match. A
-    * deliberate migration moves the data first, then deletes
-    * `graft_sink_identity` to re-bind. */
+    * skipped there). The identity includes the TRANSPORT MODE: an
+    * ordered restart of a CAS checkpoint (or vice versa) writes rows
+    * whose bookkeeping the other mode's reader misreads — e.g. rows
+    * applied without 'op' after a CAS→ordered flip read back op=NULL
+    * and vanish from [[cdcLiveStateJdbc]] under three-valued logic.
+    * First batch records the sink identity inside the checkpoint dir
+    * (temp + rename, so a crash mid-write can't leave a partial file
+    * that permanently fails every restart); every later batch requires
+    * it to match. A deliberate migration moves the data first, then
+    * deletes `graft_sink_identity` to re-bind. */
   private def requireSinkBinding(hconf: org.apache.hadoop.conf.Configuration,
       checkpoint: String, identity: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(checkpoint, "graft_sink_identity")
@@ -819,11 +930,17 @@ object Streams {
           s"skips every already-committed batch there; move the data and delete " +
           s"$p to re-bind deliberately")
     } else {
-      val out = fs.create(p, false)
+      val tmp = new org.apache.hadoop.fs.Path(checkpoint, "graft_sink_identity.tmp")
+      val out = fs.create(tmp, true)
       try out.write(identity.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      checkedFs(fs.rename(tmp, p), s"bind sink identity $tmp -> $p")
     }
   }
+
+  /** The transport-mode component of a sink identity. */
+  private def modeTag(orderedTransport: Boolean): String =
+    if (orderedTransport) "ordered" else "cas"
 
   /** Per-batch change reduce shared by the materializers: latest image
     * per key (LSN order), deletes marked op='D'. 'op' is the
@@ -889,9 +1006,10 @@ object Streams {
     // full scan): a pre-canonicalization CAS table mis-orders against
     // canonical change LSNs, so refuse to stream onto one
     val probed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val boundTable = new java.util.concurrent.atomic.AtomicReference[String]()
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
-        checkpoint, s"jdbc:$url#$table")
+        checkpoint, s"jdbc:$url#$table:${modeTag(orderedTransport)}")
       // first batch of this run: canonical-version probe + NULL-stamp
       // backfill — both O(state) scans that must not recur per batch
       val firstBatch = probed.compareAndSet(false, true)
@@ -899,7 +1017,10 @@ object Streams {
         graft.sources.Jdbc.requireCanonicalVersions(url, table, "lsn", props)
       val cached = batch.persist()
       try {
-        requireSingleTable(cached, "materializeCdcJdbc", "materializeCdcJdbcTables")
+        val (tbl, _) = requireSingleTable(cached, "materializeCdcJdbc", "materializeCdcJdbcTables")
+        tbl.foreach(requireTableBinding(
+          batch.sparkSession.sparkContext.hadoopConfiguration, checkpoint, _,
+          "materializeCdcJdbcTables", boundTable))
         applyBatchJdbc(Envelope.project(cached), url, table, batchId, "id", props,
           orderedTransport, casTombstoneRetention, allowSinkOnlyColumns,
           backfillStamps = firstBatch)
@@ -922,12 +1043,21 @@ object Streams {
       orderedTransport: Boolean, casTombstoneRetention: Long,
       allowSinkOnlyColumns: Boolean, backfillStamps: Boolean = false): Unit = {
     val reduced = reduceBatch(projected, keyCol)
+    // ONE connection, ONE metadata probe per batch for the drift guard
+    // AND ensureTable — previously each opened its own connection and
+    // re-resolved the identifier + columns, doubling the driver-side
+    // metadata round-trips on every touched relation
+    def guardAndEnsure(schema: org.apache.spark.sql.types.StructType): Unit =
+      graft.sources.Jdbc.withConnection(url, props) { c =>
+        val probe = graft.sources.Jdbc.probeTable(c, table)
+        requireCompatibleDriftJdbc(probe.columns, url, table, schema, allowSinkOnlyColumns)
+        graft.sources.Jdbc.ensureTableOn(c, table, schema, keyCol, probe)
+      }
     if (orderedTransport) {
       val changes = reduced.drop("lsn")
       val payload = org.apache.spark.sql.types.StructType(
         changes.schema.fields.filterNot(_.name.equalsIgnoreCase("op")))
-      requireCompatibleDriftJdbc(url, table, payload, props, allowSinkOnlyColumns)
-      graft.sources.Jdbc.ensureTable(url, table, payload, keyCol, props)
+      guardAndEnsure(payload)
       graft.sources.Jdbc.applyChanges(changes, url, table, keyCol, "op", props)
     } else {
       // arrival-batch stamp ages tombstones, as in the parquet CAS
@@ -936,8 +1066,7 @@ object Streams {
       require(!reduced.columns.exists(_.equalsIgnoreCase(casBatchCol)),
         s"[graft] materializeCdcJdbc reserves column '$casBatchCol' — rename it in the source schema")
       val stamped = reduced.withColumn(casBatchCol, lit(batchId))
-      requireCompatibleDriftJdbc(url, table, stamped.schema, props, allowSinkOnlyColumns)
-      graft.sources.Jdbc.ensureTable(url, table, stamped.schema, keyCol, props)
+      guardAndEnsure(stamped.schema)
       // tombstone GC, same horizon contract as materializeCdc: one
       // driver-side DELETE per batch; replay recomputes the same
       // batchId → the same compaction decision (idempotent). Rows from
@@ -992,7 +1121,7 @@ object Streams {
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
         checkpoint,
-        s"jdbc-multi:$url#${relations.map(r => tableNames(r.name)).sorted.mkString(",")}")
+        s"jdbc-multi:$url#${relations.map(r => tableNames(r.name)).sorted.mkString(",")}:${modeTag(orderedTransport)}")
       val firstBatch = probed.compareAndSet(false, true)
       if (!orderedTransport && firstBatch)
         relations.foreach(rel =>

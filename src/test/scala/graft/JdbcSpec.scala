@@ -338,6 +338,38 @@ class JdbcSpec extends SparkSuite {
       msgs(failed))
   }
 
+  test("flipping the transport mode against the same checkpoint+table fails loudly") {
+    // the sink identity includes the mode: an ordered restart of a CAS
+    // checkpoint applies rows WITHOUT the op/lsn bookkeeping — rows
+    // written after the flip read back op=NULL and silently vanish
+    // from cdcLiveStateJdbc's three-valued `op <> 'D'` filter
+    import java.nio.file.Files
+    import graft.cdc.Fixture
+    import graft.streaming.Streams
+    val sinkUrl = "jdbc:derby:memory:graft_modeflip;create=true"
+    val in = Fixture.materializeChunks(2)
+    val ckpt = Files.createTempDirectory("graft_modeflip_ckpt").toString
+    Streams.materializeCdcJdbc(Streams.envelopeStream(spark, in), ckpt, sinkUrl,
+      "students_mf", orderedTransport = false).awaitTermination()
+    var waited = 0
+    while (spark.streams.active.nonEmpty && waited < 10000) {
+      Thread.sleep(100); waited += 100
+    }
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val newest = commitsDir.listFiles().filterNot(_.getName.startsWith("."))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete())
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.materializeCdcJdbc(Streams.envelopeStream(spark, in), ckpt, sinkUrl,
+        "students_mf", orderedTransport = true).awaitTermination()
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs(failed).contains("bound to sink") && msgs(failed).contains(":cas") &&
+      msgs(failed).contains(":ordered"), msgs(failed))
+  }
+
   test("JDBC CAS on a pre-upgrade table: NULL stamps are backfilled to age from the upgrade batch, then GC'd on schedule") {
     import java.nio.file.Files
     import graft.streaming.Streams

@@ -746,6 +746,63 @@ class MultiTableCdcSpec extends SparkSuite {
       Map(1L -> "active", 2L -> "pending", 3L -> "closed"))
   }
 
+  test("relation names colliding with state-swap bookkeeping are refused at build") {
+    // each relation's state dir sits next to its siblings, and crash
+    // recovery sweeps `<state>__prev` / `<state>__swap_<batchId>`
+    // siblings — a relation NAMED like another's bookkeeping would
+    // have its entire state deleted by that sweep
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft_collide_in").toString
+    val ckpt = Files.createTempDirectory("graft_collide_ckpt").toString
+    val root = Files.createTempDirectory("graft_collide_root").toString
+    def rel(n: String) = Envelope.Relation(n, Envelope.statusRelation.image)
+    for (bad <- Seq("t__prev", "t__swap_42")) {
+      val e = intercept[IllegalArgumentException] {
+        Streams.materializeCdcTables(
+          Streams.envelopeStream(spark, src, schema = union), ckpt, root,
+          Seq(rel("t"), rel(bad)))
+      }
+      assert(e.getMessage.contains(bad) && e.getMessage.contains("bookkeeping"), e.getMessage)
+    }
+    // a benign double-underscore name that is NOT another's bookkeeping passes the guard
+    Streams.materializeCdcTables(
+      Streams.envelopeStream(spark, src, schema = union), ckpt, root,
+      Seq(rel("t"), rel("t__swap_backup"))).stop()
+    quiesce()
+  }
+
+  test("a stream alternating ONE table per micro-batch is refused by the cross-batch table binding") {
+    // per-table chunk files + maxFilesPerTrigger=1: every batch is
+    // single-table, so the per-batch guard passes — but the stream as
+    // a whole interleaves relations, and the single-table materializer
+    // would merge keys across them. The checkpoint binds the first
+    // observed table and refuses the switch.
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft_altbind_in")
+    val ckpt = Files.createTempDirectory("graft_altbind_ckpt").toString
+    val state = Files.createTempDirectory("graft_altbind_state").toString + "/state"
+    val now = System.currentTimeMillis()
+    def writeChunk(name: String, mtime: Long, lines: String*): Unit = {
+      val f = src.resolve(name)
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+    }
+    writeChunk("chunk_0000.jsonl", now - 60000L,
+      s"""{"lsn": "0/00000010", "tag": "insert", "table": "students", "new": {"id": 1, "first_name": "a", "last_name": "b", "date_of_birth": "1990-01-01", "status_id": 1}}""")
+    writeChunk("chunk_0001.jsonl", now - 30000L,
+      s"""{"lsn": "0/00000020", "tag": "insert", "table": "status", "new": {"id": 1, "value": "active"}}""")
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.materializeCdc(
+        Streams.envelopeStream(spark, src.toString, schema = union), ckpt, state)
+        .awaitTermination()
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs(failed).contains("materializes relation 'students'") &&
+      msgs(failed).contains("'status'"), msgs(failed))
+    quiesce()
+  }
+
   private def writeLines(lines: Seq[String]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_mt_lines")
     val f = dir.resolve("all.jsonl")

@@ -405,6 +405,25 @@ class StreamsExtraSpec extends SparkSuite {
     assert(msgs(e).contains("malformed LSN"), msgs(e))
   }
 
+  test("snapshot-then-stream: a snapshot with raw database column names is refused, not silently null-filled") {
+    // Jdbc.snapshot returns the remote casing (FIRST_NAME on Derby);
+    // against the projection's camelCase names that resolves ZERO
+    // payload columns, so every one would be replaced by lit(null) —
+    // an all-null seed with only the key intact (the key resolves
+    // case-insensitively, masking the break). The naming mismatch must
+    // fail loudly; dropping a column the stream legitimately no longer
+    // carries stays covered by the drift test below.
+    val rawNamed = Seq((1000L, "Snap", "Shot"))
+      .toDF("id", "FIRST_NAME", "LAST_NAME")
+    val changes = Envelope.project(
+      spark.read.schema(Envelope.schema).json(Fixture.materialize()))
+    val e = intercept[IllegalArgumentException] {
+      Streams.snapshotThenStream(rawNamed, changes)
+    }
+    assert(e.getMessage.contains("FIRST_NAME") && e.getMessage.contains("rename"),
+      e.getMessage)
+  }
+
   test("snapshot-then-stream across a schema drift: pre-drift snapshot null-fills the drifted column, stream images carry it") {
     import org.apache.spark.sql.types._
     // a snapshot taken BEFORE the drift (no email) unioned with
