@@ -46,8 +46,17 @@ object AsOf {
       rightTiebreak: String,
       inclusive: Boolean = true): DataFrame = {
 
+    val reserved = Seq("__ts", "__side", "__tb", "__l", "__r", "__asof")
+    require(!keys.exists(k => reserved.exists(_.equalsIgnoreCase(k))),
+      s"[graft] as-of join reserves ${reserved.mkString("/")} for its bookkeeping — " +
+        s"rename the colliding key column")
+
     val payload = struct(payloadCols.map(col): _*)
     val payloadType = right.select(payload).schema.head.dataType
+    // the tiebreak keeps its NATIVE type: a bigint cast silently nulls
+    // string tiebreaks (both tie rows land in the nulls group, winner
+    // arbitrary) and truncates timestamps to epoch seconds
+    val tiebreakType = right.select(col(rightTiebreak)).schema.head.dataType
 
     val leftCols = left.columns.toSeq
     // Right rows sort before left rows at equal ts when inclusive
@@ -58,14 +67,20 @@ object AsOf {
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"),
         lit(leftSide).as("__side"),
-        lit(null).cast("bigint").as("__tb"),
+        lit(null).cast(tiebreakType).as("__tb"),
         struct(leftCols.map(col): _*).as("__l"),
         lit(null).cast(payloadType).as("__r")): _*)
-    val r = right.select(
+    // a right row with a NULL event time carries no ordering
+    // information — and Spark's ascending sort puts nulls FIRST, so it
+    // would otherwise sort to the partition start and its payload would
+    // be carried into EVERY left row; the window-emulation oracle
+    // (`right.ts <= left.ts` is false for null) matches no left row,
+    // so drop it here too
+    val r = right.where(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         lit(rightSide).as("__side"),
-        col(rightTiebreak).cast("bigint").as("__tb"),
+        col(rightTiebreak).as("__tb"),
         lit(null).cast(l.schema("__l").dataType).as("__l"),
         payload.as("__r")): _*)
 
@@ -74,9 +89,11 @@ object AsOf {
       .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // getField, not col("__l.name"): a dot in a payload/left column
+    // name would otherwise parse as nested access and fail resolution
     val outCols: Seq[Column] =
-      leftCols.map(c => col(s"__l.$c").as(c)) ++
-        payloadCols.map(c => col(s"__asof.$c").as(s"asof_$c"))
+      leftCols.map(c => col("__l").getField(c).as(c)) ++
+        payloadCols.map(c => col("__asof").getField(c).as(s"asof_$c"))
 
     l.unionByName(r)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))

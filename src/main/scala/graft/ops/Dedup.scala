@@ -80,21 +80,22 @@ object Dedup {
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
       .persist()
+    var stepped: DataFrame = null // released in the finally on failure
+    try {
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
       .localCheckpoint(true)
-    // labels only ever decrease, so the label sum is a strictly
-    // decreasing convergence witness — one cheap aggregate per round
-    // instead of a self-join diff (decimal: immune to int64 overflow).
-    // The witness rides the CHECKPOINT job as an observe() metric, so a
-    // round costs one action, not two (per-action floor ~0.3s in
-    // local[*] dominates this loop's wall-clock; fallback scan below
-    // keeps correctness if the metric ever fails to materialize).
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-    // null = "no previous sum yet": round 1 always runs, so the
-    // initial sum job is pure overhead and is skipped
-    var prevSum: java.math.BigDecimal = null
+    // convergence witness: the EXACT count of vertices whose label
+    // changed this round, carried from round start (`lbl0`) through
+    // both propagation steps. Type-agnostic — the previous
+    // sum(cast(lbl as decimal)) witness nulled out for STRING ids and
+    // took the "empty graph" exit after one round with unconverged
+    // labels. The witness rides the CHECKPOINT job as an observe()
+    // metric, so a round costs one action, not two (per-action floor
+    // ~0.3s in local[*] dominates this loop's wall-clock; fallback
+    // scan below keeps correctness if the metric ever fails to
+    // materialize). A null metric (zero rows) is an empty graph:
+    // converged trivially.
     var converged = false
     var rounds = 0
     val maxRounds = 64 // >> log2(any graph); labels are monotone so a
@@ -106,8 +107,8 @@ object Dedup {
         .select(col("src").as("v"), col("nbr_lbl"))
       // persist: the self-join below would otherwise recompute the
       // whole neighbor-min subtree once per join side
-      val stepped = labels.join(nbrMin, Seq("v"), "left_outer")
-        .select(col("v"),
+      stepped = labels.join(nbrMin, Seq("v"), "left_outer")
+        .select(col("v"), col("lbl").as("lbl0"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .persist()
       // pointer doubling: lbl := lbl(lbl). Labels are vertex ids, and
@@ -116,25 +117,29 @@ object Dedup {
       val nextObs = stepped
         .join(stepped.select(col("v").as("pv"), col("lbl").as("plbl")),
           stepped("lbl") === col("pv"), "left_outer")
-        .select(stepped("v"),
+        .select(stepped("v"), stepped("lbl0"),
           least(stepped("lbl"), coalesce(col("plbl"), stepped("lbl"))).as("lbl"))
-        .observe(obsName, sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .observe(obsName, sum(when(col("lbl") =!= col("lbl0"), 1L).otherwise(0L)).as("changed"))
       val next = nextObs.localCheckpoint(true)
       stepped.unpersist()
-      val nextSum = nextObs.queryExecution.observedMetrics.get(obsName) match {
-        case Some(row) => row.getDecimal(0)
-        case None => lblSum(next)
+      stepped = null
+      val changed = nextObs.queryExecution.observedMetrics.get(obsName) match {
+        case Some(row) if !row.isNullAt(0) => row.getLong(0)
+        case Some(_) => 0L // null sum = zero rows = empty graph
+        case None => next.filter(col("lbl") =!= col("lbl0")).count()
       }
-      labels = next
-      // null sum = empty graph (no pairs at all): converged trivially,
-      // or the loop would burn all maxRounds on empty DataFrames
-      converged = nextSum == null ||
-        (prevSum != null && nextSum.compareTo(prevSum) == 0)
-      prevSum = nextSum
+      labels = next.select(col("v"), col("lbl"))
+      converged = changed == 0L
       rounds += 1
     }
-    edges.unpersist()
     (labels.select(col("lbl").as("cluster_rep"), col("v").as("member")), rounds)
+    } finally {
+      // release caches on EVERY exit — a job failure mid-loop would
+      // otherwise leak edges (and the in-flight round's step) into a
+      // long-lived session for its whole remaining lifetime
+      edges.unpersist()
+      if (stepped != null) stepped.unpersist()
+    }
     } finally prevPf match {
       case Some(v) => spark.conf.set(pfKey, v)
       case None => spark.conf.unset(pfKey)

@@ -66,13 +66,28 @@ object Layout {
     * (e.g. pruning before a custom operator, or a reused filter). */
   def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
       fpp: Double = 0.03, expectedNumItems: Long = -1L): DataFrame = {
+    // the probe must hash the SAME representation the build side put:
+    // stat.bloomFilter putLongs integral columns and putStrings string
+    // columns, so a single Long-typed probe would silently hash string
+    // keys wrong (numeric strings mismatch, others cast to null and
+    // vanish) — "never wrong results" holds only if build and probe
+    // agree per type. Refuse other types BEFORE spending the build
+    // pass. Null keys drop before the join either way — the same rows
+    // an inner join would discard.
+    import org.apache.spark.sql.types._
+    val keyType = big.select(col(key)).schema.head.dataType
+    val supported = Set[DataType](ByteType, ShortType, IntegerType, LongType, StringType)
+    if (!supported(keyType)) throw new IllegalArgumentException(
+      s"[graft] bloomPrunedJoin key '$key' has type ${keyType.simpleString} — " +
+        s"stat.bloomFilter supports integral and string keys only")
     val keys = small.select(col(key))
     val n = if (expectedNumItems > 0) expectedNumItems
             else math.max(keys.count(), 1L)
     val bf = keys.stat.bloomFilter(key, n, fpp)
-    // primitive-arg udf: Spark null-skips, so null keys drop before the
-    // join — the same rows an inner join would discard anyway
-    val mightContain = udf((k: Long) => bf.mightContain(k))
+    val mightContain = keyType match {
+      case StringType => udf((k: String) => k != null && bf.mightContainString(k))
+      case _ => udf((k: Long) => bf.mightContainLong(k)) // primitive arg: null-skipped
+    }
     big.filter(mightContain(col(key))).join(small, key)
   }
 
@@ -86,6 +101,8 @@ object Layout {
     * recipe). The payload is written unchanged — only placement moves. */
   def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
       numFiles: Int): Unit = {
+    require(!df.columns.exists(_.equalsIgnoreCase("__z")),
+      "[graft] column name '__z' is reserved by zorderWrite — rename it on the input")
     val z = zorderCol(col(colA), col(colB))
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
@@ -95,11 +112,25 @@ object Layout {
   }
 
   /** Morton interleave of two non-negative ints (31 bits each) as a
-    * codegen-friendly closed-form column expression. */
+    * codegen-friendly closed-form column expression. An out-of-range
+    * key (negative, or ≥ 2^31) fails LOUDLY instead of masking: the
+    * old `& 0x7FFFFFFF` silently aliased -1 onto the largest key and
+    * wrapped wide domains onto small ones — footer min/max ranges went
+    * maximally wide and the claimed file-skipping quietly died. Keys
+    * with a wider domain should be bucketized first (the standard
+    * Z-order recipe); NULL keys pass through as a NULL z-value. */
   def zorderCol(a: Column, b: Column): Column = {
+    def checked(c: Column): Column = {
+      val x = c.cast("long")
+      when(x.isNull || (x >= 0L && x <= 0x7FFFFFFFL), x)
+        .otherwise(raise_error(concat(
+          lit("[graft] zorderCol key out of the non-negative 31-bit domain: "),
+          x.cast("string"),
+          lit(" — bucketize wider domains before z-ordering"))).cast("long"))
+    }
     // spread bits to even positions: the classic 2D mask-shift cascade
     def spread(c: Column): Column = {
-      var x = c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))
+      var x = checked(c).bitwiseAND(lit(0x7FFFFFFFL))
       x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
       x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
       x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
@@ -121,7 +152,21 @@ object Layout {
       out: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(p)
+    val statuses = fs.listStatus(p)
+    // a PARTITIONED directory (date=.../part-*.parquet) has no parquet
+    // files at the top level: the old non-recursive size scan summed 0
+    // bytes and funneled the whole table through coalesce(1), silently
+    // discarding the partition layout besides. Refuse — compaction of
+    // a partitioned table is per-partition-directory by design.
+    // (_spark_metadata / dot-dirs are sink bookkeeping, not partitions.)
+    val partitionDirs = statuses.filter(s => s.isDirectory &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    require(partitionDirs.isEmpty,
+      s"[graft] compactSmallFiles: $path contains partition subdirectories " +
+        partitionDirs.take(3).map(_.getPath.getName).mkString("'", "', '", "'") +
+        " — compact each partition directory separately; a flat rewrite would " +
+        "discard the partition layout")
+    val bytes = statuses
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val files = math.max(1, ((bytes + targetFileBytes - 1) / targetFileBytes).toInt)
     spark.read.parquet(path).coalesce(files)
@@ -140,6 +185,8 @@ object Layout {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       factor: Int, distinctOn: Column): DataFrame = {
     require(factor > 0, s"salt factor must be positive, got $factor")
+    require(!(left.columns ++ right.columns).exists(_.equalsIgnoreCase("__salt")),
+      "[graft] column name '__salt' is reserved by saltedJoin — rename it on the input")
     val l = left.withColumn("__salt", pmod(xxhash64(distinctOn), lit(factor)).cast("int"))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")

@@ -57,4 +57,30 @@ class AsOfSpec extends SparkSuite {
     assert(out.count() == left.count())
     assert(out.columns.toSet == Set("k", "ts", "lval", "asof_rid"))
   }
+
+  test("a right row with NULL event time matches NO left row (nulls-first sort must not leak it everywhere)") {
+    // ascending sort puts nulls FIRST: an unguarded null-ts right row
+    // sorts to the partition start and last(ignoreNulls) would carry
+    // its payload into every left row — the window-emulation oracle
+    // (`right.ts <= left.ts` is false for null) matches none
+    val r = Seq(
+      (1L, Option.empty[java.sql.Timestamp], 99L),
+      (1L, Option(ts(150)), 11L))
+      .toDF("k", "ts", "rid")
+    val out = AsOf.join(left, r, Seq("k"), "ts", "ts", Seq("rid"), "rid")
+      .select($"lval", $"asof_rid").collect().map(x => x.getString(0) -> Option(x.get(1))).toMap
+    assert(out("L100") == None, "no right row at-or-before 100 — the null-ts row must not match")
+    assert(out("L200") == Some(11L))
+  }
+
+  test("a string tiebreak resolves ties in its native collation, not via a nulling bigint cast") {
+    // the old cast-to-bigint nulled string tiebreaks: both tie rows
+    // landed in the nulls group and the winner was arbitrary
+    val r = Seq(
+      (1L, ts(150), "evt-a", 1L), (1L, ts(150), "evt-b", 2L))
+      .toDF("k", "ts", "tb", "rid")
+    val out = AsOf.join(left, r, Seq("k"), "ts", "ts", Seq("rid"), "tb")
+      .select($"lval", $"asof_rid").collect().map(x => x.getString(0) -> Option(x.get(1))).toMap
+    assert(out("L200") == Some(2L), "'evt-b' > 'evt-a' must win the tie")
+  }
 }

@@ -58,4 +58,19 @@ class DedupScaleSpec extends SparkSuite {
     assert(rounds <= roundsOne + 1,
       s"50 disjoint 8-chains must take the same rounds as one ($roundsOne), took $rounds")
   }
+
+  test("string vertex ids converge to correct components (witness must be type-agnostic)") {
+    // the old convergence witness was sum(cast(lbl as decimal)): for
+    // string/UUID ids the cast nulled out, the 'empty graph' exit fired
+    // after round 1, and a chain came back split into several clusters
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("a", "b")
+    val (comps, _) = Dedup.connectedComponentsWithRounds(edges, "a", "b")
+    val byMember = comps.collect()
+      .map(r => r.getString(r.fieldIndex("member")) -> r.getString(r.fieldIndex("cluster_rep")))
+      .toMap
+    assert(Set("a", "b", "c", "d").map(byMember) == Set("a"),
+      s"the 4-chain must collapse to one representative: $byMember")
+    assert(Set("x", "y").map(byMember) == Set("x"), byMember.toString)
+  }
 }

@@ -170,4 +170,52 @@ class LayoutSpec extends SparkSuite {
       .select(plain.columns.map(col).toSeq: _*)
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("bloomPrunedJoin on a STRING key equals the plain join (probe must hash what the build put)") {
+    import spark.implicits._
+    // the old Long-typed probe UDF cast string keys to bigint: numeric
+    // strings hashed as longs against a string-built filter (mismatch),
+    // non-numeric cast to null and vanished — silently (near-)empty
+    // results where the doc promised 'never wrong'
+    val big = Seq(("doc-1", 10), ("doc-2", 20), ("123", 30), ("doc-4", 40))
+      .toDF("k", "v")
+    val small = Seq(("doc-1", "x"), ("123", "y")).toDF("k", "tag")
+    val plain = big.join(small, "k")
+    val pruned = Layout.bloomPrunedJoin(big, small, "k")
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty,
+      "string-keyed bloom prune must not drop matching rows")
+    // an unsupported key type is refused by name, not silently wrong
+    val binBig = Seq((Array[Byte](1), 1)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](
+      Layout.bloomPrunedJoin(binBig, binBig.select("k"), "k"))
+    assert(e.getMessage.contains("bloomPrunedJoin"), e.getMessage)
+  }
+
+  test("zorderCol fails loudly on keys outside the non-negative 31-bit domain") {
+    import spark.implicits._
+    // the old & 0x7FFFFFFF mask aliased -1 onto the LARGEST key and
+    // wrapped wide domains onto small ones — footer ranges went
+    // maximally wide and file skipping silently died
+    val bad = Seq((-1L, 3L)).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(Layout.zorderCol(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs(e).contains("31-bit"), msgs(e))
+    // null keys pass through as a null z-value (range partitioner handles them)
+    val withNull = Seq((Option.empty[Long], Option(3L))).toDF("a", "b")
+    assert(withNull.select(Layout.zorderCol(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
+  test("compactSmallFiles refuses a partitioned directory instead of flattening it through one task") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString + "/t"
+    Seq((1, "a"), (2, "b")).toDF("v", "p")
+      .write.partitionBy("p").parquet(dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_out").toString
+    val e = intercept[IllegalArgumentException](
+      Layout.compactSmallFiles(spark, dir, s"$out/c"))
+    assert(e.getMessage.contains("partition subdirectories"), e.getMessage)
+  }
 }
