@@ -803,6 +803,79 @@ class MultiTableCdcSpec extends SparkSuite {
     quiesce()
   }
 
+  test("late-arriving relation: the failed batch is NOT lost — stop, register, restart replays it completely") {
+    // The operational path for a table appearing in the slot AFTER the
+    // consumer started (a producer CREATE TABLE under FOR ALL TABLES):
+    // the census fails the batch loudly BEFORE any relation applies,
+    // checkpoint-after-sink leaves that batch uncommitted, so the
+    // runbook — stop, extend the registry, restart with the widened
+    // union schema — replays the failed batch whole. The witness: the
+    // new relation's events AND the sibling events interleaved in the
+    // same failed batch all land; nothing is dropped, nothing doubles.
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft_mtlate_in")
+    val ckpt = Files.createTempDirectory("graft_mtlate_ckpt").toString
+    val root = Files.createTempDirectory("graft_mtlate_state").toString
+    val now = System.currentTimeMillis()
+    def writeChunk(name: String, mtime: Long, lines: String*): Unit = {
+      val f = src.resolve(name)
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+    }
+    def student(lsn: String, id: Long, fn: String) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "students", "new": {"id": $id, "first_name": "$fn", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    def status(lsn: String, id: Long, v: String) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "status", "new": {"id": $id, "value": "$v"}}"""
+    def course(lsn: String, id: Long, title: String) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "courses", "new": {"id": $id, "title": "$title"}}"""
+
+    // batch 0: registered relations only — applies clean
+    writeChunk("chunk_0000.jsonl", now - 60000L,
+      student("0/00000010", 1L, "one"), status("0/00000018", 1L, "active"))
+    // batch 1: the late relation appears, interleaved with sibling events
+    writeChunk("chunk_0001.jsonl", now - 30000L,
+      student("0/00000020", 2L, "two"),
+      course("0/00000028", 10L, "algorithms"),
+      status("0/00000030", 2L, "inactive"))
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.materializeCdcTables(
+        Streams.envelopeStream(spark, src.toString, schema = union), ckpt, root, relations)
+        .awaitTermination()
+    }
+    quiesce()
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs(failed).contains("unregistered table") && msgs(failed).contains("courses"),
+      msgs(failed))
+    // batch 0 committed, batch 1 did not touch ANY state (census runs
+    // before the first relation apply — the batch fails atomically)
+    assert(collectStudents(spark.read.parquet(s"$root/students")) ==
+      Map(1L -> (("one", "ln1", "1990-01-01", 1))))
+    assert(collectStatus(spark.read.parquet(s"$root/status")) == Map(1L -> "active"))
+    assert(!new java.io.File(s"$root/courses").exists())
+
+    // the runbook: extend the registry, restart on the SAME checkpoint
+    // with the widened union schema
+    val coursesRelation = Envelope.Relation("courses", StructType(Seq(
+      StructField("id", LongType), StructField("title", StringType))))
+    val extendedRels = relations :+ coursesRelation
+    val extendedUnion = Envelope.unionSchema(extendedRels)
+    Streams.materializeCdcTables(
+      Streams.envelopeStream(spark, src.toString, schema = extendedUnion),
+      ckpt, root, extendedRels).awaitTermination()
+    quiesce()
+    assert(collectStudents(spark.read.parquet(s"$root/students")) ==
+      Map(1L -> (("one", "ln1", "1990-01-01", 1)), 2L -> (("two", "ln2", "1990-01-01", 1))),
+      "the sibling events from the failed batch must land exactly once after restart")
+    assert(collectStatus(spark.read.parquet(s"$root/status")) ==
+      Map(1L -> "active", 2L -> "inactive"))
+    val courses = spark.read.parquet(s"$root/courses")
+    assert(courses.columns.toSet == Set("id", "title"))
+    assert(courses.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      r.getString(r.fieldIndex("title"))).toMap == Map(10L -> "algorithms"),
+      "the late relation's events from the failed batch must land after registration")
+  }
+
   private def writeLines(lines: Seq[String]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_mt_lines")
     val f = dir.resolve("all.jsonl")
