@@ -46,7 +46,13 @@ object Kafka {
 
   def connectorAvailable: Boolean =
     try {
-      Class.forName(providerClass, false, Thread.currentThread.getContextClassLoader)
+      // A null TCCL would send Class.forName to the bootstrap loader,
+      // which cannot see the application classpath — fall back to this
+      // class's own loader so the check never falsely refuses on a
+      // cluster that ships the connector.
+      val loader = Option(Thread.currentThread.getContextClassLoader)
+        .getOrElse(getClass.getClassLoader)
+      Class.forName(providerClass, false, loader)
       true
     } catch { case _: ClassNotFoundException => false }
 

@@ -54,6 +54,20 @@ class KafkaSpec extends SparkSuite {
       s"expected the per-row null-key refusal, got: ${err.getMessage}")
   }
 
+  test("connectorAvailable: null context classloader does not change the answer") {
+    // A null TCCL sends Class.forName to the bootstrap loader, which
+    // cannot see the application classpath — the probe must fall back
+    // to its own loader, or a cluster that DOES ship the connector
+    // would be falsely refused (round-12 advice item).
+    val expected = Kafka.connectorAvailable
+    var observed: Option[Boolean] = None
+    val t = new Thread(() => observed = Some(Kafka.connectorAvailable))
+    t.setContextClassLoader(null)
+    t.start(); t.join(30000)
+    assert(observed.contains(expected),
+      s"null-TCCL probe answered $observed, main-thread answer was $expected")
+  }
+
   test("connector-gated builders: loud refusal without the jar, buildable with it") {
     if (!Kafka.connectorAvailable) {
       val src = intercept[IllegalStateException](
