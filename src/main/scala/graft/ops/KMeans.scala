@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an `array<float>` embedding column
+  * with cosine (spherical) assignment — the IVF TRAIN step that
+  * `queries.Pipeline` p12 deliberately skips ("train-free" seeding from
+  * the first K vectors). The reference has no vector indexing at all
+  * (it is a CDC forwarder, `/root/reference/src/main.ts`); this is part
+  * of the charter's LLM-pipeline surface, where a real 100 TB corpus
+  * trains its coarse quantizer on the data instead of hoping the first
+  * K rows span it.
+  *
+  * Shape per iteration (the whole point at scale):
+  *   1. ASSIGN — one scan of the corpus; each row scores K centroids
+  *      through a codegen'd literal-expanded dot product (the centroids
+  *      are driver-held constants, so the comparison is a pure
+  *      projection: no join, no shuffle, no UDF) and folds to the
+  *      argmax-cosine cluster with a strictly-greater chain (ties →
+  *      smallest cluster id, matching `ROW_NUMBER ... ORDER BY cos
+  *      DESC, cent_id`).
+  *   2. UPDATE — `groupBy(cluster)` over K keys with a typed
+  *      [[graft.functions.VecCentroid]] partial aggregate: every task
+  *      emits K×dim partial sums, the shuffle moves O(K·dim·tasks)
+  *      doubles, never the corpus. The K result rows are collected to
+  *      the driver (bounded by construction, like the streaming
+  *      census) and re-literalized for the next iteration.
+  *
+  * Driver state is K×dim doubles; corpus rows are never collected.
+  * At K in the thousands the literal expansion would bloat the plan —
+  * the scale path there is a broadcast centroid matrix scored by a
+  * custom Expression (README future-work), not a different algorithm.
+  *
+  * Determinism discipline (same as p9–p12): float loads promote to
+  * double before any arithmetic; every cosine is ROUNDed to 6 dp
+  * before ranking; every updated centroid coordinate is ROUNDed to
+  * 6 dp (HALF_UP — Spark `round` and DuckDB `ROUND` semantics) before
+  * it feeds the next iteration, so Spark and the SQL oracle walk
+  * bit-identical centroid trajectories regardless of float addition
+  * order. Empty clusters RETAIN their previous centroid (both sides
+  * via the same keep-if-no-members rule).
+  *
+  * The spherical k-means objective — the sum over rows of the best
+  * (rounded) cosine — is recorded per iteration; mean-update spherical
+  * k-means is non-decreasing in this objective, which KMeansSpec pins
+  * as the convergence witness.
+  */
+object KMeans {
+
+  /** Trained coarse quantizer: `centroids(j)` is cluster j's centroid
+    * (rounded 6 dp), `sizes(j)` its member count in the FINAL
+    * assignment (the one that produced the final centroids; 0 for an
+    * empty cluster), `seedIds(j)` the vector that seeded it,
+    * `objective(t)` the summed best-cosine after iteration t's
+    * assignment. */
+  final case class Model(
+      centroids: Array[Array[Double]],
+      sizes: Array[Long],
+      seedIds: Array[Long],
+      objective: Array[Double])
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Rounded cosine of `vecCol` (array<float>, via its precomputed
+    * norm column) against a constant centroid: literal-expanded dot,
+    * left-to-right — stays inside whole-stage codegen. */
+  private def cosineTo(vecCol: String, nrmCol: String, c: Array[Double]): Column = {
+    val dot = c.indices.map(i => col(vecCol).getItem(i).cast("double") * lit(c(i)))
+      .reduce(_ + _)
+    val cnrm = math.sqrt(c.map(x => x * x).sum)
+    round(dot / (col(nrmCol) * lit(cnrm)), 6)
+  }
+
+  /** Argmax-cosine cluster over constant centroids as a single
+    * projection column pair (cluster, best rounded cosine). Strictly-
+    * greater fold ⇒ ties resolve to the smallest cluster id. */
+  private def bestCluster(vecCol: String, nrmCol: String,
+      cents: Array[Array[Double]]): (Column, Column) = {
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      (lit(j), cosineTo(vecCol, nrmCol, c)) }
+    val best = scored.reduceLeft[(Column, Column)] { case ((bj, bc), (j, c)) =>
+      (when(c > bc, j).otherwise(bj), when(c > bc, c).otherwise(bc))
+    }
+    best
+  }
+
+  /** Train on `vectors(idCol, vecCol)`; seeds = the K rows with the
+    * smallest `idCol` (deterministic, the same rule p12 uses).
+    * `vectors` is scanned `iters` times — pass a persisted frame when
+    * the upstream is expensive. Requires
+    * `graft.expressions.VectorExpressions.register` (norm uses the
+    * codegen'd float_dot). */
+  def fit(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Model = {
+    require(k > 0 && iters > 0, s"[graft] kmeans needs k>0, iters>0 (got k=$k, iters=$iters)")
+    val withNrm = vectors.select(
+      col(idCol), col(vecCol),
+      expr(graft.functions.VectorFns.fastNormExpr(vecCol)).as("__nrm"))
+
+    val seeds = withNrm.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col(vecCol)).collect()
+    require(seeds.length == k,
+      s"[graft] kmeans asked for k=$k seeds but the corpus has only ${seeds.length} rows")
+    val seedIds = seeds.map(_.getLong(0))
+    var cents: Array[Array[Double]] =
+      seeds.map(_.getSeq[Float](1).toArray.map(f => round6(f.toDouble)))
+    val dim = cents.head.length
+    require(cents.forall(_.length == dim),
+      s"[graft] kmeans seeds disagree on dimension (expected $dim)")
+
+    val centroidUdaf = udaf(new graft.functions.VecCentroid(dim))
+    var sizes = Array.fill[Long](k)(0L)
+    val objective = Array.fill(iters)(0.0)
+
+    for (t <- 0 until iters) {
+      val (clusterCol, cosCol) = bestCluster(vecCol, "__nrm", cents)
+      // one distributed job per iteration: scan → project(score) →
+      // K-key partial agg; the collect is K rows of (mean, count, Σcos)
+      val updated = withNrm
+        .select(col(vecCol), clusterCol.as("__cluster"), cosCol.as("__cos"))
+        .groupBy(col("__cluster"))
+        .agg(centroidUdaf(col(vecCol)).as("c"),
+          count(lit(1)).as("n"), sum(col("__cos")).as("obj"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cluster keeps its centroid
+      sizes = Array.fill[Long](k)(0L)
+      updated.foreach { r =>
+        val j = r.getInt(0)
+        next(j) = r.getSeq[Double](1).toArray.map(round6)
+        sizes(j) = r.getLong(2)
+        objective(t) += r.getDouble(3)
+      }
+      cents = next
+    }
+    Model(cents, sizes, seedIds, objective)
+  }
+
+  /** Final-model assignment: `vectors` plus `cluster` (int) and
+    * `cosine` (the rounded best cosine) — the IVF list build. Same
+    * scoring expression the trainer used, so assignments match the
+    * trajectory's last step exactly. */
+  def assign(vectors: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val withNrm = vectors.withColumn("__nrm",
+      expr(graft.functions.VectorFns.fastNormExpr(vecCol)))
+    val (clusterCol, cosCol) = bestCluster(vecCol, "__nrm", model.centroids)
+    withNrm.withColumn("cluster", clusterCol).withColumn("cosine", cosCol)
+      .drop("__nrm")
+  }
+}

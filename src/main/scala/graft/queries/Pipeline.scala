@@ -777,6 +777,64 @@ object Pipeline {
   /** Test hook: the exact 32-bit hash table p15 bands over. */
   def simhash32ForTest(s: SparkSession, d: String): DataFrame = simhashDf(s, d, 32)
 
+  // p20 — IVF coarse-quantizer TRAINING: 3 unrolled iterations of
+  // spherical (cosine-assignment) Lloyd's k-means over the embedding
+  // corpus (graft.ops.KMeans) — the step p12's "train-free" first-K
+  // seeding leaves open. Output: the trained centroid table
+  // (cluster_id = seed vec_id, one row per dimension) plus final
+  // member counts. The oracle walks the IDENTICAL trajectory in SQL:
+  // both sides round every cosine AND every updated centroid
+  // coordinate to 6 dp, so float addition order can't fork the paths.
+  private val kmK = 8
+  private val kmIters = 3
+
+  /** DuckDB CTE chain for one k-means iteration t (0-based): rank by
+    * rounded cosine (cent_id tiebreak), assign, mean-update rounded to
+    * 6 dp, empty clusters COALESCE back to the previous centroid. */
+  private def duckKmeansIter(t: Int): String =
+    s"""cn$t AS (SELECT cent_id, SQRT(SUM(v*v)) AS cnrm FROM c$t GROUP BY 1),
+       |sc$t AS (SELECT f.vec_id, c.cent_id, SUM(f.v * c.v) AS dot
+       |         FROM f JOIN c$t c ON c.i = f.i GROUP BY 1, 2),
+       |rk$t AS (SELECT s.vec_id, s.cent_id, ROW_NUMBER() OVER
+       |           (PARTITION BY s.vec_id
+       |            ORDER BY ROUND(s.dot / (n.nrm * cn.cnrm), 6) DESC, s.cent_id) AS crn
+       |         FROM sc$t s JOIN n ON n.vec_id = s.vec_id
+       |                     JOIN cn$t cn ON cn.cent_id = s.cent_id),
+       |asg$t AS (SELECT vec_id, cent_id FROM rk$t WHERE crn = 1),
+       |m$t AS (SELECT a.cent_id, f.i, ROUND(AVG(f.v), 6) AS v
+       |        FROM asg$t a JOIN f ON f.vec_id = a.vec_id GROUP BY 1, 2),
+       |c${t + 1} AS (SELECT c.cent_id, c.i, COALESCE(m.v, c.v) AS v
+       |        FROM c$t c LEFT JOIN m$t m ON m.cent_id = c.cent_id AND m.i = c.i)""".stripMargin
+
+  val p20 = QuerySpec(
+    "p20_kmeans_train",
+    (s, d) => {
+      import s.implicits._
+      graft.expressions.VectorExpressions.register(s)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding")).persist()
+      val model = graft.ops.KMeans.fit(e, "vec_id", "embedding", kmK, kmIters)
+      e.unpersist()
+      val dim = model.centroids.head.length
+      val rows = for {
+        j <- 0 until kmK
+        i <- 0 until dim
+      } yield (model.seedIds(j), i, model.centroids(j)(i), model.sizes(j))
+      rows.toDF("cluster_id", "dim", "c", "n")
+        .orderBy(col("cluster_id"), col("dim"))
+    },
+    Some(s"""WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+            |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+            |n AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM f GROUP BY 1),
+            |seeds AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT $kmK),
+            |c0 AS (SELECT s.cent_id, f.i, ROUND(f.v, 6) AS v
+            |       FROM f JOIN seeds s ON f.vec_id = s.cent_id),
+            |${(0 until kmIters).map(duckKmeansIter).mkString(",\n")},
+            |sz AS (SELECT cent_id, COUNT(*) AS n FROM asg${kmIters - 1} GROUP BY 1)
+            |SELECT c.cent_id AS cluster_id, CAST(c.i AS INTEGER) AS dim, c.v AS c,
+            |       COALESCE(sz.n, 0) AS n
+            |FROM c$kmIters c LEFT JOIN sz ON sz.cent_id = c.cent_id
+            |ORDER BY cluster_id, dim""".stripMargin))
+
   val all: Seq[QuerySpec] =
-    Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1)
+    Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1, p20)
 }
