@@ -41,11 +41,18 @@ object Bench {
                                          // don't bill cache memory to the next one
 
     // warmup: first scan of every table (footer reads, FS cache) +
-    // codegen/shuffle machinery, so none of it bills to a measured query
+    // codegen/shuffle machinery, so none of it bills to a measured query.
+    // Guarded per table: one broken source must cost only its own
+    // queries (-1 in run()), never the whole round — BENCH_r14 was
+    // voided (rc=1, zero numbers) by an unguarded warmup count here.
     sources.Tables.all.foreach { t =>
-      val df = if (t == "events") sources.Tables.events(spark, sfDir)
-               else sources.Tables.load(spark, sfDir, t)
-      df.count()
+      try {
+        val df = if (t == "events") sources.Tables.events(spark, sfDir)
+                 else sources.Tables.load(spark, sfDir, t)
+        df.count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup of $t failed: ${e.getMessage}")
+      }
     }
     run(queries.Relational.q2.fn)
 

@@ -74,16 +74,24 @@ object KMeans {
   }
 
   /** Argmax-cosine cluster over constant centroids as a single
-    * projection column pair (cluster, best rounded cosine). Strictly-
-    * greater fold ⇒ ties resolve to the smallest cluster id. */
+    * projection column pair (cluster, best rounded cosine).
+    *
+    * Each cosine is built EXACTLY ONCE into `array(struct(cos, -j))`
+    * and the winner is `array_max` (struct ordering: cos first, then
+    * the negated id, so a cosine tie resolves to the SMALLEST cluster
+    * id — same rule as `ROW_NUMBER ... ORDER BY cos DESC, cent_id`).
+    * O(K·dim) expression nodes total. The previous `when(c > bc, …)`
+    * fold re-embedded the accumulated best-cosine chain at every step
+    * — O(K²·dim) nodes, which at K=8×dim=64 blew the 64 KB JVM codegen
+    * limit (interpreted fallback) and serialized 30–59 MiB task
+    * binaries; this form stays inside whole-stage codegen. */
   private def bestCluster(vecCol: String, nrmCol: String,
       cents: Array[Array[Double]]): (Column, Column) = {
     val scored = cents.zipWithIndex.map { case (c, j) =>
-      (lit(j), cosineTo(vecCol, nrmCol, c)) }
-    val best = scored.reduceLeft[(Column, Column)] { case ((bj, bc), (j, c)) =>
-      (when(c > bc, j).otherwise(bj), when(c > bc, c).otherwise(bc))
+      struct(cosineTo(vecCol, nrmCol, c).as("c"), lit(-j).as("nj"))
     }
-    best
+    val best = array_max(array(scored: _*))
+    (-best.getField("nj"), best.getField("c"))
   }
 
   /** Train on `vectors(idCol, vecCol)`; seeds = the K rows with the

@@ -35,15 +35,53 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and truncate to µs —
-    * the same truncation DuckDB applies (its TIMESTAMP is µs), keeping
-    * oracle parity (SURVEY §7.4 trap 2). Integer `div` (not `/`): epoch
-    * nanos ≈ 1.7e18 exceeds double's 53-bit mantissa. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** `events.ts` has shipped in two parquet vintages, so this loader is
+    * schema-adaptive (the r14 harness regen flipped the encoding under
+    * us and killed 21/75 oracle queries — never assume one vintage):
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it at schema inference
+    *    (PARQUET_TYPE_ILLEGAL) unless `legacy.parquet.nanosAsLong`
+    *    reads it as raw INT64; we then truncate to µs with integer
+    *    `div` (epoch nanos ≈ 1.7e18 exceeds double's 53-bit mantissa)
+    *    — the same truncation DuckDB applies (its TIMESTAMP is µs),
+    *    keeping oracle parity (SURVEY §7.4 trap 2).
+    *  - TIMESTAMP_MICROS isAdjustedToUTC=false: Spark 4 loads it
+    *    natively as TIMESTAMP_NTZ; cast to session-TZ `timestamp`
+    *    (all graft sessions pin UTC) so downstream schemas stay
+    *    TimestampType and the instants match DuckDB's naive reading.
+    *
+    * The nanos conf is only set on the fallback path — and must stay
+    * set for that session: parquet scans consult the SQL conf at
+    * execution, not DataFrame construction, so a save/restore here
+    * would break the lazy read. The native path never touches it. */
+  def events(s: SparkSession, d: String): DataFrame =
+    adaptEventsTs(loadEventsRaw(s, s"$d/events.parquet"))
+
+  /** Vintage-aware raw read of an events parquet path (batch). Sets the
+    * legacy nanos conf ONLY when the footer demands it. */
+  def loadEventsRaw(s: SparkSession, path: String): DataFrame =
+    try s.read.parquet(path)
+    catch {
+      case e: Exception if e.getMessage != null &&
+          e.getMessage.contains("PARQUET_TYPE") => // ILLEGAL / NOT_SUPPORTED
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(path)
+    }
+
+  /** Normalize a raw `ts` column of EITHER vintage to session-TZ
+    * `timestamp`. Works on batch AND streaming frames (the streaming
+    * parity suites feed it a `readStream` over the same files), so the
+    * two paths can never disagree on what an event timestamp means. */
+  def adaptEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case other => throw new IllegalStateException(
+        s"[graft] events.ts loaded as unsupported type $other — " +
+          "expected TIMESTAMP, TIMESTAMP_NTZ (micros vintage) or INT64 (nanos vintage)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

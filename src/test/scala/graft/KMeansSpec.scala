@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Pins for [[graft.ops.KMeans]] (the p20 IVF trainer) that the oracle
+  * gate can't express:
+  *
+  *  - the spherical-k-means convergence witness (objective
+  *    non-decreasing across iterations),
+  *  - the tie rule (equal cosine → SMALLEST cluster id, matching the
+  *    oracle's `ROW_NUMBER ... ORDER BY cos DESC, cent_id`),
+  *  - an expression-size budget on the argmax projection. Round 13
+  *    shipped a `when`-chain argmax that was O(K²·dim) nodes — it blew
+  *    the 64 KB JVM codegen limit at K=8×dim=64 (interpreted fallback,
+  *    30–59 MiB task binaries, 440 s at sf0.1). The array_max-over-
+  *    structs rewrite is O(K·dim); this spec fails if anyone
+  *    reintroduces quadratic duplication.
+  */
+class KMeansSpec extends SparkSuite {
+  import graft.ops.KMeans
+
+  /** Deterministic fake corpus: no RNG, so the spec is replayable. */
+  private def corpus(n: Int, dim: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => (math.sin(i * 31 + j) * 0.5 + 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("objective is non-decreasing across iterations (convergence witness)") {
+    graft.expressions.VectorExpressions.register(spark)
+    val m = KMeans.fit(corpus(200, 16), "vec_id", "embedding", k = 8, iters = 4)
+    m.objective.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      // 6-dp rounding of per-row cosines bounds any apparent dip at
+      // n·5e-7; anything past that is a real argmax/update bug
+      assert(b >= a - 1e-3, s"objective decreased: ${m.objective.mkString(", ")}")
+    }
+  }
+
+  test("cosine ties assign to the smallest cluster id") {
+    import spark.implicits._
+    graft.expressions.VectorExpressions.register(spark)
+    // four identical vectors, k=2 → both seeds identical → every row
+    // ties on cosine; all must land in cluster 0, cluster 1 stays
+    // empty and RETAINS its seed centroid
+    val same = (0L until 4L).map(i => (i, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val m = KMeans.fit(same, "vec_id", "embedding", k = 2, iters = 2)
+    assert(m.sizes.toSeq == Seq(4L, 0L), s"tie must favor cluster 0: ${m.sizes.mkString(",")}")
+    assert(m.centroids(1).toSeq == Seq(0.6, 0.8), "empty cluster must keep its seed centroid")
+  }
+
+  test("argmax projection stays O(K·dim) expression nodes (codegen budget)") {
+    graft.expressions.VectorExpressions.register(spark)
+    val df = corpus(16, 64) // p20's real shape: K=8, dim=64
+    val m = KMeans.fit(df, "vec_id", "embedding", k = 8, iters = 1)
+    val assigned = KMeans.assign(df, "embedding", m)
+    val nodes = assigned.queryExecution.analyzed.expressions
+      .map(e => e.collect { case x => x }.size).sum
+    // array_max form measures ~8k nodes here; the r13 when-chain was
+    // ~50k and interpreted. Budget sits between the two regimes.
+    assert(nodes < 20000,
+      s"argmax expression bloat: $nodes nodes — quadratic duplication reintroduced?")
+  }
+}

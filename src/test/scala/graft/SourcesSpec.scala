@@ -101,4 +101,51 @@ class SourcesSpec extends SparkSuite {
       s"scan should read only projected columns:\n$scan")
     assert(two.count() == orig.count())
   }
+
+  test("events loader handles BOTH parquet vintages of ts (INT64-nanos and MICROS-NTZ)") {
+    // The r14 harness regen flipped events.ts from TIMESTAMP(NANOS) —
+    // which Spark 4 only reads via legacy nanosAsLong as raw INT64 —
+    // to TIMESTAMP_MICROS isAdjustedToUTC=false (TIMESTAMP_NTZ), and a
+    // vintage-assuming loader killed 21/75 oracle queries. Pin that
+    // Tables.events loads BOTH encodings to the identical µs-truncated
+    // UTC instant with TimestampType schema, so the next regen can't
+    // silently break the loader again.
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Types}
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.spark.sql.types.TimestampType
+
+    val epochSec = java.time.Instant.parse("2026-01-02T03:04:05Z").getEpochSecond
+    val expected = java.time.Instant.ofEpochSecond(epochSec, 123456000L) // µs truncation of .123456789
+
+    // vintage A: TIMESTAMP(NANOS) — Spark can't write it, so use parquet-mr directly
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ev_nanos").toString
+    val schema = Types.buildMessage()
+      .required(PrimitiveType.PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveType.PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .named("events")
+    val w = ExampleParquetWriter.builder(
+        new org.apache.hadoop.fs.Path(s"$dirA/events.parquet"))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withType(schema).build()
+    w.write(new SimpleGroupFactory(schema).newGroup()
+      .append("event_id", 1L).append("ts", epochSec * 1000000000L + 123456789L))
+    w.close()
+
+    // vintage B: TIMESTAMP_MICROS isAdjustedToUTC=false — Spark writes
+    // TimestampNTZType exactly so (the current harness encoding)
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ev_ntz").toString
+    spark.sql("SELECT 1L AS event_id, TIMESTAMP_NTZ'2026-01-02 03:04:05.123456' AS ts")
+      .write.mode("overwrite").parquet(s"$dirB/events.parquet")
+
+    for ((dir, vintage) <- Seq(dirA -> "nanos", dirB -> "ntz")) {
+      val df = graft.sources.Tables.events(spark, dir)
+      assert(df.schema("ts").dataType == TimestampType,
+        s"$vintage vintage should load ts as TimestampType, got ${df.schema("ts").dataType}")
+      val got = df.select(col("ts")).first().getTimestamp(0).toInstant
+      assert(got == expected, s"$vintage vintage: got $got, expected $expected")
+    }
+  }
 }

@@ -27,16 +27,17 @@ class StreamingSpec extends SparkSuite {
     dir.toString
   }
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Raw (pre-adapt) schema of whichever events vintage is on disk —
+    * probed batch-side so the stream read matches the footer exactly.
+    * Hard-coding the INT64-nanos vintage here broke 5 parity tests
+    * when the r14 regen flipped events.ts to TIMESTAMP_MICROS NTZ
+    * (the int64 micros silently read as "nanos" → 1970 windows). */
+  private lazy val rawSchema: StructType =
+    Tables.loadEventsRaw(spark, s"$eventsStreamDir/events.parquet").schema
 
-  private def eventStream: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(eventsStreamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  private def eventStream: DataFrame =
+    Tables.adaptEventsTs(
+      spark.readStream.schema(rawSchema).parquet(eventsStreamDir))
 
   private def rowsOf(name: String): Set[Seq[Any]] =
     spark.table(name).collect().toSet[Row].map(_.toSeq)
@@ -70,9 +71,8 @@ class StreamingSpec extends SparkSuite {
     val dir = Files.createTempDirectory("graft_dedup_stream")
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.adaptEventsTs(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
     Streams.runToMemory(
       Streams.dedupWithinWatermark(stream).select(col("event_id")),
       "t_dedup", OutputMode.Append()).awaitTermination()

@@ -38,6 +38,18 @@ object FailOnceFs {
 }
 
 class StreamsExtraSpec extends SparkSuite {
+
+  /** Vintage-adaptive events file stream over a dir holding a copy of
+    * `events.parquet` — probes the on-disk schema batch-side, then
+    * applies the same ts normalization as `Tables.events`, so these
+    * suites survive a harness regen flipping the parquet encoding
+    * (the r14 regen did exactly that and broke the hard-coded
+    * INT64-nanos readers that used to live here). */
+  private def eventsFileStream(dir: String): org.apache.spark.sql.DataFrame = {
+    val raw = graft.sources.Tables.loadEventsRaw(spark, s"$dir/events.parquet")
+    graft.sources.Tables.adaptEventsTs(
+      spark.readStream.schema(raw.schema).parquet(dir))
+  }
   import spark.implicits._
 
   test("stream-static enrich joins the status lookup without shuffling the stream") {
@@ -175,12 +187,7 @@ class StreamsExtraSpec extends SparkSuite {
     val dir = Files.createTempDirectory("graft_burst_stream")
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
+    val stream = eventsFileStream(dir.toString)
     val q = Streams.errorBursts(stream.toDF(), threshold = 3)(spark)
       .toDF().writeStream.format("memory").queryName("t_burst")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
@@ -213,13 +220,7 @@ class StreamsExtraSpec extends SparkSuite {
     val dir = Files.createTempDirectory("graft_ss_join")
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsFileStream(dir.toString)
     val q = Streams.clickErrorJoin(stream)
       .writeStream.format("memory").queryName("t_ssjoin")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -247,13 +248,7 @@ class StreamsExtraSpec extends SparkSuite {
     val dir = Files.createTempDirectory("graft_ss_outer")
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsFileStream(dir.toString)
     val q = Streams.clickErrorJoin(stream, joinType = "left_outer")
       .writeStream.format("memory").queryName("t_ss_outer")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
