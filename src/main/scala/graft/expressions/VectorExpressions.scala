@@ -1,11 +1,12 @@
 package graft.expressions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
 
 /** Native Catalyst expression for the vector-similarity hot path
   * (SURVEY §2 B.7 / charter custom-operator ladder step (b)).
@@ -66,6 +67,88 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Argmax-cosine scoring of one `array<float>` vector against a
+  * DRIVER-HELD centroid matrix, as a single expression node — the
+  * "broadcast centroid matrix + custom Expression" scale path the
+  * k-means trainer's header promises (`graft.ops.KMeans`).
+  *
+  * Why it exists: the literal-expanded `array(struct(cos_j, -j))` +
+  * `array_max` form is ideal for small K (pure whole-stage codegen
+  * arithmetic) but its plan is O(K·dim) expression nodes — at
+  * K in the thousands that bloats analysis, codegen, and the task
+  * binary all over again. This node is O(1) plan size for any K: the
+  * matrix rides `ctx.addReferenceObj` into the generated class (part
+  * of the serialized plan a real cluster broadcasts to executors
+  * once per stage), and the per-row work is one tight JIT'd loop.
+  * Still inside whole-stage codegen — no CodegenFallback.
+  *
+  * Math is BIT-IDENTICAL to the expanded form so the two strategies
+  * are interchangeable mid-training (KMeansSpec pins this):
+  * float elements promote to double, dot and self-dot accumulate
+  * left-to-right, centroid norms are `sqrt(Σc²)` (Scala left-to-right
+  * at construction), cosine rounds HALF_UP to 6 dp, argmax is
+  * strictly-greater ⇒ ties take the smallest cluster id.
+  *
+  * Returns `struct(cluster int, cos double)`.
+  */
+case class BestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "[graft] best_centroid needs ≥1 centroid")
+
+  @transient private lazy val cnorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"best_centroid expects array<float>, got $dt")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def prettyName: String = "best_centroid"
+
+  /** Public so the generated code can call it (nullSafeEval is
+    * protected and the generated class sits in another package). */
+  def score(input: Any): InternalRow = {
+    val v = input.asInstanceOf[ArrayData]
+    var self = 0.0
+    var i = 0
+    val nv = v.numElements()
+    while (i < nv) { val x = v.getFloat(i).toDouble; self += x * x; i += 1 }
+    val nrm = math.sqrt(self)
+    var bestJ = 0
+    var bestCos = Double.NegativeInfinity
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      val n = math.min(nv, c.length)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * c(i); i += 1 }
+      val raw = dot / (nrm * cnorms(j))
+      // same NaN/Inf passthrough as Spark's `round` (BigDecimal would throw)
+      val cos = if (raw.isNaN || raw.isInfinite) raw
+        else BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (cos > bestCos) { bestCos = cos; bestJ = j }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](bestJ, bestCos))
+  }
+
+  override def nullSafeEval(input: Any): Any = score(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val kernel = ctx.addReferenceObj("bestCentroidKernel", this,
+        classOf[BestCentroid].getName)
+      s"${ev.value} = $kernel.score($x);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object VectorExpressions {

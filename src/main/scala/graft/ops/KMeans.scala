@@ -29,8 +29,10 @@ import org.apache.spark.sql.functions._
   *
   * Driver state is K×dim doubles; corpus rows are never collected.
   * At K in the thousands the literal expansion would bloat the plan —
-  * the scale path there is a broadcast centroid matrix scored by a
-  * custom Expression (README future-work), not a different algorithm.
+  * above [[kernelCellThreshold]] K·dim cells the scoring switches to
+  * the [[graft.expressions.BestCentroid]] kernel expression (O(1)
+  * plan nodes, centroid matrix carried once in the serialized plan),
+  * same algorithm, bit-identical math (KMeansSpec pins the parity).
   *
   * Determinism discipline (same as p9–p12): float loads promote to
   * double before any arithmetic; every cosine is ROUNDed to 6 dp
@@ -73,25 +75,57 @@ object KMeans {
     round(dot / (col(nrmCol) * lit(cnrm)), 6)
   }
 
+  /** Above this many K·dim "literal cells" the expanded argmax plan
+    * gets big enough (analysis cost, generated-code size, task-binary
+    * size all O(K·dim)) that the O(1)-plan kernel expression wins. */
+  private[graft] val kernelCellThreshold = 4096L
+
   /** Argmax-cosine cluster over constant centroids as a single
-    * projection column pair (cluster, best rounded cosine).
-    *
-    * Each cosine is built EXACTLY ONCE into `array(struct(cos, -j))`
-    * and the winner is `array_max` (struct ordering: cos first, then
-    * the negated id, so a cosine tie resolves to the SMALLEST cluster
-    * id — same rule as `ROW_NUMBER ... ORDER BY cos DESC, cent_id`).
-    * O(K·dim) expression nodes total. The previous `when(c > bc, …)`
-    * fold re-embedded the accumulated best-cosine chain at every step
-    * — O(K²·dim) nodes, which at K=8×dim=64 blew the 64 KB JVM codegen
+    * projection column pair (cluster, best rounded cosine). Two
+    * bit-identical strategies, picked by plan size:
+    * small K·dim → literal-expanded arithmetic (pure whole-stage
+    * codegen), large K·dim → the [[graft.expressions.BestCentroid]]
+    * kernel (O(1) plan nodes, matrix rides the serialized plan). */
+  private def bestCluster(s: org.apache.spark.sql.SparkSession, vecCol: String,
+      nrmCol: String, cents: Array[Array[Double]]): (Column, Column) =
+    if (cents.length.toLong * cents.head.length > kernelCellThreshold)
+      bestClusterKernel(s, vecCol, cents)
+    else bestClusterExpanded(vecCol, nrmCol, cents)
+
+  /** Expanded form: each cosine is built EXACTLY ONCE into
+    * `array(struct(cos, -j))` and the winner is `array_max` (struct
+    * ordering: cos first, then the negated id, so a cosine tie
+    * resolves to the SMALLEST cluster id — same rule as
+    * `ROW_NUMBER ... ORDER BY cos DESC, cent_id`). O(K·dim)
+    * expression nodes total. The r13 `when(c > bc, …)` fold
+    * re-embedded the accumulated best-cosine chain at every step —
+    * O(K²·dim) nodes, which at K=8×dim=64 blew the 64 KB JVM codegen
     * limit (interpreted fallback) and serialized 30–59 MiB task
     * binaries; this form stays inside whole-stage codegen. */
-  private def bestCluster(vecCol: String, nrmCol: String,
+  private[graft] def bestClusterExpanded(vecCol: String, nrmCol: String,
       cents: Array[Array[Double]]): (Column, Column) = {
     val scored = cents.zipWithIndex.map { case (c, j) =>
       struct(cosineTo(vecCol, nrmCol, c).as("c"), lit(-j).as("nj"))
     }
     val best = array_max(array(scored: _*))
     (-best.getField("nj"), best.getField("c"))
+  }
+
+  /** Kernel form: ONE expression node scoring the whole centroid
+    * matrix per row ([[graft.expressions.BestCentroid]]) — the large-K
+    * scale path (K in the thousands would make even the linear
+    * expansion a plan-size problem). Registered as a temp function
+    * because Spark 4 removed public Column-from-Expression
+    * construction; re-registering per iteration is driver-side and
+    * cheap. Math is pinned bit-identical to the expanded form in
+    * KMeansSpec, so the strategy switch can never change results. */
+  private[graft] def bestClusterKernel(s: org.apache.spark.sql.SparkSession,
+      vecCol: String, cents: Array[Array[Double]]): (Column, Column) = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_best_centroid",
+      exprs => graft.expressions.BestCentroid(exprs.head, cents), "built-in")
+    val best = expr(s"graft_best_centroid($vecCol)")
+    (best.getField("cluster"), best.getField("cos"))
   }
 
   /** Train on `vectors(idCol, vecCol)`; seeds = the K rows with the
@@ -123,7 +157,7 @@ object KMeans {
     val objective = Array.fill(iters)(0.0)
 
     for (t <- 0 until iters) {
-      val (clusterCol, cosCol) = bestCluster(vecCol, "__nrm", cents)
+      val (clusterCol, cosCol) = bestCluster(vectors.sparkSession, vecCol, "__nrm", cents)
       // one distributed job per iteration: scan → project(score) →
       // K-key partial agg; the collect is K rows of (mean, count, Σcos)
       val updated = withNrm
@@ -152,7 +186,7 @@ object KMeans {
   def assign(vectors: DataFrame, vecCol: String, model: Model): DataFrame = {
     val withNrm = vectors.withColumn("__nrm",
       expr(graft.functions.VectorFns.fastNormExpr(vecCol)))
-    val (clusterCol, cosCol) = bestCluster(vecCol, "__nrm", model.centroids)
+    val (clusterCol, cosCol) = bestCluster(vectors.sparkSession, vecCol, "__nrm", model.centroids)
     withNrm.withColumn("cluster", clusterCol).withColumn("cosine", cosCol)
       .drop("__nrm")
   }

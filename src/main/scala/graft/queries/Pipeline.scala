@@ -806,17 +806,21 @@ object Pipeline {
        |c${t + 1} AS (SELECT c.cent_id, c.i, COALESCE(m.v, c.v) AS v
        |        FROM c$t c LEFT JOIN m$t m ON m.cent_id = c.cent_id AND m.i = c.i)""".stripMargin
 
-  val p20 = QuerySpec(
-    "p20_kmeans_train",
+  /** One trainer gate entry, parameterized by K so the SAME oracle
+    * trajectory covers both argmax strategies (the k ≤ threshold
+    * literal-expanded plan and the k > threshold BestCentroid kernel
+    * — `graft.ops.KMeans.kernelCellThreshold`). */
+  private def kmeansSpec(name: String, k: Int): QuerySpec = QuerySpec(
+    name,
     (s, d) => {
       import s.implicits._
       graft.expressions.VectorExpressions.register(s)
       val e = embeddings(s, d).select(col("vec_id"), col("embedding")).persist()
-      val model = graft.ops.KMeans.fit(e, "vec_id", "embedding", kmK, kmIters)
+      val model = graft.ops.KMeans.fit(e, "vec_id", "embedding", k, kmIters)
       e.unpersist()
       val dim = model.centroids.head.length
       val rows = for {
-        j <- 0 until kmK
+        j <- 0 until k
         i <- 0 until dim
       } yield (model.seedIds(j), i, model.centroids(j)(i), model.sizes(j))
       rows.toDF("cluster_id", "dim", "c", "n")
@@ -825,7 +829,7 @@ object Pipeline {
     Some(s"""WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
             |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
             |n AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM f GROUP BY 1),
-            |seeds AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT $kmK),
+            |seeds AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT $k),
             |c0 AS (SELECT s.cent_id, f.i, ROUND(f.v, 6) AS v
             |       FROM f JOIN seeds s ON f.vec_id = s.cent_id),
             |${(0 until kmIters).map(duckKmeansIter).mkString(",\n")},
@@ -835,6 +839,13 @@ object Pipeline {
             |FROM c$kmIters c LEFT JOIN sz ON sz.cent_id = c.cent_id
             |ORDER BY cluster_id, dim""".stripMargin))
 
+  val p20 = kmeansSpec("p20_kmeans_train", kmK)
+  /** K=80 × dim=64 = 5120 cells > kernelCellThreshold → this entry
+    * runs the O(1)-plan BestCentroid kernel through the full DuckDB
+    * oracle trajectory, so the large-K strategy is hash-gated, not
+    * just spec-pinned. */
+  val p20b = kmeansSpec("p20b_kmeans_kernel", 80)
+
   val all: Seq[QuerySpec] =
-    Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1, p20)
+    Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1, p20, p20b)
 }

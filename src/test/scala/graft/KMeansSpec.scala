@@ -49,6 +49,35 @@ class KMeansSpec extends SparkSuite {
     assert(m.centroids(1).toSeq == Seq(0.6, 0.8), "empty cluster must keep its seed centroid")
   }
 
+  test("kernel argmax (BestCentroid expression) is bit-identical to the expanded form") {
+    import org.apache.spark.sql.functions._
+    graft.expressions.VectorExpressions.register(spark)
+    val df = corpus(150, 16)
+    val m = KMeans.fit(df, "vec_id", "embedding", k = 6, iters = 2) // K·dim=96 → expanded path
+    val withNrm = df.withColumn("__nrm",
+      expr(graft.functions.VectorFns.fastNormExpr("embedding")))
+    val (cE, sE) = KMeans.bestClusterExpanded("embedding", "__nrm", m.centroids)
+    val (cK, sK) = KMeans.bestClusterKernel(spark, "embedding", m.centroids)
+    val diff = withNrm.select(
+        col("vec_id"), cE.as("clE"), sE.as("coE"), cK.as("clK"), sK.as("coK"))
+      .filter(col("clE") =!= col("clK") || col("coE") =!= col("coK"))
+    assert(diff.isEmpty, s"strategies disagree:\n${diff.limit(5).collect().mkString("\n")}")
+  }
+
+  test("large K·dim switches to the kernel: plan stays O(1) nodes") {
+    graft.expressions.VectorExpressions.register(spark)
+    // 128 centroids × 64 dims = 8192 cells > threshold → kernel path
+    val cents = Array.tabulate(128, 64)((j, i) => math.sin(j * 7 + i) * 0.5 + 0.5)
+    val assigned = KMeans.assign(corpus(10, 64), "embedding", KMeans.Model(
+      cents, Array.fill(128)(0L), Array.fill(128)(0L), Array(0.0)))
+    val nodes = assigned.queryExecution.analyzed.expressions
+      .map(e => e.collect { case x => x }.size).sum
+    assert(nodes < 200,
+      s"kernel path should be O(1) plan nodes regardless of K, got $nodes")
+    assert(assigned.groupBy("cluster").count().count() > 1,
+      "kernel assignment should spread rows over multiple clusters")
+  }
+
   test("argmax projection stays O(K·dim) expression nodes (codegen budget)") {
     graft.expressions.VectorExpressions.register(spark)
     val df = corpus(16, 64) // p20's real shape: K=8, dim=64
