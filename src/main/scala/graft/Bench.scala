@@ -79,13 +79,15 @@ object Bench {
         } else best
         name -> v
     }
-    // 3-decimal times (trailing zeros stripped), locale-fixed: raw
+    // 2-decimal times (trailing zeros stripped), locale-fixed: raw
     // Double.toString put the 70-query line over the driver's 2000-byte
-    // tail capture (r4–r6 all recorded a truncated head → parsed:null).
-    // ~7 chars saved per entry keeps the whole line inside the window
-    // with ~150 bytes to spare for sbt's trailing [success] line.
+    // tail capture (r4–r6 all recorded a truncated head → parsed:null),
+    // and at 76 queries even 3-decimal entries left the line + sbt's
+    // ~75-byte [success] trailer over the window (r15 audit: 1933+75).
+    // 10 ms resolution is ample for a 2× regression gate; two decimals
+    // keep ~130 bytes of slack at the current query count.
     def fmt(v: Double): String = {
-      val s = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
