@@ -78,6 +78,65 @@ class KMeansSpec extends SparkSuite {
       "kernel assignment should spread rows over multiple clusters")
   }
 
+  test("trained IVF end-to-end: probe 4/16 trained lists, recall vs brute force") {
+    // The full train → index → search story on the REAL testdata
+    // embeddings (deterministic, seed 42): KMeans.fit trains the
+    // coarse quantizer, KMeans.assign builds the inverted lists, a
+    // query probes its nprobe nearest centroids and scores only those
+    // lists. Deterministic input ⇒ deterministic recall; the floor is
+    // pinned just below the measured value so a scoring/assignment
+    // regression (wrong argmax, wrong list routing) fails loudly,
+    // while the uniform-random floor for probe/K=4/16 would be ~0.25.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.expressions.VectorExpressions.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).persist()
+    val model = KMeans.fit(e, "vec_id", "embedding", k = 16, iters = 2)
+    val lists = KMeans.assign(e, "embedding", model)
+      .select(col("vec_id"), col("cluster").as("list_id"))
+    assert(lists.count() == e.count(), "every vector must land in a list")
+
+    val cents = model.centroids.zipWithIndex
+      .map { case (c, j) => (j, c.map(_.toFloat)) }.toSeq.toDF("cent_id", "ce")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // rank centroids per query by dot/|c| (query norm is rank-invariant)
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("score",
+        expr("float_dot(qe, ce)") / sqrt(expr("float_dot(ce, ce)")))
+      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= 4)
+      .select(col("qid"), col("cent_id").as("list_id"))
+
+    def topk(cand: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      val scored = cand.join(e, "vec_id")
+        .join(q.select(col("qid"), col("qe")), "qid")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", round(expr("float_dot(embedding, qe)") /
+          (sqrt(expr("float_dot(embedding, embedding)")) * sqrt(expr("float_dot(qe, qe)"))), 6))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    }
+    val bruteCand = q.select(col("qid")).crossJoin(e.select(col("vec_id")))
+    val ivfCand = lists.join(broadcast(probes), "list_id")
+      .select(col("qid"), col("vec_id")).distinct()
+    val bf = topk(bruteCand)
+    val ivf = topk(ivfCand)
+    val recall = bf.keys.map { k =>
+      bf(k).intersect(ivf.getOrElse(k, Set.empty)).size.toDouble / bf(k).size
+    }.sum / bf.size
+    info(f"trained-IVF recall@10 (probe 4/16): $recall%.3f")
+    // measured 0.480 on the seed-42 fixture (synthetic embeddings have
+    // weak cluster structure); floor sits between that and the 0.25 a
+    // broken router would average
+    assert(recall >= 0.4, f"trained IVF recall collapsed: $recall%.3f")
+    e.unpersist()
+  }
+
   test("argmax projection stays O(K·dim) expression nodes (codegen budget)") {
     graft.expressions.VectorExpressions.register(spark)
     val df = corpus(16, 64) // p20's real shape: K=8, dim=64
