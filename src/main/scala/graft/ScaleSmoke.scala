@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   private val sections =
     Set("dedup", "dedup_skew", "cdc", "cdc_throughput", "cdc_multi", "cdc_relcount",
-      "cdc_soak", "cdc_bar", "ann")
+      "cdc_soak", "cdc_bar", "ann", "kmeans_kernel")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -111,6 +111,7 @@ object ScaleSmoke {
     if (want("cdc_soak")) cdcSoak(spark)
     if (want("cdc_bar")) cdcBar(spark)
     if (want("ann")) annCurve(spark, sfDir)
+    if (want("kmeans_kernel")) kmeansKernelCurve(spark, sfDir)
     spark.stop()
   }
 
@@ -657,5 +658,41 @@ object ScaleSmoke {
       }
       spark.catalog.clearCache()
     }
+  }
+
+  /** K-scaling curve for the k-means assign step — the measurement
+    * behind the BestCentroid kernel's "O(1) plan at K in the
+    * thousands" claim. Corpus = embeddings ×5 (id-shifted copies, the
+    * annCurve trick). K=8 rides the literal-expanded argmax, the rest
+    * cross [[graft.ops.KMeans.kernelCellThreshold]] into the kernel;
+    * at K=1024×dim=64 the expanded plan would be ~65k expression
+    * nodes and un-codegen-able, so the kernel is the only path.
+    * Scan→argmax→K-key count mirrors one training iteration's shape
+    * without the UDAF so the number isolates the scoring cost. */
+  private def kmeansKernelCurve(spark: SparkSession, sfDir: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val emb = sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val corpus = (0 until 5).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * maxId))
+    }.reduce(_ unionByName _).persist()
+    val n = corpus.count() // materialize outside the timed region
+    val dim = corpus.head.getSeq[Float](1).length
+    for (k <- Seq(8, 128, 512, 1024)) {
+      val cents = Array.tabulate(k, dim)((j, i) => math.sin(j * 31 + i) * 0.5 + 0.5)
+      val model = ops.KMeans.Model(
+        cents, Array.fill(k)(0L), Array.fill(k)(0L), Array(0.0))
+      val t0 = System.nanoTime()
+      val nonEmpty = ops.KMeans.assign(corpus, "embedding", model)
+        .groupBy(col("cluster")).count().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val path = if (k.toLong * dim > ops.KMeans.kernelCellThreshold) "kernel"
+                 else "expanded"
+      println(s"""{"metric":"kmeans_assign","k":$k,"dim":$dim,"vectors":$n,""" +
+        s""""path":"$path","nonempty_clusters":$nonEmpty,"sec":${f"$sec%.2f"},""" +
+        s""""rows_per_sec":${(n / sec).toInt},"cells_per_sec":${(n * k * dim / sec).toLong}}""")
+    }
+    corpus.unpersist()
   }
 }
