@@ -102,6 +102,37 @@ class SourcesSpec extends SparkSuite {
     assert(two.count() == orig.count())
   }
 
+  test("loaded schemas of all 10 harness tables match the audited signature") {
+    // TESTDATA.md §Schema audit (round 15): the r14 regen silently
+    // changed events.ts and cost a red round. This pins what the
+    // LOADERS hand downstream for every table, so the next regen that
+    // moves any dtype fails here first with a readable diff instead
+    // of 21 queries deep in analysis errors. events.ts is TimestampType
+    // BY CONTRACT (the loader normalizes whichever vintage is on disk).
+    val expected = Map(
+      "region" -> "r_regionkey:int,r_name:string",
+      "nation" -> "n_nationkey:int,n_name:string,n_regionkey:int",
+      "customer" -> "c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string",
+      "supplier" -> "s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double",
+      "part" -> "p_partkey:bigint,p_name:string,p_brand:string,p_type:string,p_size:int,p_retailprice:double",
+      "orders" -> "o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string",
+      "lineitem" -> ("l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int," +
+        "l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double," +
+        "l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz"),
+      "events" -> "event_id:bigint,ts:timestamp,user_id:bigint,event_type:string,value:double,props:string",
+      "documents" -> "doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint",
+      "embeddings" -> "vec_id:bigint,embedding:array<float>,label:int")
+    val got = graft.sources.Tables.all.map { t =>
+      val df = if (t == "events") graft.sources.Tables.events(spark, sf)
+               else graft.sources.Tables.load(spark, sf, t)
+      t -> df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    }.toMap
+    val diffs = expected.keys.filter(t => got(t) != expected(t))
+      .map(t => s"$t:\n  expected ${expected(t)}\n  got      ${got(t)}")
+    assert(diffs.isEmpty,
+      s"testdata regen moved loader-visible schemas:\n${diffs.mkString("\n")}")
+  }
+
   test("events loader handles BOTH parquet vintages of ts (INT64-nanos and MICROS-NTZ)") {
     // The r14 harness regen flipped events.ts from TIMESTAMP(NANOS) —
     // which Spark 4 only reads via legacy nanosAsLong as raw INT64 —
