@@ -839,6 +839,45 @@ object Pipeline {
             |FROM c$kmIters c LEFT JOIN sz ON sz.cent_id = c.cent_id
             |ORDER BY cluster_id, dim""".stripMargin))
 
+  // p21 — sequence packing (token-budget binning): assign each doc to
+  // the fixed-size training pack where its FIRST token lands, via a
+  // per-language running token sum — the distributed approximation of
+  // greedy sample packing (true first-fit is inherently sequential;
+  // cumsum-binning is order-preserving, deterministic, and one window
+  // pass). Output is the pack manifest: docs/tokens/id-range per pack.
+  // Scale shape: ONE shuffle (partition by lang), then a sorted
+  // running sum inside each partition — at 100 TB you sub-shard the
+  // window key to (lang, doc_id range) and offset per-shard budgets,
+  // same plan, bounded partitions. Token convention = the pinned
+  // p1/p5 whitespace tokenizer, so counts agree across the pipeline.
+  private val packBudget = 2048
+
+  val p21 = QuerySpec(
+    "p21_sequence_pack",
+    (s, d) => {
+      val t = documents(s, d)
+        .withColumn("n_tok", size(expr(toks)).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      t.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id", floor((col("cum") - col("n_tok")) / lit(packBudget)))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("pack_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, lang, len($duckToks) AS n_tok FROM documents),
+            |c AS (SELECT doc_id, lang, n_tok,
+            |        SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t),
+            |p AS (SELECT lang, CAST(FLOOR((cum - n_tok) / $packBudget.0) AS BIGINT) AS pack_id,
+            |        doc_id, n_tok FROM c)
+            |SELECT lang, pack_id, COUNT(*) AS n_docs,
+            |       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+            |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin))
+
   val p20 = kmeansSpec("p20_kmeans_train", kmK)
   /** K=80 × dim=64 = 5120 cells > kernelCellThreshold → this entry
     * runs the O(1)-plan BestCentroid kernel through the full DuckDB
@@ -847,5 +886,5 @@ object Pipeline {
   val p20b = kmeansSpec("p20b_kmeans_kernel", 80)
 
   val all: Seq[QuerySpec] =
-    Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1, p20, p20b)
+    Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1, p20, p20b, p21)
 }
