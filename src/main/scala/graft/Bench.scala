@@ -46,11 +46,12 @@ object Bench {
     // queries (-1 in run()), never the whole round — BENCH_r14 was
     // voided (rc=1, zero numbers) by an unguarded warmup count here.
     sources.Tables.all.foreach { t =>
-      try {
-        val df = if (t == "events") sources.Tables.events(spark, sfDir)
-                 else sources.Tables.load(spark, sfDir, t)
-        df.count()
-      } catch { case e: Throwable =>
+      // NonFatal, not Throwable: an analysis/IO failure costs only this
+      // table's queries, but an OOM mid-warmup must kill the round —
+      // timings measured in a heap-thrashed JVM would feed the 2× gate
+      // as plausible-looking garbage.
+      try sources.Tables.loadAny(spark, sfDir, t).count()
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup of $t failed: ${e.getMessage}")
       }
     }

@@ -97,8 +97,13 @@ case class BestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
   require(centroids.nonEmpty, "[graft] best_centroid needs ≥1 centroid")
 
-  @transient private lazy val cnorms: Array[Double] =
-    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+  @transient private lazy val cnorms: Array[Double] = centroids.map { c =>
+    val n = math.sqrt(c.map(x => x * x).sum)
+    require(n > 0.0,
+      "[graft] best_centroid: zero-norm centroid — cosine undefined; a cluster " +
+        "whose members sum to the zero vector must be reseeded upstream")
+    n
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -119,6 +124,13 @@ case class BestCentroid(child: Expression, centroids: Array[Array[Double]])
     val nv = v.numElements()
     while (i < nv) { val x = v.getFloat(i).toDouble; self += x * x; i += 1 }
     val nrm = math.sqrt(self)
+    // Parity with the literal-expanded strategy under ANSI mode (the
+    // Spark 4 default), where `dot / (nrm * cnrm)` THROWS
+    // DIVIDE_BY_ZERO on a zero-norm vector: degenerate input fails
+    // loudly in both strategies, never silently lands in a cluster.
+    if (nrm == 0.0) throw new IllegalArgumentException(
+      "[graft] best_centroid: zero-norm input vector — cosine undefined; " +
+        "filter degenerate rows upstream")
     var bestJ = 0
     var bestCos = Double.NegativeInfinity
     var j = 0
@@ -132,7 +144,14 @@ case class BestCentroid(child: Expression, centroids: Array[Array[Double]])
       // same NaN/Inf passthrough as Spark's `round` (BigDecimal would throw)
       val cos = if (raw.isNaN || raw.isInfinite) raw
         else BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      if (cos > bestCos) { bestCos = cos; bestJ = j }
+      // Double.compare, not `>`: Spark's double ordering ranks NaN as
+      // the GREATEST value, so a NaN cosine (possible from NaN/Inf
+      // PAYLOAD values — zero norms are rejected above) must win here
+      // too or the kernel would diverge from the expanded array_max
+      // form. (-0.0 vs 0.0, where the two orderings differ, can't
+      // reach this comparison: finite cosines pass through BigDecimal
+      // rounding, which has no negative zero.)
+      if (java.lang.Double.compare(cos, bestCos) > 0) { bestCos = cos; bestJ = j }
       j += 1
     }
     new GenericInternalRow(Array[Any](bestJ, bestCos))

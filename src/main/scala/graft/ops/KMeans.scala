@@ -111,20 +111,31 @@ object KMeans {
     (-best.getField("nj"), best.getField("c"))
   }
 
+  /** Monotonic suffix for kernel registrations: a per-call UNIQUE name
+    * (not one shared name) so two concurrent fit/assign calls on the
+    * same session can never resolve each other's centroid matrix —
+    * the returned Columns stay unresolved until the caller attaches
+    * them to a frame, so a shared name would be a silent race. Each
+    * registration is a few hundred bytes of registry entry; bounded by
+    * call count, never by data. */
+  private val kernelSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Kernel form: ONE expression node scoring the whole centroid
     * matrix per row ([[graft.expressions.BestCentroid]]) — the large-K
     * scale path (K in the thousands would make even the linear
-    * expansion a plan-size problem). Registered as a temp function
-    * because Spark 4 removed public Column-from-Expression
-    * construction; re-registering per iteration is driver-side and
-    * cheap. Math is pinned bit-identical to the expanded form in
-    * KMeansSpec, so the strategy switch can never change results. */
+    * expansion a plan-size problem). Registered as a uniquely-named
+    * temp function because Spark 4 removed public
+    * Column-from-Expression construction; registration is driver-side
+    * and cheap. Math is pinned bit-identical to the expanded form in
+    * KMeansSpec (including the NaN-greatest ordering on degenerate
+    * zero-norm rows), so the strategy switch can never change
+    * results. */
   private[graft] def bestClusterKernel(s: org.apache.spark.sql.SparkSession,
       vecCol: String, cents: Array[Array[Double]]): (Column, Column) = {
+    val fn = s"graft_best_centroid_${kernelSeq.incrementAndGet()}"
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_best_centroid",
-      exprs => graft.expressions.BestCentroid(exprs.head, cents), "built-in")
-    val best = expr(s"graft_best_centroid($vecCol)")
+      fn, exprs => graft.expressions.BestCentroid(exprs.head, cents), "built-in")
+    val best = expr(s"$fn($vecCol)")
     (best.getField("cluster"), best.getField("cos"))
   }
 

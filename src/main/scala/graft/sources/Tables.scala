@@ -28,6 +28,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The one loader dispatch: routes tables that need adaptive
+    * handling (`events`) through their dedicated loader, everything
+    * else through the plain scan. Every generic by-name load path
+    * (SQL view registration, bench warmup, schema pins) goes through
+    * here so the next table that grows a vintage can't be missed in a
+    * hand-rolled `if` at some call site. */
+  def loadAny(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else load(spark, dir, name)
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
@@ -68,6 +77,16 @@ object Tables {
         s.read.parquet(path)
     }
 
+  /** Vintage-adaptive events FILE STREAM over a directory of events
+    * parquet files. Streaming sources need an explicit schema, so the
+    * raw (pre-adapt) schema is probed batch-side from the same files —
+    * hard-coding either vintage here is exactly the r14 break, just on
+    * the streaming path (the parity suites used to do it inline). */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = loadEventsRaw(s, dir)
+    adaptEventsTs(s.readStream.schema(raw.schema).parquet(dir))
+  }
+
   /** Normalize a raw `ts` column of EITHER vintage to session-TZ
     * `timestamp`. Works on batch AND streaming frames (the streaming
     * parity suites feed it a `readStream` over the same files), so the
@@ -91,8 +110,5 @@ object Tables {
     * `/root/reference/src/database/postgresql/PostgresPg.ts:5-14`).
     * `events` goes through its ns-handling loader. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach { n =>
-      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
-      df.createOrReplaceTempView(n)
-    }
+    all.foreach(n => loadAny(spark, dir, n).createOrReplaceTempView(n))
 }

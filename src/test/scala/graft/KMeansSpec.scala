@@ -51,6 +51,7 @@ class KMeansSpec extends SparkSuite {
 
   test("kernel argmax (BestCentroid expression) is bit-identical to the expanded form") {
     import org.apache.spark.sql.functions._
+    import spark.implicits._
     graft.expressions.VectorExpressions.register(spark)
     val df = corpus(150, 16)
     val m = KMeans.fit(df, "vec_id", "embedding", k = 6, iters = 2) // K·dim=96 → expanded path
@@ -62,6 +63,23 @@ class KMeansSpec extends SparkSuite {
         col("vec_id"), cE.as("clE"), sE.as("coE"), cK.as("clK"), sK.as("coK"))
       .filter(col("clE") =!= col("clK") || col("coE") =!= col("coK"))
     assert(diff.isEmpty, s"strategies disagree:\n${diff.limit(5).collect().mkString("\n")}")
+
+    // degenerate zero-norm vectors must fail LOUDLY in BOTH strategies
+    // (ANSI division throws in the expanded plan; the kernel pins an
+    // explicit refusal), never silently land in a cluster
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val zero = Seq((9999L, Array.fill(16)(0.0f))).toDF("vec_id", "embedding")
+      .withColumn("__nrm", expr(graft.functions.VectorFns.fastNormExpr("embedding")))
+    val (cE2, sE2) = KMeans.bestClusterExpanded("embedding", "__nrm", m.centroids)
+    val eExp = intercept[Throwable] { zero.select(cE2.as("c"), sE2.as("s")).collect() }
+    assert(chain(eExp).exists(_.contains("DIVIDE_BY_ZERO")),
+      s"expanded path should raise ANSI DIVIDE_BY_ZERO, got: ${chain(eExp).headOption}")
+    val (cK2, sK2) = KMeans.bestClusterKernel(spark, "embedding", m.centroids)
+    val eKer = intercept[Throwable] { zero.select(cK2.as("c"), sK2.as("s")).collect() }
+    assert(chain(eKer).exists(_.contains("zero-norm")),
+      s"kernel should refuse zero-norm input, got: ${chain(eKer).headOption}")
   }
 
   test("large K·dim switches to the kernel: plan stays O(1) nodes") {

@@ -123,9 +123,8 @@ class SourcesSpec extends SparkSuite {
       "documents" -> "doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint",
       "embeddings" -> "vec_id:bigint,embedding:array<float>,label:int")
     val got = graft.sources.Tables.all.map { t =>
-      val df = if (t == "events") graft.sources.Tables.events(spark, sf)
-               else graft.sources.Tables.load(spark, sf, t)
-      t -> df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+      t -> graft.sources.Tables.loadAny(spark, sf, t).schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
     }.toMap
     val diffs = expected.keys.filter(t => got(t) != expected(t))
       .map(t => s"$t:\n  expected ${expected(t)}\n  got      ${got(t)}")

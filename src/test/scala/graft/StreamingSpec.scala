@@ -27,17 +27,12 @@ class StreamingSpec extends SparkSuite {
     dir.toString
   }
 
-  /** Raw (pre-adapt) schema of whichever events vintage is on disk —
-    * probed batch-side so the stream read matches the footer exactly.
-    * Hard-coding the INT64-nanos vintage here broke 5 parity tests
-    * when the r14 regen flipped events.ts to TIMESTAMP_MICROS NTZ
-    * (the int64 micros silently read as "nanos" → 1970 windows). */
-  private lazy val rawSchema: StructType =
-    Tables.loadEventsRaw(spark, s"$eventsStreamDir/events.parquet").schema
-
-  private def eventStream: DataFrame =
-    Tables.adaptEventsTs(
-      spark.readStream.schema(rawSchema).parquet(eventsStreamDir))
+  /** Vintage-adaptive file stream (Tables.eventsStream probes the
+    * on-disk schema batch-side). Hard-coding the INT64-nanos vintage
+    * here broke 5 parity tests when the r14 regen flipped events.ts
+    * to TIMESTAMP_MICROS NTZ (int64 micros silently read as "nanos"
+    * → 1970 windows). */
+  private def eventStream: DataFrame = Tables.eventsStream(spark, eventsStreamDir)
 
   private def rowsOf(name: String): Set[Seq[Any]] =
     spark.table(name).collect().toSet[Row].map(_.toSeq)
@@ -71,8 +66,7 @@ class StreamingSpec extends SparkSuite {
     val dir = Files.createTempDirectory("graft_dedup_stream")
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
-    val stream = Tables.adaptEventsTs(
-      spark.readStream.schema(rawSchema).parquet(dir.toString))
+    val stream = Tables.eventsStream(spark, dir.toString)
     Streams.runToMemory(
       Streams.dedupWithinWatermark(stream).select(col("event_id")),
       "t_dedup", OutputMode.Append()).awaitTermination()

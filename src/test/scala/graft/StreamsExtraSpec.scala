@@ -39,17 +39,12 @@ object FailOnceFs {
 
 class StreamsExtraSpec extends SparkSuite {
 
-  /** Vintage-adaptive events file stream over a dir holding a copy of
-    * `events.parquet` — probes the on-disk schema batch-side, then
-    * applies the same ts normalization as `Tables.events`, so these
+  /** Vintage-adaptive events file stream (Tables.eventsStream) — these
     * suites survive a harness regen flipping the parquet encoding
     * (the r14 regen did exactly that and broke the hard-coded
     * INT64-nanos readers that used to live here). */
-  private def eventsFileStream(dir: String): org.apache.spark.sql.DataFrame = {
-    val raw = graft.sources.Tables.loadEventsRaw(spark, s"$dir/events.parquet")
-    graft.sources.Tables.adaptEventsTs(
-      spark.readStream.schema(raw.schema).parquet(dir))
-  }
+  private def eventsFileStream(dir: String): org.apache.spark.sql.DataFrame =
+    graft.sources.Tables.eventsStream(spark, dir)
   import spark.implicits._
 
   test("stream-static enrich joins the status lookup without shuffling the stream") {
