@@ -136,4 +136,32 @@ class PropertySpec extends SparkSuite {
       assert(z == ref(a, b), s"($a,$b)")
     }
   }
+
+  test("kernel and expanded k-means argmax agree on arbitrary vectors and centroids") {
+    // Fuzz the strategy-parity contract (KMeansSpec pins it on one
+    // fixture): random non-zero float vectors vs random non-zero
+    // centroid matrices, including tiny/huge magnitudes — cluster AND
+    // rounded cosine must match bit-for-bit, or the K·dim threshold
+    // switch would silently change fit trajectories.
+    graft.expressions.VectorExpressions.register(spark)
+    val dim = 8
+    val vecGen = Gen.listOfN(dim, Gen.oneOf(
+      Gen.choose(-1f, 1f), Gen.choose(-1e6f, 1e6f), Gen.choose(-1e-6f, 1e-6f)))
+      .map(_.toArray).suchThat(v => v.exists(_ != 0f))
+    for (round <- 0 until 5) {
+      val k = 2 + round
+      val cents = samples(vecGen, k).map(_.map(_.toDouble))
+      if (cents.size == k && cents.forall(c => c.exists(_ != 0.0))) {
+        val vecs = samples(vecGen, 40).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        val df = vecs.toDF("vec_id", "embedding").withColumn("__nrm",
+          expr(graft.functions.VectorFns.fastNormExpr("embedding")))
+        val (cE, sE) = graft.ops.KMeans.bestClusterExpanded("embedding", "__nrm", cents.toArray)
+        val (cK, sK) = graft.ops.KMeans.bestClusterKernel(spark, "embedding", cents.toArray)
+        val diff = df.select(col("vec_id"), cE.as("clE"), sE.as("coE"), cK.as("clK"), sK.as("coK"))
+          .filter(col("clE") =!= col("clK") || col("coE") =!= col("coK"))
+        assert(diff.isEmpty,
+          s"round $round (k=$k): strategies disagree:\n${diff.limit(5).collect().mkString("\n")}")
+      }
+    }
+  }
 }
