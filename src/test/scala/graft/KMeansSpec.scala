@@ -155,6 +155,45 @@ class KMeansSpec extends SparkSuite {
     e.unpersist()
   }
 
+  test("IVF lists as a partitioned layout: probing is a partition-pruned scan") {
+    // The Spark-first realization of a vector index at 100 TB: the
+    // inverted lists ARE the storage layout (partitionBy cluster), so
+    // probing nprobe lists is partition pruning at the scan — no
+    // custom SparkStrategy, no index service; the planner reads
+    // nprobe/K of the files and the rest never leave object storage.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    graft.expressions.VectorExpressions.register(spark)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val model = KMeans.fit(e, "vec_id", "embedding", k = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
+    KMeans.assign(e, "embedding", model)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+
+    val lists = spark.read.parquet(dir)
+    val probes = Seq(1, 3)
+    val probed = lists.filter(col("cluster").isin(probes: _*))
+    val rows = probed.collect()
+    val plan = probed.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectLeaves().collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail(s"no file scan in plan:\n$plan"))
+    assert(scan.toString.contains("PartitionFilters") && scan.toString.contains("cluster"),
+      s"probe filter should prune partitions at the scan:\n$scan")
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead < lists.inputFiles.length,
+      s"probe read $filesRead of ${lists.inputFiles.length} files — no pruning happened")
+    // and the pruned read is exactly the probed lists' content
+    val expected = KMeans.assign(e, "embedding", model)
+      .filter(col("cluster").isin(probes: _*)).count()
+    assert(rows.length.toLong == expected)
+  }
+
   test("argmax projection stays O(K·dim) expression nodes (codegen budget)") {
     graft.expressions.VectorExpressions.register(spark)
     val df = corpus(16, 64) // p20's real shape: K=8, dim=64
