@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * args fail loudly rather than silently selecting nothing).
   */
 object ScaleSmoke {
+  /** Locale-fixed float → JSON: the f"" interpolator uses the JVM
+    * default locale, which on comma-decimal locales emits invalid JSON
+    * ("0,48"). Same discipline as Bench's BigDecimal fmt. */
+  private def fx(v: Double, dp: Int): String =
+    String.format(java.util.Locale.ROOT, "%." + dp + "f", Double.box(v))
+
   private val sections =
     Set("dedup", "dedup_skew", "cdc", "cdc_throughput", "cdc_multi", "cdc_relcount",
       "cdc_soak", "cdc_bar", "ann", "kmeans_kernel")
@@ -99,7 +105,7 @@ object ScaleSmoke {
       pairs.unpersist()
       println(s"""{"metric":"dedup_scale","factor":$factor,"docs":$nDocs,"pairs":$nPairs,""" +
         s""""cc_rounds":$rounds,"clusters":$nClusters,"largest_cluster":$largest,""" +
-        s""""pair_stage_sec":${f"$pairSec%.2f"},"cc_stage_sec":${f"$ccSec%.2f"}}""")
+        s""""pair_stage_sec":${fx(pairSec, 2)},"cc_stage_sec":${fx(ccSec, 2)}}""")
       spark.catalog.clearCache()
     }
 
@@ -187,7 +193,7 @@ object ScaleSmoke {
       pairs.unpersist()
       println(s"""{"metric":"dedup_skew","shape":"$shape","edges":$e,"cc_rounds":$rounds,""" +
         s""""clusters":$nClusters,"largest_cluster":$largest,""" +
-        s""""cc_sec":${f"$sec%.2f"},"sec_per_round":${f"${sec / math.max(1, rounds)}%.2f"}}""")
+        s""""cc_sec":${fx(sec, 2)},"sec_per_round":${fx(sec / math.max(1, rounds), 2)}}""")
       spark.catalog.clearCache()
     }
   }
@@ -341,7 +347,7 @@ object ScaleSmoke {
         val rowsPerSec = rowsPerBatch / (meanMs / 1000.0)
         println(s"""{"metric":"cdc_jdbc_throughput","state_rows":$stateRows,""" +
           s""""rows_per_batch":$rowsPerBatch,"batch_ms":[${ms.mkString(",")}],""" +
-          s""""steady_mean_ms":${f"$meanMs%.0f"},"rows_per_sec":${f"$rowsPerSec%.0f"}}""")
+          s""""steady_mean_ms":${fx(meanMs, 0)},"rows_per_sec":${fx(rowsPerSec, 0)}}""")
       }
     }
 
@@ -405,7 +411,7 @@ object ScaleSmoke {
         val totalRows = perRelation * 2
         println(s"""{"metric":"cdc_multi_throughput","mode":"$mode","relations":2,""" +
           s""""rows_per_batch":$totalRows,"batch_ms":[${ms.mkString(",")}],""" +
-          s""""steady_mean_ms":${f"$meanMs%.0f"},"rows_per_sec":${f"${totalRows / (meanMs / 1000.0)}%.0f"}}""")
+          s""""steady_mean_ms":${fx(meanMs, 0)},"rows_per_sec":${fx(totalRows / (meanMs / 1000.0), 0)}}""")
       }
     }
 
@@ -469,8 +475,8 @@ object ScaleSmoke {
         val meanMs = if (steady.nonEmpty) steady.sum.toDouble / steady.size else Double.NaN
         println(s"""{"metric":"cdc_relcount","relations":$nRel,"concurrency":$conc,""" +
           s""""rows_per_batch":$totalPerBatch,"batch_ms":[${ms.mkString(",")}],""" +
-          s""""steady_mean_ms":${f"$meanMs%.0f"},""" +
-          s""""rows_per_sec":${f"${totalPerBatch / (meanMs / 1000.0)}%.0f"}}""")
+          s""""steady_mean_ms":${fx(meanMs, 0)},""" +
+          s""""rows_per_sec":${fx(totalPerBatch / (meanMs / 1000.0), 0)}}""")
       }
     }
 
@@ -538,8 +544,8 @@ object ScaleSmoke {
       val tombstones = sources.Jdbc.snapshot(spark, url, "soak")
         .filter(col("op") === "D").count()
       println(s"""{"metric":"cdc_soak","batches":${ms.size},"rows_per_batch":$rowsPerBatch,""" +
-        s""""retention":$retention,"first_quartile_mean_ms":${f"${mean(firstQ)}%.0f"},""" +
-        s""""last_quartile_mean_ms":${f"${mean(lastQ)}%.0f"},""" +
+        s""""retention":$retention,"first_quartile_mean_ms":${fx(mean(firstQ), 0)},""" +
+        s""""last_quartile_mean_ms":${fx(mean(lastQ), 0)},""" +
         s""""end_tombstones":$tombstones,"deletes_issued":$deletesIssued,""" +
         s""""batch_ms":[${ms.mkString(",")}]}""")
     }
@@ -609,8 +615,8 @@ object ScaleSmoke {
       val meanMs = if (steady.nonEmpty) steady.sum.toDouble / steady.size else Double.NaN
       println(s"""{"metric":"cdc_bar","relations":$nRel,"state_rows":$stateRows,""" +
         s""""rows_per_batch":$totalPerBatch,"batches":${ms.size},""" +
-        s""""batch_ms":[${ms.mkString(",")}],"steady_mean_ms":${f"$meanMs%.0f"},""" +
-        s""""rows_per_sec":${f"${totalPerBatch / (meanMs / 1000.0)}%.0f"}}""")
+        s""""batch_ms":[${ms.mkString(",")}],"steady_mean_ms":${fx(meanMs, 0)},""" +
+        s""""rows_per_sec":${fx(totalPerBatch / (meanMs / 1000.0), 0)}}""")
     }
 
   /** ANN scale curve (p10 LSH / p12 IVF): 1× and 5× corpus, recording
@@ -653,8 +659,8 @@ object ScaleSmoke {
         val cands = candCount()
         val recall = if (exact.isEmpty) 1.0 else got.intersect(exact).size.toDouble / exact.size
         println(s"""{"metric":"ann_scale","variant":"$name","factor":$factor,"vectors":$n,""" +
-          s""""candidates":$cands,"n_sq":${n * n},"recall_vs_exact":${f"$recall%.3f"},""" +
-          s""""sec":${f"$sec%.2f"},"exact_sec":${f"$exactSec%.2f"}}""")
+          s""""candidates":$cands,"n_sq":${n * n},"recall_vs_exact":${fx(recall, 3)},""" +
+          s""""sec":${fx(sec, 2)},"exact_sec":${fx(exactSec, 2)}}""")
       }
       spark.catalog.clearCache()
     }
@@ -690,7 +696,7 @@ object ScaleSmoke {
       val path = if (k.toLong * dim > ops.KMeans.kernelCellThreshold) "kernel"
                  else "expanded"
       println(s"""{"metric":"kmeans_assign","k":$k,"dim":$dim,"vectors":$n,""" +
-        s""""path":"$path","nonempty_clusters":$nonEmpty,"sec":${f"$sec%.2f"},""" +
+        s""""path":"$path","nonempty_clusters":$nonEmpty,"sec":${fx(sec, 2)},""" +
         s""""rows_per_sec":${(n / sec).toInt},"cells_per_sec":${(n * k * dim / sec).toLong}}""")
     }
     corpus.unpersist()

@@ -105,6 +105,15 @@ case class BestCentroid(child: Expression, centroids: Array[Array[Double]])
     n
   }
 
+  /** All centroids must agree on dimension so the per-row check below
+    * is a single comparison, not K of them. */
+  @transient private lazy val cdim: Int = {
+    val d = centroids.head.length
+    require(centroids.forall(_.length == d),
+      "[graft] best_centroid: centroids disagree on dimension")
+    d
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
@@ -131,15 +140,21 @@ case class BestCentroid(child: Expression, centroids: Array[Array[Double]])
     if (nrm == 0.0) throw new IllegalArgumentException(
       "[graft] best_centroid: zero-norm input vector — cosine undefined; " +
         "filter degenerate rows upstream")
+    // Fail loudly on dimension mismatch, mirroring the zero-norm refusal:
+    // the literal-expanded strategy throws under ANSI (getItem past the
+    // array end), so a silently-truncated dot here would quietly fork
+    // the two strategies exactly on malformed data.
+    if (nv != cdim) throw new IllegalArgumentException(
+      s"[graft] best_centroid: input vector has $nv elements but centroids " +
+        s"have $cdim — dimension mismatch; fix the upstream schema")
     var bestJ = 0
     var bestCos = Double.NegativeInfinity
     var j = 0
     while (j < centroids.length) {
       val c = centroids(j)
-      val n = math.min(nv, c.length)
       var dot = 0.0
       i = 0
-      while (i < n) { dot += v.getFloat(i).toDouble * c(i); i += 1 }
+      while (i < nv) { dot += v.getFloat(i).toDouble * c(i); i += 1 }
       val raw = dot / (nrm * cnorms(j))
       // same NaN/Inf passthrough as Spark's `round` (BigDecimal would throw)
       val cos = if (raw.isNaN || raw.isInfinite) raw

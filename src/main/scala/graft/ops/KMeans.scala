@@ -55,12 +55,15 @@ object KMeans {
     * assignment (the one that produced the final centroids; 0 for an
     * empty cluster), `seedIds(j)` the vector that seeded it,
     * `objective(t)` the summed best-cosine after iteration t's
-    * assignment. */
+    * assignment, `degenerate` the count of zero-norm input vectors the
+    * trainer excluded (0 unless `dropDegenerate`, the default, found
+    * any — surfaced so a curation run can report what it skipped). */
   final case class Model(
       centroids: Array[Array[Double]],
       sizes: Array[Long],
       seedIds: Array[Long],
-      objective: Array[Double])
+      objective: Array[Double],
+      degenerate: Long = 0L)
 
   private def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -87,10 +90,24 @@ object KMeans {
     * codegen), large K·dim → the [[graft.expressions.BestCentroid]]
     * kernel (O(1) plan nodes, matrix rides the serialized plan). */
   private def bestCluster(s: org.apache.spark.sql.SparkSession, vecCol: String,
-      nrmCol: String, cents: Array[Array[Double]]): (Column, Column) =
-    if (cents.length.toLong * cents.head.length > kernelCellThreshold)
-      bestClusterKernel(s, vecCol, cents)
-    else bestClusterExpanded(vecCol, nrmCol, cents)
+      nrmCol: String, cents: Array[Array[Double]]): (Column, Column, Option[String]) =
+    if (cents.length.toLong * cents.head.length > kernelCellThreshold) {
+      val (c, cos, fn) = bestClusterKernelNamed(s, vecCol, cents)
+      (c, cos, Some(fn))
+    } else {
+      val (c, cos) = bestClusterExpanded(vecCol, nrmCol, cents)
+      (c, cos, None)
+    }
+
+  /** Deregister a kernel temp function once the Columns it backs are
+    * RESOLVED (Dataset construction is eagerly analyzed, and execution
+    * never consults the registry again) — without this every fit
+    * iteration / assign call leaks one registry entry for the life of
+    * the session. Callers drop their own unique name only, so the
+    * concurrent-calls race the unique naming exists for stays closed. */
+  private def dropKernelFn(s: org.apache.spark.sql.SparkSession, fn: String): Unit =
+    s.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fn))
 
   /** Expanded form: each cosine is built EXACTLY ONCE into
     * `array(struct(cos, -j))` and the winner is `array_max` (struct
@@ -132,11 +149,17 @@ object KMeans {
     * results. */
   private[graft] def bestClusterKernel(s: org.apache.spark.sql.SparkSession,
       vecCol: String, cents: Array[Array[Double]]): (Column, Column) = {
+    val (c, cos, _) = bestClusterKernelNamed(s, vecCol, cents)
+    (c, cos) // test-surface variant: caller owns (and may keep) the registration
+  }
+
+  private def bestClusterKernelNamed(s: org.apache.spark.sql.SparkSession,
+      vecCol: String, cents: Array[Array[Double]]): (Column, Column, String) = {
     val fn = s"graft_best_centroid_${kernelSeq.incrementAndGet()}"
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       fn, exprs => graft.expressions.BestCentroid(exprs.head, cents), "built-in")
     val best = expr(s"$fn($vecCol)")
-    (best.getField("cluster"), best.getField("cos"))
+    (best.getField("cluster"), best.getField("cos"), fn)
   }
 
   /** Train on `vectors(idCol, vecCol)`; seeds = the K rows with the
@@ -146,11 +169,29 @@ object KMeans {
     * `graft.expressions.VectorExpressions.register` (norm uses the
     * codegen'd float_dot). */
   def fit(vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Model = {
+      k: Int, iters: Int, dropDegenerate: Boolean = true): Model = {
     require(k > 0 && iters > 0, s"[graft] kmeans needs k>0, iters>0 (got k=$k, iters=$iters)")
-    val withNrm = vectors.select(
+    val raw = vectors.select(
       col(idCol), col(vecCol),
       expr(graft.functions.VectorFns.fastNormExpr(vecCol)).as("__nrm"))
+
+    // Degenerate-vector policy: a zero-norm vector has no cosine, and
+    // both argmax strategies refuse it loudly (ANSI divide / kernel
+    // throw) — correct for a gate, brutal for a 100 TB training run
+    // that dies at iteration 40 on one bad row. Default: exclude them
+    // with a SURFACED count (Model.degenerate + a warn log) before
+    // seeding/scoring — one extra scan per fit, not per iteration.
+    // NaN-payload vectors are NOT filtered (Spark orders NaN greatest,
+    // so `> 0.0` keeps them): their pinned NaN-cosine ranking applies.
+    // Opt out (dropDegenerate=false) to keep the loud refusal.
+    val (withNrm, nDegenerate) =
+      if (!dropDegenerate) (raw, 0L)
+      else {
+        val bad = raw.filter(!(col("__nrm") > 0.0)).count()
+        if (bad > 0) org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"[graft] kmeans: excluded $bad zero-norm vector(s) from training")
+        (if (bad > 0) raw.filter(col("__nrm") > 0.0) else raw, bad)
+      }
 
     val seeds = withNrm.orderBy(col(idCol)).limit(k)
       .select(col(idCol), col(vecCol)).collect()
@@ -168,15 +209,18 @@ object KMeans {
     val objective = Array.fill(iters)(0.0)
 
     for (t <- 0 until iters) {
-      val (clusterCol, cosCol) = bestCluster(vectors.sparkSession, vecCol, "__nrm", cents)
+      val (clusterCol, cosCol, fnOpt) = bestCluster(vectors.sparkSession, vecCol, "__nrm", cents)
       // one distributed job per iteration: scan → project(score) →
       // K-key partial agg; the collect is K rows of (mean, count, Σcos)
-      val updated = withNrm
+      val frame = withNrm
         .select(col(vecCol), clusterCol.as("__cluster"), cosCol.as("__cos"))
         .groupBy(col("__cluster"))
         .agg(centroidUdaf(col(vecCol)).as("c"),
           count(lit(1)).as("n"), sum(col("__cos")).as("obj"))
-        .collect()
+      // Dataset construction above eagerly analyzed the plan, so this
+      // iteration's kernel registration (if any) is no longer needed
+      fnOpt.foreach(dropKernelFn(vectors.sparkSession, _))
+      val updated = frame.collect()
       val next = cents.map(_.clone()) // empty cluster keeps its centroid
       sizes = Array.fill[Long](k)(0L)
       updated.foreach { r =>
@@ -187,7 +231,7 @@ object KMeans {
       }
       cents = next
     }
-    Model(cents, sizes, seedIds, objective)
+    Model(cents, sizes, seedIds, objective, nDegenerate)
   }
 
   /** Final-model assignment: `vectors` plus `cluster` (int) and
@@ -197,8 +241,10 @@ object KMeans {
   def assign(vectors: DataFrame, vecCol: String, model: Model): DataFrame = {
     val withNrm = vectors.withColumn("__nrm",
       expr(graft.functions.VectorFns.fastNormExpr(vecCol)))
-    val (clusterCol, cosCol) = bestCluster(vectors.sparkSession, vecCol, "__nrm", model.centroids)
-    withNrm.withColumn("cluster", clusterCol).withColumn("cosine", cosCol)
+    val (clusterCol, cosCol, fnOpt) = bestCluster(vectors.sparkSession, vecCol, "__nrm", model.centroids)
+    val out = withNrm.withColumn("cluster", clusterCol).withColumn("cosine", cosCol)
       .drop("__nrm")
+    fnOpt.foreach(dropKernelFn(vectors.sparkSession, _)) // out is analyzed; registration done
+    out
   }
 }

@@ -71,10 +71,23 @@ object Tables {
   def loadEventsRaw(s: SparkSession, path: String): DataFrame =
     try s.read.parquet(path)
     catch {
-      case e: Exception if e.getMessage != null &&
-          e.getMessage.contains("PARQUET_TYPE") => // ILLEGAL / NOT_SUPPORTED
+      case e: Exception if parquetTypeCondition(e).isDefined =>
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s.read.parquet(path)
+    }
+
+  /** The condition (Spark's stable error-class API, `SparkThrowable
+    * .getCondition`) that marks a footer type Spark refuses to infer —
+    * TIMESTAMP(NANOS) surfaces as PARQUET_TYPE_ILLEGAL. Keyed on the
+    * condition name, NOT the rendered message: message text is
+    * localized/reworded across releases, the condition is the contract
+    * (SourcesSpec pins the name against the nanos fixture). Walks the
+    * cause chain because the reader may wrap the typed error. */
+  private[graft] def parquetTypeCondition(t: Throwable): Option[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).collectFirst {
+      case st: org.apache.spark.SparkThrowable
+          if st.getCondition != null && st.getCondition.startsWith("PARQUET_TYPE") =>
+        st.getCondition
     }
 
   /** Vintage-adaptive events FILE STREAM over a directory of events

@@ -206,4 +206,62 @@ class KMeansSpec extends SparkSuite {
     assert(nodes < 20000,
       s"argmax expression bloat: $nodes nodes — quadratic duplication reintroduced?")
   }
+
+  test("degenerate vectors: default fit excludes them with a surfaced count; strict stays loud") {
+    import spark.implicits._
+    graft.expressions.VectorExpressions.register(spark)
+    val good = corpus(60, 8)
+    val zeros = Seq(
+      (9990L, Array.fill(8)(0.0f)),
+      (9991L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val mixed = good.union(zeros)
+    // default policy: training SURVIVES the zero vectors, surfaces the count,
+    // and walks the exact trajectory the clean corpus alone would walk
+    val m = KMeans.fit(mixed, "vec_id", "embedding", k = 4, iters = 2)
+    assert(m.degenerate == 2L, s"expected 2 excluded vectors, got ${m.degenerate}")
+    assert(m.sizes.sum == 60L, s"zero-norm rows must not be assigned: ${m.sizes.mkString(",")}")
+    val clean = KMeans.fit(good, "vec_id", "embedding", k = 4, iters = 2)
+    assert(clean.degenerate == 0L)
+    assert(m.centroids.map(_.toSeq).toSeq == clean.centroids.map(_.toSeq).toSeq,
+      "excluding degenerates must not perturb the clean trajectory")
+    // opt-in strict mode keeps the loud refusal (ANSI divide or kernel throw)
+    val e = intercept[Throwable] {
+      KMeans.fit(mixed, "vec_id", "embedding", k = 4, iters = 2, dropDegenerate = false)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(s => s.contains("DIVIDE_BY_ZERO") || s.contains("zero-norm")),
+      s"strict mode should fail loudly on zero-norm input, got: ${chain(e).headOption}")
+  }
+
+  test("kernel refuses dimension-mismatched vectors loudly (parity with ANSI getItem)") {
+    import spark.implicits._
+    graft.expressions.VectorExpressions.register(spark)
+    val cents = Array.tabulate(4, 8)((j, i) => math.sin(j * 3 + i) * 0.5 + 0.6)
+    val (cK, sK) = KMeans.bestClusterKernel(spark, "embedding", cents)
+    val bad = Seq((1L, Array.fill(6)(0.5f))).toDF("vec_id", "embedding") // 6 ≠ 8
+    val e = intercept[Throwable] { bad.select(cK.as("c"), sK.as("s")).collect() }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("dimension mismatch")),
+      s"kernel must refuse wrong-dimension vectors, got: ${msgs.headOption}")
+  }
+
+  test("kernel temp registrations are dropped once fit/assign plans are resolved") {
+    graft.expressions.VectorExpressions.register(spark)
+    def kernelFns: Int = spark.sessionState.functionRegistry.listFunction()
+      .count(_.funcName.startsWith("graft_best_centroid"))
+    val before = kernelFns
+    // K=80 × dim=64 = 5120 cells > threshold → every iteration and the
+    // assign below go through the kernel (one registration each)
+    val df = corpus(100, 64)
+    val m = KMeans.fit(df, "vec_id", "embedding", k = 80, iters = 2)
+    val assigned = KMeans.assign(df, "embedding", m)
+    // execution AFTER deregistration must still work: the analyzed plan
+    // carries the resolved BestCentroid, not a registry lookup
+    assert(assigned.groupBy("cluster").count().count() > 1)
+    assert(kernelFns == before,
+      s"kernel temp functions leaked: $kernelFns registered (was $before)")
+  }
 }

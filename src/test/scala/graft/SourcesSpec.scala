@@ -170,12 +170,39 @@ class SourcesSpec extends SparkSuite {
     spark.sql("SELECT 1L AS event_id, TIMESTAMP_NTZ'2026-01-02 03:04:05.123456' AS ts")
       .write.mode("overwrite").parquet(s"$dirB/events.parquet")
 
+    // Pin the CONDITION the fallback keys on (stable error-class API,
+    // not message text): a Spark upgrade that renames it must fail HERE,
+    // not silently stop adapting the nanos vintage in production reads.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val refusal = intercept[Exception] {
+      spark.read.parquet(s"$dirA/events.parquet").schema
+    }
+    assert(graft.sources.Tables.parquetTypeCondition(refusal)
+        .contains("PARQUET_TYPE_ILLEGAL"),
+      s"nanos refusal condition moved: ${graft.sources.Tables.parquetTypeCondition(refusal)}" +
+        s" (message: ${refusal.getMessage})")
+
     for ((dir, vintage) <- Seq(dirA -> "nanos", dirB -> "ntz")) {
       val df = graft.sources.Tables.events(spark, dir)
       assert(df.schema("ts").dataType == TimestampType,
         s"$vintage vintage should load ts as TimestampType, got ${df.schema("ts").dataType}")
       val got = df.select(col("ts")).first().getTimestamp(0).toInstant
       assert(got == expected, s"$vintage vintage: got $got, expected $expected")
+
+      // STREAMING path, same vintages: eventsStream probes the raw
+      // schema batch-side and must honor the nanos conf at execution —
+      // the claim was previously only exercised batch-side. The stream
+      // reads a directory of parquet FILES: parquet-mr wrote vintage A
+      // as a bare file in dirA, Spark wrote vintage B as an
+      // events.parquet/ subdirectory of part files.
+      val streamDir = if (vintage == "ntz") s"$dir/events.parquet" else dir
+      val qn = s"ev_vintage_stream_$vintage"
+      val q = graft.sources.Tables.eventsStream(spark, streamDir)
+        .writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sgot = spark.table(qn).select(col("ts")).first().getTimestamp(0).toInstant
+      assert(sgot == expected, s"$vintage vintage (stream): got $sgot, expected $expected")
     }
   }
 }
