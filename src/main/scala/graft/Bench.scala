@@ -63,13 +63,25 @@ object Bench {
     val bench = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
 
+    // Throwaway UNTIMED pass over the full list first: the table-count
+    // warmup above covers scans, but not each query's own machinery
+    // (UDAF codegen, persist/unpersist paths, window exec JIT) — the
+    // r15 capture had 4 of the first 6 queries in sorted order
+    // nominally >2× bar with no plan-level cause, a head-of-list
+    // cold-start cluster. SPARK_GRAFT_WARMPASS=0 skips it (dev aid).
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMPASS", "1") != "0")
+      bench.foreach { case (_, fn) => run(fn) }
+
     // min over TWO FULL PASSES of the whole list (not back-to-back
     // samples of each query): a sustained co-tenant spike lands on
     // neighboring queries within one pass, not on the same query in
     // both passes — r1's driver run recorded 19× on a straight scan+agg
-    // because both adjacent samples caught the same multi-second spike
+    // because both adjacent samples caught the same multi-second spike.
+    // Pass 2 runs in REVERSE order so any residual position-correlated
+    // effect (spike at launch, cache pressure ramp) hits DIFFERENT
+    // queries in the two passes and the min shakes it off.
     val pass1 = bench.map { case (name, fn) => name -> run(fn) }
-    val pass2 = bench.map { case (name, fn) => name -> run(fn) }
+    val pass2 = bench.reverse.map { case (name, fn) => name -> run(fn) }.reverse
     val results = bench.zip(pass1.map(_._2)).zip(pass2.map(_._2)).map {
       case (((name, fn), a), b) =>
         val best = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)

@@ -70,8 +70,10 @@ object KMeans {
 
   /** Rounded cosine of `vecCol` (array<float>, via its precomputed
     * norm column) against a constant centroid: literal-expanded dot,
-    * left-to-right — stays inside whole-stage codegen. */
-  private def cosineTo(vecCol: String, nrmCol: String, c: Array[Double]): Column = {
+    * left-to-right — stays inside whole-stage codegen. Shared with the
+    * p22 probe ranking so query→centroid scores are bit-identical to
+    * the trainer's own scoring. */
+  private[graft] def cosineTo(vecCol: String, nrmCol: String, c: Array[Double]): Column = {
     val dot = c.indices.map(i => col(vecCol).getItem(i).cast("double") * lit(c(i)))
       .reduce(_ + _)
     val cnrm = math.sqrt(c.map(x => x * x).sum)

@@ -806,6 +806,21 @@ object Pipeline {
        |c${t + 1} AS (SELECT c.cent_id, c.i, COALESCE(m.v, c.v) AS v
        |        FROM c$t c LEFT JOIN m$t m ON m.cent_id = c.cent_id AND m.i = c.i)""".stripMargin
 
+  /** Shared DuckDB WITH-prefix that walks the full k-means trajectory:
+    * flattened vectors `f` (0-based i), norms `n`, deterministic seeds,
+    * and iterations c0 → c$kmIters. Both the trainer gate (p20/p20b)
+    * and the trained-IVF search gate (p22) build on the SAME prefix,
+    * so the search oracle probes exactly the centroids the training
+    * oracle emits. */
+  private def duckKmeansPrefix(k: Int): String =
+    s"""WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+       |n AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM f GROUP BY 1),
+       |seeds AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT $k),
+       |c0 AS (SELECT s.cent_id, f.i, ROUND(f.v, 6) AS v
+       |       FROM f JOIN seeds s ON f.vec_id = s.cent_id),
+       |${(0 until kmIters).map(duckKmeansIter).mkString(",\n")}""".stripMargin
+
   /** One trainer gate entry, parameterized by K so the SAME oracle
     * trajectory covers both argmax strategies (the k ≤ threshold
     * literal-expanded plan and the k > threshold BestCentroid kernel
@@ -826,13 +841,7 @@ object Pipeline {
       rows.toDF("cluster_id", "dim", "c", "n")
         .orderBy(col("cluster_id"), col("dim"))
     },
-    Some(s"""WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-            |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-            |n AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM f GROUP BY 1),
-            |seeds AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT $k),
-            |c0 AS (SELECT s.cent_id, f.i, ROUND(f.v, 6) AS v
-            |       FROM f JOIN seeds s ON f.vec_id = s.cent_id),
-            |${(0 until kmIters).map(duckKmeansIter).mkString(",\n")},
+    Some(s"""${duckKmeansPrefix(k)},
             |sz AS (SELECT cent_id, COUNT(*) AS n FROM asg${kmIters - 1} GROUP BY 1)
             |SELECT c.cent_id AS cluster_id, CAST(c.i AS INTEGER) AS dim, c.v AS c,
             |       COALESCE(sz.n, 0) AS n
@@ -852,22 +861,36 @@ object Pipeline {
   // p1/p5 whitespace tokenizer, so counts agree across the pipeline.
   private val packBudget = 2048
 
+  /** The p21 manifest over any `(doc_id, lang, text)` frame — factored
+    * out so the spec can exercise OVERFLOW semantics on a fixture with
+    * an over-budget doc (the harness corpus has none). Two overflow
+    * signals a manifest consumer needs:
+    *  - `pack_tokens` may exceed the budget by up to the last doc's
+    *    tokens − 1: cum-binning assigns a doc to the pack its FIRST
+    *    token lands in, so boundary docs spill — the documented
+    *    approximation, visible directly in the column.
+    *  - `n_oversize` counts docs whose n_tok alone exceeds the budget:
+    *    those can NEVER fit a fixed-size buffer and must be split or
+    *    truncated downstream — previously they overflowed silently. */
+  private[graft] def packManifest(docs: DataFrame, budget: Int): DataFrame = {
+    val t = docs
+      .withColumn("n_tok", size(expr(toks)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    t.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", floor((col("cum") - col("n_tok")) / lit(budget)))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("pack_tokens"),
+        sum(when(col("n_tok") > budget, 1L).otherwise(0L)).as("n_oversize"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
   val p21 = QuerySpec(
     "p21_sequence_pack",
-    (s, d) => {
-      val t = documents(s, d)
-        .withColumn("n_tok", size(expr(toks)).cast("long"))
-        .select(col("doc_id"), col("lang"), col("n_tok"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      t.withColumn("cum", sum(col("n_tok")).over(w))
-        .withColumn("pack_id", floor((col("cum") - col("n_tok")) / lit(packBudget)))
-        .groupBy(col("lang"), col("pack_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("pack_tokens"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"))
-        .orderBy(col("lang"), col("pack_id"))
-    },
+    (s, d) => packManifest(documents(s, d), packBudget),
     Some(s"""WITH t AS (SELECT doc_id, lang, len($duckToks) AS n_tok FROM documents),
             |c AS (SELECT doc_id, lang, n_tok,
             |        SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t),
@@ -875,6 +898,7 @@ object Pipeline {
             |        doc_id, n_tok FROM c)
             |SELECT lang, pack_id, COUNT(*) AS n_docs,
             |       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+            |       CAST(SUM(CASE WHEN n_tok > $packBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
             |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
             |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin))
 
@@ -885,6 +909,82 @@ object Pipeline {
     * just spec-pinned. */
   val p20b = kmeansSpec("p20b_kmeans_kernel", 80)
 
+  // p22 — TRAINED IVF end-to-end, hash-gated: p20's trained centroids
+  // → inverted-list build (one KMeans.assign pass, the same scoring
+  // expressions the trainer used) → per-query probe of the nprobe
+  // nearest trained lists → exact rescoring of only those lists'
+  // members. Completes the train→index→search story p12 tells with
+  // train-free seeds; previously only recall-pinned in KMeansSpec.
+  // The oracle extends the p20 trajectory prefix through the final
+  // assignment + probe, so every step — centroid values, list
+  // routing, probe order, rescoring — is DuckDB-hash-checked.
+  // Scale shape: identical to p12 (assign is a projection against
+  // plan-carried centroids, candidates are a list-equi-join pruned to
+  // ~nprobe/K of the corpus); training adds p20's bounded driver state.
+  val p22 = QuerySpec(
+    "p22_ann_ivf_trained",
+    (s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      val e0 = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .persist() // reused: training scans (×iters), list build, rescoring
+      val model = graft.ops.KMeans.fit(e0, "vec_id", "embedding", kmK, kmIters)
+      val lists = graft.ops.KMeans.assign(e0, "embedding", model)
+        .select(col("vec_id"), col("cluster").as("list_id"))
+      val e = e0.withColumn("nrm", expr(VectorFns.fastNormExpr("embedding")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      // probe ranking: ALL K trained centroids scored per query with the
+      // trainer's own cosineTo (rounded 6 dp), ranked cos DESC with the
+      // cluster-index tiebreak — seedIds are ascending, so index order
+      // is the oracle's cent_id order
+      val scoreArr = array(model.centroids.zipWithIndex.map { case (c, j) =>
+        struct(graft.ops.KMeans.cosineTo("qe", "qn", c).as("ccos"), lit(j).as("cent_id"))
+      }: _*)
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("list_id"))
+      val probes = q.select(col("qid"), explode(scoreArr).as("sc"))
+        .select(col("qid"), col("sc.cent_id").as("list_id"), col("sc.ccos").as("ccos"))
+        .withColumn("crn", row_number().over(wProbe))
+        .filter(col("crn") <= ivfProbe)
+        .select(col("qid"), col("list_id"))
+      val cand = lists.join(broadcast(probes), "list_id")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id")).distinct()
+      val pairs = cand
+        .join(e, "vec_id")
+        .join(broadcast(q), "qid")
+        .withColumn("cos",
+          round(expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")), 6))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      pairs.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cos").as("cosine"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(s"""${duckKmeansPrefix(kmK)},
+            |cnF AS (SELECT cent_id, SQRT(SUM(v*v)) AS cnrm FROM c$kmIters GROUP BY 1),
+            |scF AS (SELECT f.vec_id, c.cent_id, SUM(f.v * c.v) AS dot
+            |        FROM f JOIN c$kmIters c ON c.i = f.i GROUP BY 1, 2),
+            |rkF AS (SELECT s.vec_id, s.cent_id, ROW_NUMBER() OVER
+            |          (PARTITION BY s.vec_id
+            |           ORDER BY ROUND(s.dot / (n.nrm * cn.cnrm), 6) DESC, s.cent_id) AS crn
+            |        FROM scF s JOIN n ON n.vec_id = s.vec_id
+            |                    JOIN cnF cn ON cn.cent_id = s.cent_id),
+            |asgF AS (SELECT vec_id, cent_id AS list_id FROM rkF WHERE crn = 1),
+            |probe AS (SELECT vec_id AS qid, cent_id AS list_id FROM rkF
+            |          WHERE vec_id < 5 AND crn <= $ivfProbe),
+            |cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid
+            |         FROM probe p JOIN asgF a ON a.list_id = p.list_id AND a.vec_id <> p.qid),
+            |pd AS (SELECT cand.qid, cand.cid, SUM(x.v * y.v) AS dot
+            |       FROM cand JOIN f x ON x.vec_id = cand.qid
+            |                 JOIN f y ON y.vec_id = cand.cid AND y.i = x.i
+            |       GROUP BY 1, 2),
+            |pc AS (SELECT qid, cid, dot / (na.nrm * nb.nrm) AS cos
+            |       FROM pd JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+            |r AS (SELECT qid, cid, cos, ROW_NUMBER() OVER
+            |        (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) AS rn FROM pc)
+            |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
+            |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
+
   val all: Seq[QuerySpec] =
-    Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1, p20, p20b, p21)
+    Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1, p20, p20b, p21, p22)
 }

@@ -193,4 +193,28 @@ class PipelineSpec extends SparkSuite {
       assert(r.getLong(1) == expected, s"doc ${r.getLong(0)}")
     }
   }
+
+  test("sequence packing surfaces overflow: oversize docs counted, boundary spill visible") {
+    import spark.implicits._
+    // budget 10: doc 1 (4 tok) + doc 2 (5 tok) fill pack 0 to 9; doc 3
+    // (3 tok) STARTS at cum 9 < 10 so it spills pack 0 to 12 tokens —
+    // the documented cum-binning approximation. doc 4 (12 tok) alone
+    // exceeds the budget: it can never fit and must be flagged.
+    val docs = Seq(
+      (1L, "en", "a b c d"),
+      (2L, "en", "e f g h i"),
+      (3L, "en", "j k l"),
+      (4L, "en", "m n o p q r s t u v w x")).toDF("doc_id", "lang", "text")
+    val m = graft.queries.Pipeline.packManifest(docs, budget = 10)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // pack 0: docs 1–3, 12 tokens (boundary spill), no oversize member
+    assert(m(0L).getAs[Long]("n_docs") == 3L)
+    assert(m(0L).getAs[Long]("pack_tokens") == 12L, "boundary spill must stay visible")
+    assert(m(0L).getAs[Long]("n_oversize") == 0L)
+    // pack 1: doc 4 starts at cum-n_tok=12 → pack 1; 12 > 10 tokens on
+    // its own → n_oversize flags it for downstream split/truncate
+    assert(m(1L).getAs[Long]("n_docs") == 1L)
+    assert(m(1L).getAs[Long]("n_oversize") == 1L,
+      "a doc longer than the budget must be flagged, not silently overflowed")
+  }
 }
