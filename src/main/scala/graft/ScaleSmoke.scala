@@ -32,7 +32,7 @@ object ScaleSmoke {
 
   private val sections =
     Set("dedup", "dedup_skew", "cdc", "cdc_throughput", "cdc_multi", "cdc_relcount",
-      "cdc_soak", "cdc_bar", "ann", "kmeans_kernel")
+      "cdc_soak", "cdc_bar", "cdc_partitioned", "ann", "kmeans_kernel")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -116,6 +116,7 @@ object ScaleSmoke {
     if (want("cdc_relcount")) cdcRelationCountCurve(spark)
     if (want("cdc_soak")) cdcSoak(spark)
     if (want("cdc_bar")) cdcBar(spark)
+    if (want("cdc_partitioned")) cdcPartitioned(spark)
     if (want("ann")) annCurve(spark, sfDir)
     if (want("kmeans_kernel")) kmeansKernelCurve(spark, sfDir)
     spark.stop()
@@ -617,6 +618,73 @@ object ScaleSmoke {
         s""""rows_per_batch":$totalPerBatch,"batches":${ms.size},""" +
         s""""batch_ms":[${ms.mkString(",")}],"steady_mean_ms":${fx(meanMs, 0)},""" +
         s""""rows_per_sec":${fx(totalPerBatch / (meanMs / 1000.0), 0)}}""")
+    }
+
+  /** Partitioned-state scale curve (round-15 verdict item 7): ms/batch
+    * as the seeded state DOUBLES, legacy whole-rewrite layout vs the
+    * bucket-partitioned layout (`statePartitions`).
+    *
+    * Protocol (fixed): ONE relation, ordered transport, 6 micro-batches
+    * of 1000 update rows over 50 DISTINCT keys (reduce → 50 change
+    * rows/batch, the "small hot key set against big state" shape
+    * partitioning exists for); state sizes 4M/8M/16M rows;
+    * partitioned runs hold BUCKET SIZE constant (n = 256×scale ⇒
+    * ~16k rows/bucket) — that is the deployment rule the operator doc
+    * states (size buckets, not bucket count), and what makes the
+    * partitioned per-batch cost ≤ 50 touched buckets × constant bucket
+    * size = FLAT while the legacy swap cost doubles with the state.
+    * Batch 0 is excluded: it absorbs stream start AND (partitioned
+    * runs over the unpartitioned seed) the one-time layout migration. */
+  private def cdcPartitioned(spark: SparkSession): Unit =
+    // n is capped at 1024: past that, partition-discovery listing cost
+    // (driver-side, per batch) outgrows what bigger buckets save here.
+    // The 16× point (64M rows) anchors the crossover where the legacy
+    // swap's O(state) write overtakes the partitioned layout's fixed
+    // per-batch costs on this box.
+    for (scale <- Seq(1, 2, 4, 16); nBuckets <- Seq(0, math.min(256 * scale, 1024))) {
+      withBatchDurations(spark) { (batchMs, quiesce) =>
+        val stateRows = 4000000L * scale
+        val nBatches = 6
+        val rowsPerBatch = 1000
+        val distinctKeys = 50
+        val rel = cdc.Envelope.Relation("t00",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("val",
+              org.apache.spark.sql.types.StringType))))
+        val union = cdc.Envelope.unionSchema(Seq(rel))
+        val root = java.nio.file.Files.createTempDirectory("graft_cdcpart_state").toString
+        spark.range(stateRows).select(col("id"), concat(lit("v"), col("id")).as("val"))
+          .write.mode("overwrite").parquet(s"$root/${rel.name}")
+        val dir = java.nio.file.Files.createTempDirectory("graft_cdcpart_in")
+        val t0 = System.currentTimeMillis() - 2000L * (nBatches + 1)
+        var lsnSeq = 16L
+        for (b <- 0 until nBatches) {
+          val sb = new StringBuilder(rowsPerBatch * 90)
+          for (i <- 0 until rowsPerBatch) {
+            val id = i % distinctKeys
+            val lsn = f"0/$lsnSeq%08X"; lsnSeq += 16L
+            sb.append(s"""{"lsn": "$lsn", "tag": "update", "table": "t00", "new": {"id": $id, "val": "b${b}v$id"}}""")
+            sb.append('\n')
+          }
+          val f = dir.resolve(f"chunk_$b%04d.jsonl")
+          java.nio.file.Files.write(f, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          f.toFile.setLastModified(t0 + b * 2000L)
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcpart_ckpt").toString
+        val q = streaming.Streams.materializeCdcTables(
+          streaming.Streams.envelopeStream(spark, dir.toString, schema = union),
+          ckpt, root, Seq(rel), statePartitions = nBuckets)
+        val runId = q.runId
+        q.awaitTermination(); quiesce()
+        val ms = batchMs(runId)
+        val steady = ms.drop(1)
+        val meanMs = if (steady.nonEmpty) steady.sum.toDouble / steady.size else Double.NaN
+        println(s"""{"metric":"cdc_partitioned","state_rows":$stateRows,"buckets":$nBuckets,""" +
+          s""""distinct_keys":$distinctKeys,"rows_per_batch":$rowsPerBatch,""" +
+          s""""batch_ms":[${ms.mkString(",")}],"steady_mean_ms":${fx(meanMs, 0)}}""")
+      }
     }
 
   /** ANN scale curve (p10 LSH / p12 IVF): 1× and 5× corpus, recording

@@ -441,14 +441,33 @@ object Streams {
     * indistinguishable from a fresh insert and WILL resurrect it —
     * the standard tombstone-GC trade (same contract as Cassandra's
     * gc_grace or a Kafka-compacted topic's delete.retention.ms).
+    *
+    * `statePartitions > 0` switches the state table to a BUCKET-
+    * PARTITIONED layout (`graft_bucket=<pmod(xxhash64(key), n)>/`):
+    * each batch then reads only the buckets its keys touch (partition-
+    * pruned scan) and dynamic-partition-overwrites only those buckets,
+    * so per-batch write cost is O(touched state) instead of O(state) —
+    * the difference between flat and linear ms/batch as accumulated
+    * state grows (SCALE.md records the curve). The bucket count is
+    * pinned by the checkpoint's sink binding (a count flip would
+    * re-route keys across dirs); pre-partitioned state migrates
+    * in one full-rewrite batch, and schema-drift batches fall back to
+    * a full rewrite so every partition widens coherently. Bounded-
+    * retention tombstones in a bucket compact when that bucket is next
+    * touched — GC is lazier than the unpartitioned layout, never
+    * sooner. Size buckets so one bucket ≈ a few HDFS blocks: at 100 TB
+    * state and 4096 buckets a busy batch touching 100 buckets rewrites
+    * ~2.5% of the table instead of all of it.
     */
   def materializeCdc(envelopes: DataFrame, checkpoint: String,
       statePath: String, orderedTransport: Boolean = true,
-      casTombstoneRetention: Long = Long.MaxValue): StreamingQuery = {
+      casTombstoneRetention: Long = Long.MaxValue,
+      statePartitions: Int = 0): StreamingQuery = {
     val boundTable = new java.util.concurrent.atomic.AtomicReference[String]()
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
-        checkpoint, s"parquet:$statePath:${modeTag(orderedTransport)}")
+        checkpoint,
+        s"parquet:$statePath:${modeTag(orderedTransport)}${partitionTag(statePartitions)}")
       // persist: the single-table guard, the empty-batch probe, and
       // the merge each drive an action — unpersisted, every one
       // re-reads the micro-batch source
@@ -460,7 +479,8 @@ object Streams {
           "materializeCdcTables", boundTable))
         if (n > 0L)
           applyBatchParquet(Envelope.project(cached), statePath, batchId, "id",
-            orderedTransport, casTombstoneRetention, knownNonEmpty = true)
+            orderedTransport, casTombstoneRetention, knownNonEmpty = true,
+            statePartitions = statePartitions)
       } finally cached.unpersist()
     })
   }
@@ -478,27 +498,74 @@ object Streams {
     * question. */
   private def applyBatchParquet(projected: DataFrame, statePath: String,
       batchId: Long, keyCol: String, orderedTransport: Boolean,
-      casTombstoneRetention: Long, knownNonEmpty: Boolean = false): Unit = {
+      casTombstoneRetention: Long, knownNonEmpty: Boolean = false,
+      statePartitions: Int = 0): Unit = {
     if (knownNonEmpty || !projected.isEmpty) {
       val spark = projected.sparkSession
       val reduced = reduceBatch(projected, keyCol)
       require(!reduced.columns.exists(_.equalsIgnoreCase(casBatchCol)),
         s"[graft] materializeCdc reserves column '$casBatchCol' — rename it in the source schema")
+      if (statePartitions > 0)
+        require(!reduced.columns.exists(_.equalsIgnoreCase(bucketCol)),
+          s"[graft] partitioned materializeCdc reserves column '$bucketCol' — rename it in the source schema")
       // ordered transports don't need the LSN once the batch is
       // reduced; the CAS path keeps it as the state's version column,
       // plus the arrival-batch stamp that ages tombstones for GC
-      val changes =
+      val changes0 =
         if (orderedTransport) reduced.drop("lsn")
         else reduced.withColumn(casBatchCol, lit(batchId))
+      // Partitioned state: the key's bucket is part of the ON-DISK
+      // LAYOUT (dir names), so the hash and count are layout contracts
+      // — the sink-binding tag pins the count; xxhash64's seed-42
+      // output is deterministic and version-stable the same way the
+      // md5-based sampling buckets are.
+      val changes =
+        if (statePartitions > 0) changes0.withColumn(bucketCol, bucketExpr(keyCol, statePartitions))
+        else changes0
       val hconf = spark.sparkContext.hadoopConfiguration
       val state = new org.apache.hadoop.fs.Path(statePath)
       val fs = state.getFileSystem(hconf)
       recoverCdcState(fs, statePath)
       val stateExists = fs.exists(state)
-      val base0 =
-        if (stateExists) spark.read.parquet(statePath)
-        else if (orderedTransport) changes.drop("op").limit(0)
-        else changes.limit(0) // first batch: empty state, same schema
+      // Partitioned-mode batch classification:
+      //  - incremental (the steady state): on-disk layout is already
+      //    bucket-partitioned and the batch brings no schema drift →
+      //    read ONLY the touched buckets (partition-pruned scan) and
+      //    dynamic-overwrite ONLY those buckets. Per-batch write cost
+      //    is O(touched state), not O(state).
+      //  - full rewrite: first write, layout migration (state predates
+      //    partitioning), or additive/widening drift (EVERY partition's
+      //    schema must widen coherently — exactly the "rewrites whole →
+      //    immediately coherent" argument below, preserved by scoping
+      //    it to drift batches only). Goes through the rename-aside
+      //    swap like the legacy path.
+      // ONE read of the state per batch: every spark.read.parquet call
+      // re-runs partition discovery (a listing of every bucket dir —
+      // a driver job at large bucket counts), so the layout probe, the
+      // drift probe, and the base all share this DataFrame's file index
+      val onDisk = if (stateExists) Some(spark.read.parquet(statePath)) else None
+      val onDiskPartitioned = statePartitions > 0 &&
+        onDisk.exists(_.columns.contains(bucketCol))
+      val driftTarget =
+        if (orderedTransport) changes.drop("op").schema else changes.schema
+      val incremental = onDiskPartitioned &&
+        !needsWiden(onDisk.get.schema, driftTarget)
+      val touched: Seq[Int] =
+        if (incremental)
+          changes.select(col(bucketCol)).distinct().collect().map(_.getInt(0)).toSeq
+        else Seq.empty // bounded by statePartitions, like the census collect
+      val base0 = onDisk match {
+        case Some(full) if incremental => full.filter(col(bucketCol).isin(touched: _*))
+        case Some(full) if statePartitions > 0 && !onDiskPartitioned =>
+          // one-time layout migration: derive each state row's bucket
+          // from its key; this batch rewrites the state whole, after
+          // which every batch is incremental
+          full.withColumn(bucketCol, bucketExpr(keyCol, statePartitions))
+        case Some(full) => full
+        case None =>
+          if (orderedTransport) changes.drop("op").limit(0)
+          else changes.limit(0) // first batch: empty state, same schema
+      }
       if (stateExists) requireCompatibleDrift(base0.schema, changes.schema, statePath)
       // ADDITIVE SCHEMA DRIFT: after a drift restart the change batch
       // carries columns the accumulated state predates — null-fill the
@@ -540,9 +607,10 @@ object Streams {
           // state written by earlier code may hold raw variable-width
           // wire LSNs, which compare WRONG against canonical ones.
           // Normalizing the base's version column on read is a no-op
-          // for canonical values and auto-migrates old state — each
-          // batch rewrites the state whole, so one touched batch
-          // completes the migration for the relation.
+          // for canonical values and auto-migrates old state — one
+          // touched batch completes the migration for the relation
+          // (per BUCKET in the partitioned layout: untouched buckets
+          // normalize on every read until their first rewrite).
           widen(base0, changes.schema)
             .withColumn("lsn", Envelope.normalizeLsn(col("lsn")))
       val casChanges =
@@ -586,29 +654,89 @@ object Streams {
             !(col("op") === "D" &&
               lit(batchId) - col(casBatchCol) > lit(casTombstoneRetention)))
         }
-      val tmp = new org.apache.hadoop.fs.Path(s"${statePath}__swap_$batchId")
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      // Rename-aside swap: `state` is moved, never deleted, before its
-      // replacement lands — each individual rename is atomic on a local
-      // FS / HDFS, so a crash at any point leaves a recoverable dir for
-      // recoverCdcState (old state at __prev, or the completed tmp).
-      // Hadoop FileSystems report many failures by RETURNING FALSE, not
-      // throwing — an unchecked false would let foreachBatch return
-      // normally, the checkpoint COMMIT the batch, and the next batch's
-      // recovery sweep the completed swap dir: that batch's changes gone
-      // with no replay. Throw on false so a failed swap aborts the batch
-      // BEFORE its checkpoint commit and the replayed MERGE lands it.
-      val prev = new org.apache.hadoop.fs.Path(s"${statePath}__prev")
-      if (fs.exists(state)) {
+      // ONE FILE PER BUCKET: partitionBy alone lets every write task
+      // emit a file into every bucket dir it holds rows for — at 32
+      // tasks × n buckets that is an n×32 small-file explosion whose
+      // per-file open cost then dominates every later read. Clustering
+      // rows by bucket first makes each bucket dir exactly one file
+      // (a bucket's rows hash to one shuffle partition).
+      def clustered(df: DataFrame): DataFrame = df.repartition(col(bucketCol))
+      if (incremental) {
+        // In-place dynamic partition overwrite: only the bucket dirs
+        // present in `merged` (= the touched buckets) are replaced;
+        // untouched buckets' files are not read, written, or moved.
+        // Crash safety WITHOUT the rename-aside swap: in-flight task
+        // output stages under dot-prefixed dirs readers ignore, and a
+        // crash anywhere before the checkpoint commit replays the
+        // batch — re-merging the same reduced changes into a bucket is
+        // idempotent whether that bucket was already replaced (same
+        // winning images / CAS keeps newer) or not. The swap's
+        // all-or-nothing guarantee is only needed when the WHOLE state
+        // is replaced, because there the danger is merging into an
+        // empty base; here every bucket always has a live dir.
+        clustered(merged).write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(bucketCol)
+          .parquet(statePath)
+      } else if (statePartitions > 0 && !stateExists) {
+        clustered(merged).write.mode("overwrite").partitionBy(bucketCol).parquet(statePath)
+      } else {
+        val tmp = new org.apache.hadoop.fs.Path(s"${statePath}__swap_$batchId")
+        val w0 = (if (statePartitions > 0) clustered(merged) else merged)
+          .write.mode("overwrite")
+        val w = if (statePartitions > 0) w0.partitionBy(bucketCol) else w0
+        w.parquet(tmp.toString)
+        // Rename-aside swap: `state` is moved, never deleted, before its
+        // replacement lands — each individual rename is atomic on a local
+        // FS / HDFS, so a crash at any point leaves a recoverable dir for
+        // recoverCdcState (old state at __prev, or the completed tmp).
+        // Hadoop FileSystems report many failures by RETURNING FALSE, not
+        // throwing — an unchecked false would let foreachBatch return
+        // normally, the checkpoint COMMIT the batch, and the next batch's
+        // recovery sweep the completed swap dir: that batch's changes gone
+        // with no replay. Throw on false so a failed swap aborts the batch
+        // BEFORE its checkpoint commit and the replayed MERGE lands it.
+        val prev = new org.apache.hadoop.fs.Path(s"${statePath}__prev")
+        if (fs.exists(state)) {
+          if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
+          checkedFs(fs.rename(state, prev), s"rename $state -> $prev")
+        }
+        checkedFs(fs.rename(tmp, state), s"rename $tmp -> $state")
+        // Failing the cleanup delete also aborts+replays; that replay is
+        // idempotent (state already swapped; recovery just sweeps prev).
         if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
-        checkedFs(fs.rename(state, prev), s"rename $state -> $prev")
       }
-      checkedFs(fs.rename(tmp, state), s"rename $tmp -> $state")
-      // Failing the cleanup delete also aborts+replays; that replay is
-      // idempotent (state already swapped; recovery just sweeps prev).
-      if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
     }
   }
+
+  /** Partition-bucket of a state key: deterministic, version-stable,
+    * uniform. Part of the on-disk contract once a partitioned state
+    * exists — the sink binding pins the COUNT so a restart can't
+    * silently re-route keys across buckets. */
+  private def bucketExpr(keyCol: String, statePartitions: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col(keyCol)), lit(statePartitions.toLong)).cast("int")
+
+  /** Would writing `want` over a base of schema `have` require widening
+    * the base (new columns, or numeric upcasts of shared ones)? Mirrors
+    * what widen() would do, decided from footers alone so the
+    * partitioned path can pick incremental vs full-rewrite BEFORE
+    * reading any data. */
+  private def needsWiden(have: org.apache.spark.sql.types.StructType,
+      want: org.apache.spark.sql.types.StructType): Boolean =
+    want.fields.exists { f =>
+      have.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case None => true
+        case Some(own) =>
+          widerNumeric(own.dataType, f.dataType).exists(_ != own.dataType)
+      }
+    }
+
+  /** Bucket partition column of the PARTITIONED state layout
+    * ([[materializeCdc]] `statePartitions`), reserved like 'op'. NOT
+    * underscore-prefixed: it names partition DIRECTORIES
+    * (`graft_bucket=17/`), and file-source readers skip `_`/`.`
+    * prefixed paths entirely. */
+  private[graft] val bucketCol = "graft_bucket"
 
   /** Multi-table CDC materialization — the engine-side rendering of the
     * reference's `FOR ALL TABLES` publication
@@ -633,7 +761,8 @@ object Streams {
       stateRoot: String, relations: Seq[Envelope.Relation],
       orderedTransport: Boolean = true,
       casTombstoneRetention: Long = Long.MaxValue,
-      maxConcurrentRelations: Int = 1): StreamingQuery = {
+      maxConcurrentRelations: Int = 1,
+      statePartitions: Int = 0): StreamingQuery = {
     // each relation's state dir sits NEXT TO its siblings under
     // stateRoot, and every apply runs recoverCdcState, whose crash
     // sweep deletes `<state>__prev` and `<state>__swap_<batchId>`
@@ -647,7 +776,8 @@ object Streams {
           s"'$b''s state dir; rename one of them")
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
-        checkpoint, s"parquet-multi:$stateRoot:${modeTag(orderedTransport)}")
+        checkpoint,
+        s"parquet-multi:$stateRoot:${modeTag(orderedTransport)}${partitionTag(statePartitions)}")
       val cached = batch.persist()
       try {
         val census = tableCensus(cached, relations.map(_.name))
@@ -658,7 +788,8 @@ object Streams {
           applyBatchParquet(
             Envelope.projectRelation(cached.filter(col("table") === rel.name), rel),
             s"$stateRoot/${rel.name}", batchId, rel.outName(rel.key),
-            orderedTransport, casTombstoneRetention, knownNonEmpty = true)
+            orderedTransport, casTombstoneRetention, knownNonEmpty = true,
+            statePartitions = statePartitions)
         }
       } finally cached.unpersist()
     })
@@ -942,6 +1073,14 @@ object Streams {
   private def modeTag(orderedTransport: Boolean): String =
     if (orderedTransport) "ordered" else "cas"
 
+  /** Binding-tag suffix for the partitioned state layout: a restart
+    * that changes the bucket COUNT would silently re-route keys into
+    * different dirs (the same key duplicated across two buckets) — the
+    * sink binding must refuse it like a mode flip. Unpartitioned runs
+    * keep the historical tag so existing checkpoints stay valid. */
+  private def partitionTag(statePartitions: Int): String =
+    if (statePartitions > 0) s":b$statePartitions" else ""
+
   /** Per-batch change reduce shared by the materializers: latest image
     * per key (LSN order), deletes marked op='D'. 'op' is the
     * materialization's change-op marker: a payload column of that name
@@ -1187,7 +1326,8 @@ object Streams {
     * that name at every batch: an ordered-mode state can never carry a
     * payload column named 'op'. */
   def cdcLiveState(spark: SparkSession, statePath: String): DataFrame = {
-    val df = spark.read.parquet(statePath)
+    val df0 = spark.read.parquet(statePath)
+    val df = df0.drop(bucketCol) // layout detail of the partitioned state, not payload
     if (df.columns.contains("op"))
       df.filter(col("op") =!= "D").drop("op", "lsn", casBatchCol)
     else df

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cdc.{Envelope, Fixture}
+import graft.streaming.Streams
+import java.nio.file.Files
+
+/** Pins for the BUCKET-PARTITIONED CDC state layout
+  * (`Streams.materializeCdc(statePartitions = n)`):
+  *
+  *  - content equivalence with the unpartitioned layout in both
+  *    transport modes (the layout is an optimization, never semantics),
+  *  - the scale property itself: a batch must NOT rewrite buckets it
+  *    does not touch (file names + mtimes pinned byte-stable),
+  *  - the sink binding refuses a bucket-count flip on an existing
+  *    checkpoint (a flip would re-route keys across dirs),
+  *  - one-shot migration of a pre-partitioned state dir.
+  */
+class PartitionedStateSpec extends SparkSuite {
+
+  private def quiesce(): Unit = {
+    var waited = 0
+    while (spark.streams.active.nonEmpty && waited < 10000) {
+      Thread.sleep(100); waited += 100
+    }
+  }
+
+  /** Layout-independent canonical rows: bucket col dropped, columns
+    * sorted by name (partition columns list last on read), full sort. */
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.filterNot(_ == "graft_bucket").sorted.map(col)
+    df.select(cols: _*).orderBy(cols: _*).collect().map(_.toString).toSeq
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("partitioned state equals unpartitioned state (ordered chunk replay)") {
+    val in = Fixture.materializeChunks(6)
+    val stA = tmp("graft_ps_a") + "/students"
+    Streams.materializeCdc(Streams.envelopeStream(spark, in),
+      tmp("graft_ps_cka"), stA).awaitTermination()
+    quiesce()
+    val stB = tmp("graft_ps_b") + "/students"
+    Streams.materializeCdc(Streams.envelopeStream(spark, in),
+      tmp("graft_ps_ckb"), stB, statePartitions = 8).awaitTermination()
+    quiesce()
+    assert(new java.io.File(stB).list().exists(_.startsWith("graft_bucket=")),
+      "partitioned run must lay out bucket dirs")
+    assert(canon(spark.read.parquet(stB)) == canon(spark.read.parquet(stA)),
+      "partitioning must not change state content")
+    // the reader-facing surface hides the layout detail
+    assert(!Streams.cdcLiveState(spark, stB).columns.contains("graft_bucket"))
+  }
+
+  test("partitioned CAS state converges like unpartitioned under reversed delivery") {
+    // reversed per-chunk delivery: the CAS (LSN compare-and-swap) merge
+    // must converge to the same live rows in both layouts
+    def reversedChunks(): String = {
+      val dir = Files.createTempDirectory("graft_ps_rev")
+      val lines = Fixture.jsonLines.reverse
+      val per = math.max(1, lines.size / 5)
+      val t0 = System.currentTimeMillis() - 60000L
+      lines.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        val f = dir.resolve(f"chunk_$i%04d.jsonl")
+        Files.write(f, chunk.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        f.toFile.setLastModified(t0 + i * 2000L)
+      }
+      dir.toString
+    }
+    val stA = tmp("graft_ps_casa") + "/students"
+    Streams.materializeCdc(Streams.envelopeStream(spark, reversedChunks()),
+      tmp("graft_ps_ckca"), stA, orderedTransport = false).awaitTermination()
+    quiesce()
+    val stB = tmp("graft_ps_casb") + "/students"
+    Streams.materializeCdc(Streams.envelopeStream(spark, reversedChunks()),
+      tmp("graft_ps_ckcb"), stB, orderedTransport = false, statePartitions = 5)
+      .awaitTermination()
+    quiesce()
+    assert(canon(Streams.cdcLiveState(spark, stB)) == canon(Streams.cdcLiveState(spark, stA)),
+      "CAS live rows must match across layouts")
+  }
+
+  test("a batch rewrites ONLY the buckets it touches") {
+    val dir = Files.createTempDirectory("graft_ps_inc")
+    var mtime = System.currentTimeMillis() - 120000L
+    var chunkNo = 0
+    def deliver(lines: String*): Unit = {
+      val f = dir.resolve(f"chunk_$chunkNo%04d.jsonl")
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+      mtime += 2000L; chunkNo += 1
+    }
+    def ins(lsn: String, id: Long) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "students", "new": {"id": $id, "first_name": "fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    def upd(lsn: String, id: Long) =
+      s"""{"lsn": "$lsn", "tag": "update", "table": "students", "new": {"id": $id, "first_name": "UPD$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 2}}"""
+    val ckpt = tmp("graft_ps_ckinc")
+    val state = tmp("graft_ps_stinc") + "/students"
+    deliver((1L to 24L).map(i => ins(f"0/${i * 16}%08X", i)): _*)
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+      statePartitions = 8).awaitTermination()
+    quiesce()
+    // per-bucket file inventory (name -> length, mtime) before batch 2
+    def inventory(): Map[String, Map[String, (Long, Long)]] =
+      new java.io.File(state).listFiles().filter(_.getName.startsWith("graft_bucket="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> (f.length(), f.lastModified())).toMap).toMap
+    val before = inventory()
+    assert(before.size > 1, s"24 keys over 8 buckets should occupy >1 bucket, got ${before.size}")
+    val touchedBucket = "graft_bucket=" + spark.read.parquet(state)
+      .filter(col("id") === 1L).select(col("graft_bucket")).head().get(0)
+    deliver(upd(f"0/${25L * 16}%08X", 1L))
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+      statePartitions = 8).awaitTermination()
+    quiesce()
+    val after = inventory()
+    assert(after(touchedBucket) != before(touchedBucket),
+      s"the touched bucket $touchedBucket must be rewritten")
+    for ((bucket, files) <- before if bucket != touchedBucket)
+      assert(after(bucket) == files,
+        s"untouched bucket $bucket was rewritten — the partitioned layout lost its point")
+    // and the update actually landed (A5 projection renames to camelCase)
+    assert(spark.read.parquet(state).filter(col("id") === 1L)
+      .select(col("firstName")).head().getString(0) == "UPD1")
+  }
+
+  test("sink binding refuses a bucket-count flip on an existing checkpoint") {
+    val dir = Files.createTempDirectory("graft_ps_flip")
+    var mtime = System.currentTimeMillis() - 120000L
+    var chunkNo = 0
+    def deliver(lines: String*): Unit = {
+      val f = dir.resolve(f"chunk_$chunkNo%04d.jsonl")
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+      mtime += 2000L; chunkNo += 1
+    }
+    def ins(lsn: String, id: Long) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "students", "new": {"id": $id, "first_name": "fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    val ckpt = tmp("graft_ps_ckflip")
+    val state = tmp("graft_ps_stflip") + "/students"
+    deliver(ins("0/00000010", 1L))
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+      statePartitions = 8).awaitTermination()
+    quiesce()
+    deliver(ins("0/00000020", 2L)) // a new batch must exist for the binding probe to run
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+        statePartitions = 16).awaitTermination()
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs(failed).contains("bound to sink"),
+      s"count flip must hit the sink-binding refusal, got: ${msgs(failed).take(300)}")
+    quiesce()
+    // the rightful count continues where it left off
+    Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+      statePartitions = 8).awaitTermination()
+    quiesce()
+    assert(spark.read.parquet(state).count() == 2L)
+  }
+
+  test("a pre-partitioned state dir migrates in one full-rewrite batch, then stays partitioned") {
+    val in = Fixture.materializeChunks(4)
+    val state = tmp("graft_ps_stmig") + "/students"
+    // phase 1: legacy unpartitioned layout
+    Streams.materializeCdc(Streams.envelopeStream(spark, in),
+      tmp("graft_ps_ckm1"), state).awaitTermination()
+    quiesce()
+    assert(!new java.io.File(state).list().exists(_.startsWith("graft_bucket=")))
+    val legacy = canon(spark.read.parquet(state))
+    // phase 2: same state dir, partitioned mode (fresh checkpoint —
+    // the binding tag correctly treats it as a different sink). The
+    // replay re-merges the same images into the existing state: the
+    // first applied batch migrates the layout, the rest run incremental.
+    Streams.materializeCdc(Streams.envelopeStream(spark, in),
+      tmp("graft_ps_ckm2"), state, statePartitions = 8).awaitTermination()
+    quiesce()
+    assert(new java.io.File(state).list().exists(_.startsWith("graft_bucket=")),
+      "migration must leave a bucket-partitioned layout")
+    assert(canon(spark.read.parquet(state)) == legacy,
+      "migration + idempotent re-merge must preserve state content")
+  }
+}
