@@ -930,6 +930,8 @@ object Pipeline {
       val model = graft.ops.KMeans.fit(e0, "vec_id", "embedding", kmK, kmIters)
       val lists = graft.ops.KMeans.assign(e0, "embedding", model)
         .select(col("vec_id"), col("cluster").as("list_id"))
+        .persist() // the K·dim-wide argmax projection compiles (janino) per
+                   // stage that embeds it — pin its ONE evaluation
       val e = e0.withColumn("nrm", expr(VectorFns.fastNormExpr("embedding")))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
