@@ -987,6 +987,90 @@ object Pipeline {
             |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
 
+  // p23 — int8 SCALAR QUANTIZATION of the embedding corpus + quantized
+  // coarse top-k + exact rescore (B.7, added r16): the memory-bandwidth
+  // half of a production ANN stack (IVF/LSH prune candidates; int8
+  // shrinks every vector touched 4×). Per-dimension min/max from ONE
+  // partial-aggregated pass (shuffle carries tasks×dim partials, never
+  // the corpus); codes are a map-only projection; coarse scoring runs
+  // on the RECONSTRUCTED values (mn_i + code_i·scale_i — so the oracle
+  // can replay the arithmetic bit-for-bit), keeps the top 2k per query,
+  // and only those survivors pay the exact float_dot rescore. floor(x
+  // + 0.5) quantization instead of round(): HALF_UP vs banker's
+  // ambiguity never enters the gate. At 100 TB this composes with
+  // p12/p22: probe the IVF lists, score them int8, rescore the top-k
+  // exact — each stage cuts the candidate set for the next.
+  val p23 = QuerySpec(
+    "p23_quantized_topk",
+    (s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        expr(VectorFns.fastNormExpr("embedding")).as("nrm")).persist()
+      val stats = e.select(posexplode(col("embedding"))).toDF("i", "v")
+        .groupBy(col("i"))
+        .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val dim = stats.size
+      val mn = Array.tabulate(dim)(i => stats(i)._1)
+      val sc = Array.tabulate(dim)(i => (stats(i)._2 - stats(i)._1) / 255.0)
+      // reconstructed (de-quantized) vector, literal-expanded per dim —
+      // a constant-range dimension reconstructs to its constant
+      def recon(vc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array((0 until dim).map { i =>
+        if (sc(i) == 0.0) lit(mn(i))
+        else lit(mn(i)) +
+          floor((vc.getItem(i).cast("double") - lit(mn(i))) / lit(sc(i)) + lit(0.5)) * lit(sc(i))
+      }: _*)
+      val dotRv = "aggregate(zip_with(rv, qrv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+      val selfRv = "aggregate(zip_with(rv, rv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+      val enc = e.withColumn("rv", recon(col("embedding")))
+        .withColumn("rnrm", sqrt(expr(selfRv)))
+      val qs = enc.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
+          col("rv").as("qrv"), col("rnrm").as("qrnrm"))
+      val scored = enc.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("acos_", round(expr(dotRv) / (col("rnrm") * col("qrnrm")), 6))
+      val wA = Window.partitionBy(col("qid")).orderBy(col("acos_").desc, col("vec_id"))
+      val cand = scored.withColumn("arn", row_number().over(wA)).filter(col("arn") <= 6)
+      val exact = cand.withColumn("cos",
+        round(expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")), 6))
+      val wT = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      exact.withColumn("rn", row_number().over(wT)).filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cos").as("cosine"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some("""WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+           |st AS (SELECT i, MIN(v) AS mn, (MAX(v) - MIN(v)) / 255.0 AS sc FROM f GROUP BY i),
+           |r AS (SELECT f.vec_id, f.i, f.v,
+           |        CASE WHEN st.sc = 0 THEN st.mn
+           |             ELSE st.mn + FLOOR((f.v - st.mn) / st.sc + 0.5) * st.sc END AS rv
+           |      FROM f JOIN st ON st.i = f.i),
+           |rn_ AS (SELECT vec_id, SQRT(SUM(rv*rv)) AS rnrm FROM r GROUP BY 1),
+           |q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
+           |ad AS (SELECT q.qid, c.vec_id AS cid, SUM(cq.rv * c.rv) AS dot
+           |       FROM q JOIN r cq ON cq.vec_id = q.qid
+           |              JOIN r c ON c.i = cq.i AND c.vec_id <> q.qid
+           |       GROUP BY 1, 2),
+           |ac AS (SELECT qid, cid, ad.dot / (nq.rnrm * nc.rnrm) AS acos_
+           |       FROM ad JOIN rn_ nq ON nq.vec_id = qid JOIN rn_ nc ON nc.vec_id = cid),
+           |cand AS (SELECT qid, cid FROM (
+           |           SELECT qid, cid, ROW_NUMBER() OVER
+           |             (PARTITION BY qid ORDER BY ROUND(acos_, 6) DESC, cid) AS arn FROM ac)
+           |         WHERE arn <= 6),
+           |pd AS (SELECT cand.qid, cand.cid, SUM(x.v * y.v) AS dot
+           |       FROM cand JOIN f x ON x.vec_id = cand.qid
+           |                 JOIN f y ON y.vec_id = cand.cid AND y.i = x.i
+           |       GROUP BY 1, 2),
+           |n AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM f GROUP BY 1),
+           |pc AS (SELECT qid, cid, dot / (na.nrm * nb.nrm) AS cos
+           |       FROM pd JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+           |rr AS (SELECT qid, cid, cos, ROW_NUMBER() OVER
+           |         (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) AS rn2 FROM pc)
+           |SELECT qid, CAST(rn2 AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
+           |FROM rr WHERE rn2 <= 3 ORDER BY qid, rn""".stripMargin))
+
   val all: Seq[QuerySpec] =
-    Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1, p20, p20b, p21, p22)
+    Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1, p20, p20b, p21, p22, p23)
 }

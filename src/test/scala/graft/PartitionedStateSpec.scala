@@ -160,6 +160,58 @@ class PartitionedStateSpec extends SparkSuite {
     assert(spark.read.parquet(state).count() == 2L)
   }
 
+  test("partitioned CAS tombstone GC is lazy-per-bucket: compaction waits for the bucket's next touch, never sooner") {
+    val dir = Files.createTempDirectory("graft_ps_gc")
+    val ckpt = tmp("graft_ps_ckgc")
+    val state = tmp("graft_ps_stgc") + "/students"
+    var mtime = System.currentTimeMillis() - 120000L
+    var chunkNo = 0
+    def ins(lsn: String, id: Long) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "students", "new": {"id": $id, "first_name": "fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    def upd(lsn: String, id: Long, fn: String) =
+      s"""{"lsn": "$lsn", "tag": "update", "table": "students", "new": {"id": $id, "first_name": "$fn", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    def del(lsn: String, id: Long) =
+      s"""{"lsn": "$lsn", "tag": "delete", "table": "students", "old": {"id": $id}}"""
+    def deliver(lines: String*): Unit = {
+      val f = dir.resolve(f"chunk_$chunkNo%04d.jsonl")
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+      mtime += 2000L; chunkNo += 1
+      Streams.materializeCdc(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+        orderedTransport = false, casTombstoneRetention = 1L, statePartitions = 4)
+        .awaitTermination()
+      quiesce()
+    }
+    var lsn = 16L
+    def nextLsn(): String = { val s = f"0/$lsn%08X"; lsn += 16L; s }
+    // batch 0: keys 1..10 so every bucket is populated
+    deliver((1L to 10L).map(i => ins(nextLsn(), i)): _*)
+    val bucketOf = spark.read.parquet(state)
+      .select(col("id"), col("graft_bucket")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = 1L
+    val other = (2L to 10L).find(bucketOf(_) != bucketOf(a)).get  // different bucket
+    val sibling = (2L to 10L).find(bucketOf(_) == bucketOf(a)).get // same bucket as a
+    def tombstones() = spark.read.parquet(state).filter(col("op") === "D").count()
+    // batch 1: delete key a — tombstone stamped arrival batch 1 in bucket(a)
+    deliver(del(nextLsn(), a))
+    assert(tombstones() == 1L)
+    // batches 2 and 3 touch ONLY the other bucket; by batch 3 the
+    // tombstone is past the horizon (3 - 1 > 1) but its bucket is
+    // never read or rewritten — it must SURVIVE (GC is lazy, the
+    // retention bound is a minimum, never an eager sweep)
+    deliver(upd(nextLsn(), other, "touch2"))
+    deliver(upd(nextLsn(), other, "touch3"))
+    assert(tombstones() == 1L,
+      "a tombstone in an untouched bucket must survive past the horizon")
+    // batch 4 touches bucket(a) via the sibling key — NOW the aged
+    // tombstone compacts and the state shrinks by one row
+    deliver(upd(nextLsn(), sibling, "touch4"))
+    assert(tombstones() == 0L, "first touch after the horizon must compact the tombstone")
+    assert(!Streams.cdcLiveState(spark, state).select("id").collect()
+      .map(_.getLong(0)).contains(a), "compaction must not resurrect the deleted key")
+  }
+
   test("a pre-partitioned state dir migrates in one full-rewrite batch, then stays partitioned") {
     val in = Fixture.materializeChunks(4)
     val state = tmp("graft_ps_stmig") + "/students"
