@@ -92,8 +92,9 @@ object KMeans {
     * codegen), large K·dim → the [[graft.expressions.BestCentroid]]
     * kernel (O(1) plan nodes, matrix rides the serialized plan). */
   private def bestCluster(s: org.apache.spark.sql.SparkSession, vecCol: String,
-      nrmCol: String, cents: Array[Array[Double]]): (Column, Column, Option[String]) =
-    if (cents.length.toLong * cents.head.length > kernelCellThreshold) {
+      nrmCol: String, cents: Array[Array[Double]],
+      forceKernel: Boolean = false): (Column, Column, Option[String]) =
+    if (forceKernel || cents.length.toLong * cents.head.length > kernelCellThreshold) {
       val (c, cos, fn) = bestClusterKernelNamed(s, vecCol, cents)
       (c, cos, Some(fn))
     } else {
@@ -170,8 +171,19 @@ object KMeans {
     * the upstream is expensive. Requires
     * `graft.expressions.VectorExpressions.register` (norm uses the
     * codegen'd float_dot). */
+  /** `forceKernel = true` scores through [[bestClusterKernel]] even
+    * below [[kernelCellThreshold]]. The two strategies are
+    * bit-identical (fuzz-pinned), so this is purely a cost choice:
+    * each expanded-plan iteration janino-compiles a fresh K·dim-wide
+    * whole-stage projection (the literals change every iteration), and
+    * at small corpus sizes that compile dominates the arithmetic —
+    * p20b (K=80, kernel) runs ~5× faster than p20 (K=8, expanded) on
+    * the same corpus. The threshold default keeps the expanded plan
+    * where its fused arithmetic wins on big scans; callers that
+    * iterate (training) or chain stages (p22) opt into the kernel. */
   def fit(vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, dropDegenerate: Boolean = true): Model = {
+      k: Int, iters: Int, dropDegenerate: Boolean = true,
+      forceKernel: Boolean = false): Model = {
     require(k > 0 && iters > 0, s"[graft] kmeans needs k>0, iters>0 (got k=$k, iters=$iters)")
     val raw = vectors.select(
       col(idCol), col(vecCol),
@@ -211,7 +223,8 @@ object KMeans {
     val objective = Array.fill(iters)(0.0)
 
     for (t <- 0 until iters) {
-      val (clusterCol, cosCol, fnOpt) = bestCluster(vectors.sparkSession, vecCol, "__nrm", cents)
+      val (clusterCol, cosCol, fnOpt) =
+        bestCluster(vectors.sparkSession, vecCol, "__nrm", cents, forceKernel)
       // one distributed job per iteration: scan → project(score) →
       // K-key partial agg; the collect is K rows of (mean, count, Σcos)
       val frame = withNrm
@@ -240,10 +253,12 @@ object KMeans {
     * `cosine` (the rounded best cosine) — the IVF list build. Same
     * scoring expression the trainer used, so assignments match the
     * trajectory's last step exactly. */
-  def assign(vectors: DataFrame, vecCol: String, model: Model): DataFrame = {
+  def assign(vectors: DataFrame, vecCol: String, model: Model,
+      forceKernel: Boolean = false): DataFrame = {
     val withNrm = vectors.withColumn("__nrm",
       expr(graft.functions.VectorFns.fastNormExpr(vecCol)))
-    val (clusterCol, cosCol, fnOpt) = bestCluster(vectors.sparkSession, vecCol, "__nrm", model.centroids)
+    val (clusterCol, cosCol, fnOpt) =
+      bestCluster(vectors.sparkSession, vecCol, "__nrm", model.centroids, forceKernel)
     val out = withNrm.withColumn("cluster", clusterCol).withColumn("cosine", cosCol)
       .drop("__nrm")
     fnOpt.foreach(dropKernelFn(vectors.sparkSession, _)) // out is analyzed; registration done

@@ -927,11 +927,15 @@ object Pipeline {
       graft.expressions.VectorExpressions.register(s)
       val e0 = embeddings(s, d).select(col("vec_id"), col("embedding"))
         .persist() // reused: training scans (×iters), list build, rescoring
-      val model = graft.ops.KMeans.fit(e0, "vec_id", "embedding", kmK, kmIters)
-      val lists = graft.ops.KMeans.assign(e0, "embedding", model)
+      // forceKernel: the strategies are bit-identical (fuzz-pinned), and
+      // at this corpus size the expanded plan's per-iteration janino
+      // compile of a K·dim-wide projection dominates — p20 keeps gating
+      // the expanded strategy; p22's job is the end-to-end search
+      val model = graft.ops.KMeans.fit(e0, "vec_id", "embedding", kmK, kmIters,
+        forceKernel = true)
+      val lists = graft.ops.KMeans.assign(e0, "embedding", model, forceKernel = true)
         .select(col("vec_id"), col("cluster").as("list_id"))
-        .persist() // the K·dim-wide argmax projection compiles (janino) per
-                   // stage that embeds it — pin its ONE evaluation
+        .persist() // the argmax projection evaluates ONCE (joined twice below)
       val e = e0.withColumn("nrm", expr(VectorFns.fastNormExpr("embedding")))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))

@@ -207,6 +207,25 @@ class KMeansSpec extends SparkSuite {
       s"argmax expression bloat: $nodes nodes — quadratic duplication reintroduced?")
   }
 
+  test("fit(forceKernel) walks the identical trajectory as the expanded strategy") {
+    // p22 trains through the kernel below the cell threshold (compile
+    // cost, not math, motivates the switch) — the MODELS must be
+    // bit-identical, not just the per-row argmax (KMeansSpec already
+    // fuzz-pins that): centroid trajectories, sizes, objective.
+    graft.expressions.VectorExpressions.register(spark)
+    val df = corpus(150, 16)
+    val a = KMeans.fit(df, "vec_id", "embedding", k = 6, iters = 3)
+    val b = KMeans.fit(df, "vec_id", "embedding", k = 6, iters = 3, forceKernel = true)
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq,
+      "kernel-trained centroids diverged from the expanded trajectory")
+    assert(a.sizes.toSeq == b.sizes.toSeq && a.objective.toSeq == b.objective.toSeq)
+    val la = KMeans.assign(df, "embedding", a).select("vec_id", "cluster", "cosine")
+    val lb = KMeans.assign(df, "embedding", b, forceKernel = true)
+      .select("vec_id", "cluster", "cosine")
+    assert(la.exceptAll(lb).isEmpty && lb.exceptAll(la).isEmpty,
+      "kernel assignment diverged from the expanded assignment")
+  }
+
   test("degenerate vectors: default fit excludes them with a surfaced count; strict stays loud") {
     import spark.implicits._
     graft.expressions.VectorExpressions.register(spark)
