@@ -902,6 +902,56 @@ object Pipeline {
             |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
             |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin))
 
+  // p21b — BOUNDED-PARTITION sequence packing: the 100 TB shape of
+  // p21, previously only documented in SCALE.md. p21's window key is
+  // `lang`, so one dominant language (en = 44% of this fixture) is one
+  // window partition — a single-task sort at extreme scale. Here the
+  // window key is (lang, shard_id) with shard_id = floor(doc_id /
+  // span): a scan-level projection (no pre-pass, no rank window, no
+  // driver state) that bounds every window partition at `span` docs
+  // regardless of language skew, while keeping assignment
+  // deterministic and order-preserving WITHIN each shard. Packs are
+  // per-shard (manifest keys on shard_id), which is exactly how a
+  // training-data writer shards output files anyway; the trade is
+  // one potentially-underfull final pack per shard, visible in
+  // `pack_tokens`.
+  private val packShardSpan = 100L
+  private val packShardBudget = 512
+
+  private[graft] def packManifestSharded(docs: DataFrame, budget: Int, span: Long): DataFrame = {
+    val t = docs
+      .withColumn("n_tok", size(expr(toks)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+      .withColumn("shard_id", floor(col("doc_id") / lit(span)))
+    val w = Window.partitionBy(col("lang"), col("shard_id")).orderBy(col("doc_id"))
+    t.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", floor((col("cum") - col("n_tok")) / lit(budget)))
+      .groupBy(col("lang"), col("shard_id"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("pack_tokens"),
+        sum(when(col("n_tok") > budget, 1L).otherwise(0L)).as("n_oversize"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("shard_id"), col("pack_id"))
+  }
+
+  val p21b = QuerySpec(
+    "p21b_sequence_pack_sharded",
+    (s, d) => packManifestSharded(documents(s, d), packShardBudget, packShardSpan),
+    Some(s"""WITH t AS (SELECT doc_id, lang, len($duckToks) AS n_tok,
+            |            CAST(FLOOR(doc_id / $packShardSpan.0) AS BIGINT) AS shard_id
+            |          FROM documents),
+            |c AS (SELECT doc_id, lang, shard_id, n_tok,
+            |        SUM(n_tok) OVER (PARTITION BY lang, shard_id ORDER BY doc_id) AS cum FROM t),
+            |p AS (SELECT lang, shard_id,
+            |        CAST(FLOOR((cum - n_tok) / $packShardBudget.0) AS BIGINT) AS pack_id,
+            |        doc_id, n_tok FROM c)
+            |SELECT lang, shard_id, pack_id, COUNT(*) AS n_docs,
+            |       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+            |       CAST(SUM(CASE WHEN n_tok > $packShardBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+            |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            |FROM p GROUP BY 1, 2, 3 ORDER BY lang, shard_id, pack_id""".stripMargin))
+
   val p20 = kmeansSpec("p20_kmeans_train", kmK)
   /** K=80 × dim=64 = 5120 cells > kernelCellThreshold → this entry
     * runs the O(1)-plan BestCentroid kernel through the full DuckDB
@@ -1075,6 +1125,135 @@ object Pipeline {
            |SELECT qid, CAST(rn2 AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
            |FROM rr WHERE rn2 <= 3 ORDER BY qid, rn""".stripMargin))
 
+  // p24 — PRODUCT QUANTIZATION + ADC scan (B.7, added r16): the third
+  // leg of the production ANN stack. p23 compresses each dimension
+  // independently (scalar int8); PQ compresses SUB-VECTORS — the
+  // 64-dim corpus splits into M=16 subspaces of 4 dims, each encoded
+  // as the argmax-scoring entry of a 16-entry per-subspace codebook,
+  // so a vector is M=16 bytes (16× smaller than float32). Subspace
+  // width is an accuracy dial measured before committing: on this
+  // corpus (synthetic near-uniform embeddings, the PQ worst case)
+  // 8-dim subspaces push the true top-1's coarse rank to ~60 while
+  // 4-dim keeps it ≤18 — narrower subspaces quantize unstructured
+  // data far better, the classic PQ M-vs-distortion trade. Codebooks
+  // here are train-free (sub-slices of the first 16 vectors — the p12
+  // seeding convention, keeping the oracle a pure SQL replay);
+  // swapping in per-subspace `KMeans.fit` centroids is the same
+  // encode/scan plan with trained literals (the train path is already
+  // hash-gated by p20/p22, and training buys little on data this
+  // unstructured — measured +2× rank at best). Scoring is ASYMMETRIC
+  // distance computation (ADC): the query stays exact float, the
+  // corpus side is reconstructed from codebook entries — encode is a
+  // map-only literal-expanded projection (codebook rides the plan:
+  // M·K'·d/M = 1024 doubles), the coarse scan is map-only over
+  // broadcast queries, and only the top-2k survivors (rescore pool 32,
+  // a fixed constant independent of corpus size — the production
+  // recall dial) pay the exact rescore. Encode argmax uses
+  // score_j = round(dot(v_m, c_j) − ||c_j||²/2, 6) (the monotone
+  // L2-argmin equivalent: term-order-robust under rounding, same
+  // 6-dp discipline as the p20 trajectory), tie → lower code.
+  // At 100 TB: codes replace the corpus in cache/scan (M bytes/vec),
+  // composing with p22's list pruning and p23's int8 — prune with IVF,
+  // scan candidates as PQ codes, rescore the survivors exact.
+  private val pqM = 16
+  private val pqSub = 4
+  private val pqK = 16
+  private val pqPool = 32
+
+  val p24 = QuerySpec(
+    "p24_pq_adc",
+    (s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        expr(VectorFns.fastNormExpr("embedding")).as("nrm")).persist()
+      // Codebook seeds: first pqK vec_ids, engine-rounded to 6 dp
+      // (Spark round == DuckDB ROUND on doubles, the p20 precedent) —
+      // bounded driver state, K'×dim doubles, same class as KMeans.
+      val cbRows = e.orderBy(col("vec_id")).limit(pqK)
+        .select(expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))"))
+        .collect()
+      require(cbRows.length == pqK, s"p24 codebook needs $pqK seed vectors")
+      val cb = Array.tabulate(pqM, pqK, pqSub)((m, j, t) => cbRows(j).getSeq[Double](0)(m * pqSub + t))
+      val cc = Array.tabulate(pqM, pqK)((m, j) => (0 until pqSub).map(t => cb(m)(j)(t) * cb(m)(j)(t)).sum)
+      def encCol(m: Int): org.apache.spark.sql.Column = {
+        val scores = array((0 until pqK).map { j =>
+          val dot = (0 until pqSub).map(t =>
+            col("embedding").getItem(m * pqSub + t).cast("double") * lit(cb(m)(j)(t)))
+            .reduce(_ + _)
+          struct(round(dot - lit(0.5 * cc(m)(j)), 6).as("s"), lit(-j).as("nj"))
+        }: _*)
+        (array_max(scores).getField("nj") * lit(-1)).as(s"code_$m")
+      }
+      // reconstruction: codebook as a foldable literal array-of-arrays,
+      // indexed by the code — constant-folded, so rv is a cheap lookup
+      def reconSub(m: Int): org.apache.spark.sql.Column =
+        element_at(
+          array((0 until pqK).map(j => array((0 until pqSub).map(t => lit(cb(m)(j)(t))): _*)): _*),
+          col(s"code_$m") + lit(1))
+      val enc = e
+        .select(Seq(col("vec_id"), col("embedding"), col("nrm")) ++ (0 until pqM).map(encCol): _*)
+        .withColumn("rv", flatten(array((0 until pqM).map(reconSub): _*)))
+        .withColumn("rnrm", sqrt(expr("aggregate(zip_with(rv, rv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      // ADC: exact query against reconstructed corpus
+      val dotA = "aggregate(zip_with(qe, rv, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
+      val scored = enc.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("acos_", round(expr(dotA) / (col("qn") * col("rnrm")), 6))
+      val wA = Window.partitionBy(col("qid")).orderBy(col("acos_").desc, col("vec_id"))
+      val cand = scored.withColumn("arn", row_number().over(wA)).filter(col("arn") <= pqPool)
+      val exact = cand.withColumn("cos",
+        round(expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")), 6))
+      val wT = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      exact.withColumn("rn", row_number().over(wT)).filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cos").as("cosine"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(s"""WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+            |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+            |n AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM f GROUP BY 1),
+            |seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+            |          FROM embeddings ORDER BY vec_id LIMIT $pqK),
+            |cb AS (SELECT s.j, CAST(FLOOR(f.i / $pqSub) AS BIGINT) AS m, f.i % $pqSub AS t,
+            |               ROUND(f.v, 6) AS cv
+            |        FROM f JOIN seeds s ON f.vec_id = s.vec_id),
+            |ccn AS (SELECT m, j, SUM(cv*cv) AS cc FROM cb GROUP BY 1, 2),
+            |sc AS (SELECT f.vec_id, cb.m, cb.j, SUM(f.v * cb.cv) AS dot
+            |       FROM f JOIN cb ON cb.m = CAST(FLOOR(f.i / $pqSub) AS BIGINT)
+            |                     AND cb.t = f.i % $pqSub
+            |       GROUP BY 1, 2, 3),
+            |rk AS (SELECT s.vec_id, s.m, s.j, ROW_NUMBER() OVER
+            |         (PARTITION BY s.vec_id, s.m
+            |          ORDER BY ROUND(s.dot - 0.5 * c.cc, 6) DESC, s.j) AS jr
+            |       FROM sc s JOIN ccn c ON c.m = s.m AND c.j = s.j),
+            |code AS (SELECT vec_id, m, j FROM rk WHERE jr = 1),
+            |r AS (SELECT code.vec_id, cb.m * $pqSub + cb.t AS i, cb.cv AS rv
+            |      FROM code JOIN cb ON cb.m = code.m AND cb.j = code.j),
+            |rn_ AS (SELECT vec_id, SQRT(SUM(rv*rv)) AS rnrm FROM r GROUP BY 1),
+            |q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
+            |ad AS (SELECT q.qid, r.vec_id AS cid, SUM(fq.v * r.rv) AS dot
+            |       FROM q JOIN f fq ON fq.vec_id = q.qid
+            |              JOIN r ON r.i = fq.i AND r.vec_id <> q.qid
+            |       GROUP BY 1, 2),
+            |ac AS (SELECT qid, cid, ad.dot / (nq.nrm * nc.rnrm) AS acos_
+            |       FROM ad JOIN n nq ON nq.vec_id = qid JOIN rn_ nc ON nc.vec_id = cid),
+            |cand AS (SELECT qid, cid FROM (
+            |           SELECT qid, cid, ROW_NUMBER() OVER
+            |             (PARTITION BY qid ORDER BY ROUND(acos_, 6) DESC, cid) AS arn FROM ac)
+            |         WHERE arn <= $pqPool),
+            |pd AS (SELECT cand.qid, cand.cid, SUM(x.v * y.v) AS dot
+            |       FROM cand JOIN f x ON x.vec_id = cand.qid
+            |                 JOIN f y ON y.vec_id = cand.cid AND y.i = x.i
+            |       GROUP BY 1, 2),
+            |pc AS (SELECT qid, cid, dot / (na.nrm * nb.nrm) AS cos
+            |       FROM pd JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+            |rr AS (SELECT qid, cid, cos, ROW_NUMBER() OVER
+            |         (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) AS rn2 FROM pc)
+            |SELECT qid, CAST(rn2 AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
+            |FROM rr WHERE rn2 <= 3 ORDER BY qid, rn""".stripMargin))
+
   val all: Seq[QuerySpec] =
-    Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1, p20, p20b, p21, p22, p23)
+    Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
+      p20, p20b, p21, p21b, p22, p23, p24)
 }

@@ -217,4 +217,62 @@ class PipelineSpec extends SparkSuite {
     assert(m(1L).getAs[Long]("n_oversize") == 1L,
       "a doc longer than the budget must be flagged, not silently overflowed")
   }
+
+  test("p21b sharded packing bounds every window partition and conserves the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val span = 100L
+    val m = graft.queries.Pipeline.packManifestSharded(docs, budget = 512, span = span).collect()
+    // every (lang, shard) window partition is bounded by the id-range
+    // span — the whole point of the sharded layout: no single-language
+    // partition can exceed `span` docs no matter how skewed the corpus
+    val perShard = m.groupBy(r => (r.getString(0), r.getLong(1)))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum)
+    perShard.foreach { case (k, n) => assert(n <= span, s"window partition $k has $n docs > $span") }
+    // nothing dropped, nothing duplicated: doc and token totals match p21
+    val p21m = graft.queries.Pipeline.packManifest(docs, budget = 512).collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == p21m.map(_.getAs[Long]("n_docs")).sum)
+    assert(m.map(_.getAs[Long]("pack_tokens")).sum == p21m.map(_.getAs[Long]("pack_tokens")).sum)
+    // shard ids cover the id range deterministically
+    assert(m.map(_.getLong(1)).distinct.sorted.toSeq == (0L to 4L))
+  }
+
+  test("p21b with one giant span degenerates to exactly p21 (shard 0)") {
+    val docs = Tables.documents(spark, sf)
+    val sharded = graft.queries.Pipeline.packManifestSharded(docs, budget = 2048, span = 1000000L)
+      .drop("shard_id").collect().map(_.toSeq)
+    val flat = graft.queries.Pipeline.packManifest(docs, budget = 2048).collect().map(_.toSeq)
+    assert(sharded.toSeq == flat.toSeq)
+  }
+
+  test("p24 PQ-ADC: rescored cosines are exact and the coarse scan recalls the true top-1") {
+    val out = graft.queries.Pipeline.p24.fn(spark, sf).collect()
+    assert(out.length == 15, "5 queries x top-3")
+    // the rescore stage is EXACT: every returned cosine must equal the
+    // brute-force cosine for that (qid, cid) pair — PQ only prunes
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val na = math.sqrt(a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * a(i)))
+      val nb = math.sqrt(b.indices.foldLeft(0.0)((acc, i) => acc + b(i) * b(i)))
+      dot / (na * nb)
+    }
+    out.foreach { r =>
+      val exact = cos(e(r.getLong(0)), e(r.getLong(2)))
+      assert(math.abs(r.getDouble(3) - exact) < 1e-6,
+        s"qid=${r.getLong(0)} cid=${r.getLong(2)}: rescored ${r.getDouble(3)} vs exact $exact")
+    }
+    // coarse ADC recall: for each query the TRUE nearest neighbor must
+    // survive the reconstructed-space rescore-pool cut (dim 64 -> 16
+    // bytes is lossy; measured worst coarse rank on this corpus is 18
+    // vs the pool of 32 — rank-1 survival is the useful guarantee for
+    // a rescored pipeline)
+    val got = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    (0L until 5L).foreach { qid =>
+      val truth = e.keys.filter(_ != qid)
+        .maxBy(cid => cos(e(qid), e(cid)))
+      assert(got(qid).contains(truth), s"query $qid lost its true top-1 $truth")
+    }
+  }
 }
