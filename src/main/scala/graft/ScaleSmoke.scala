@@ -32,7 +32,8 @@ object ScaleSmoke {
 
   private val sections =
     Set("dedup", "dedup_skew", "cdc", "cdc_throughput", "cdc_multi", "cdc_relcount",
-      "cdc_soak", "cdc_bar", "cdc_partitioned", "ann", "kmeans_kernel")
+      "cdc_soak", "cdc_bar", "cdc_partitioned", "ann", "kmeans_kernel",
+      "pq_encode", "pack_skew")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -119,6 +120,8 @@ object ScaleSmoke {
     if (want("cdc_partitioned")) cdcPartitioned(spark)
     if (want("ann")) annCurve(spark, sfDir)
     if (want("kmeans_kernel")) kmeansKernelCurve(spark, sfDir)
+    if (want("pq_encode")) pqEncodeCurve(spark, sfDir)
+    if (want("pack_skew")) packSkewCurve(spark)
     spark.stop()
   }
 
@@ -768,5 +771,85 @@ object ScaleSmoke {
         s""""rows_per_sec":${(n / sec).toInt},"cells_per_sec":${(n * k * dim / sec).toLong}}""")
     }
     corpus.unpersist()
+  }
+
+  /** K'-scaling curve for the PQ encode step — the measurement behind
+    * the `PqEncode` kernel (p24). Corpus = embeddings ×5 (the annCurve
+    * id-shift trick). The kernel is timed at K' = 16/64/256 (256 is
+    * production PQ); the literal-expanded strategy is timed at 16 and
+    * 64 only — at K'=256 its ~16k-node projection is exactly the
+    * plan-size blowout the kernel exists to avoid, and timing a
+    * pathological compile adds nothing. Scan→encode→count-by-first-code
+    * mirrors p24's encode stage without the rescore so the number
+    * isolates encoding cost. */
+  private def pqEncodeCurve(spark: SparkSession, sfDir: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val emb = sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val corpus = (0 until 5).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * maxId))
+    }.reduce(_ unionByName _).persist()
+    val n = corpus.count()
+    val dim = corpus.head.getSeq[Float](1).length
+    val m = 16
+    val sub = dim / m
+    def timeIt(codes: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      corpus.select(codes.as("codes")).groupBy(col("codes").getItem(0)).count().count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // untimed warmup (scan + codegen machinery) so the K=16 row isn't
+    // charged the session's first-touch costs — same rationale as
+    // Bench's warmup pass
+    locally {
+      val cb0 = Array.tabulate(m, 4, sub)((mm, j, t) => math.sin(mm * 131 + j * 31 + t) * 0.5)
+      val fn0 = graft.expressions.VectorExpressions.registerPqEncode(spark, cb0)
+      try timeIt(expr(s"$fn0(embedding)"))
+      finally graft.expressions.VectorExpressions.dropTempFunction(spark, fn0)
+    }
+    for (k <- Seq(16, 64, 256)) {
+      val cb = Array.tabulate(m, k, sub)((mm, j, t) => math.sin(mm * 131 + j * 31 + t) * 0.5)
+      val fn = graft.expressions.VectorExpressions.registerPqEncode(spark, cb)
+      val kernelSec = try timeIt(expr(s"$fn(embedding)"))
+        finally graft.expressions.VectorExpressions.dropTempFunction(spark, fn)
+      val expandedSec = if (k <= 64) Some(timeIt(queries.Pipeline.pqCodesExpanded(cb))) else None
+      println(s"""{"metric":"pq_encode","m":$m,"k":$k,"sub":$sub,"vectors":$n,""" +
+        s""""kernel_sec":${fx(kernelSec, 2)},""" +
+        s""""expanded_sec":${expandedSec.map(fx(_, 2)).getOrElse("null")},""" +
+        s""""kernel_cells_per_sec":${(n.toDouble * k * dim / kernelSec).toLong}}""")
+    }
+    corpus.unpersist()
+  }
+
+  /** Skew witness for sequence packing: p21's window partitions by
+    * `lang`, so a 90%-dominant language is one sort task no matter how
+    * many executors exist; p21b's (lang, floor(doc_id/span)) key bounds
+    * every partition at `span` rows. Synthetic `(doc_id, lang, n_tok)`
+    * counts isolate the window pass (the tokenize stage is map-only
+    * and skew-free), 90% of rows in `en`, volume stepped 2M → 8M → 20M:
+    * the flat manifest's wall-clock should grow superlinearly with the
+    * dominant partition while the sharded one stays near-flat per row.
+    * Both manifests are forced end-to-end (count of pack rows). */
+  private def packSkewCurve(spark: SparkSession): Unit = {
+    for (n <- Seq(2000000L, 8000000L, 20000000L)) {
+      val t = spark.range(n).select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) === 0,
+          concat(lit("l"), pmod(col("id"), lit(5)).cast("string")))
+          .otherwise(lit("en")).as("lang"),
+        (pmod(col("id") * lit(2654435761L), lit(97L)) + lit(8L)).as("n_tok"))
+        .persist()
+      t.count()
+      def timed(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val flatSec = timed(queries.Pipeline.packFromCounts(t, 2048).count())
+      val shardSec = timed(queries.Pipeline.packFromCountsSharded(t, 2048, 65536L).count())
+      println(s"""{"metric":"pack_skew","rows":$n,"en_share":0.9,""" +
+        s""""flat_sec":${fx(flatSec, 2)},"sharded_sec":${fx(shardSec, 2)},""" +
+        s""""flat_rows_per_sec":${(n / flatSec).toLong},"sharded_rows_per_sec":${(n / shardSec).toLong}}""")
+      t.unpersist()
+    }
   }
 }

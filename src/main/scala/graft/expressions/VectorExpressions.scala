@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
 
 /** Native Catalyst expression for the vector-similarity hot path
@@ -185,6 +185,101 @@ case class BestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: map one `array<float>` vector to its
+  * M subspace codes against a DRIVER-HELD codebook, as a single
+  * expression node — the same O(1)-plan-size kernel strategy as
+  * [[BestCentroid]], for the same reason at a worse exponent.
+  *
+  * The literal-expanded encode (per subspace: `array_max` over K'
+  * `struct(score, -j)` entries, each score a d/M-term dot product) is
+  * O(M·K'·d/M) = O(K'·d) expression nodes — ~1,000 at the gate's
+  * M=16/K'=16/d=64, already the dominant fixed cost of the p24 bench
+  * entry (janino recompiles it per session), and production PQ uses
+  * K'=256 where the expansion is ~16,000 nodes: analysis, codegen,
+  * and task-binary size all blow up exactly like the r13 k-means
+  * argmax. This node is O(1) plan size for any M·K': the codebook
+  * rides `ctx.addReferenceObj` into the generated class, per-row work
+  * is one tight JIT'd loop, still inside whole-stage codegen.
+  *
+  * Math is BIT-IDENTICAL to the expanded form (PipelineSpec fuzzes
+  * the parity row-by-row): float elements promote to double, each
+  * subspace dot accumulates left-to-right, score_j =
+  * round(dot − halfCc_j, 6) with halfCc_j = 0.5·Σc² folded
+  * left-to-right AT CONSTRUCTION (the expanded form bakes the same
+  * driver-computed sum into its literals), rounding is HALF_UP with
+  * NaN/Inf passthrough (Spark `round` semantics), argmax is
+  * strictly-greater via `Double.compare` ⇒ ties take the smallest
+  * code and NaN ranks greatest (Spark's double ordering in
+  * `array_max`). Dimension mismatch fails loudly, mirroring the
+  * expanded path's ANSI out-of-bounds `getItem` throw.
+  *
+  * Returns `array<int>` of length M.
+  */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(codebook.nonEmpty && codebook.head.nonEmpty && codebook.head.head.nonEmpty,
+    "[graft] pq_encode needs a non-empty M×K'×(d/M) codebook")
+
+  @transient private lazy val m = codebook.length
+  @transient private lazy val k = codebook.head.length
+  @transient private lazy val sub = codebook.head.head.length
+  @transient private lazy val dim: Int = {
+    require(codebook.forall(s => s.length == k && s.forall(_.length == sub)),
+      "[graft] pq_encode: ragged codebook — all subspaces need K' entries of d/M dims")
+    m * sub
+  }
+  @transient private lazy val halfCc: Array[Array[Double]] =
+    Array.tabulate(m, k)((mm, j) => 0.5 * codebook(mm)(j).map(x => x * x).sum)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"pq_encode expects array<float>, got $dt")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  /** Public so the generated code can call it (see [[BestCentroid.score]]). */
+  def encode(input: Any): ArrayData = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"[graft] pq_encode: input vector has ${v.numElements()} elements but the " +
+        s"codebook encodes $dim ($m subspaces × $sub) — dimension mismatch")
+    val codes = new Array[Int](m)
+    var mm = 0
+    while (mm < m) {
+      val base = mm * sub
+      var bestJ = 0
+      var bestS = Double.NegativeInfinity
+      var j = 0
+      while (j < k) {
+        val c = codebook(mm)(j)
+        var dot = 0.0
+        var t = 0
+        while (t < sub) { dot += v.getFloat(base + t).toDouble * c(t); t += 1 }
+        val raw = dot - halfCc(mm)(j)
+        val sc = if (raw.isNaN || raw.isInfinite) raw
+          else BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (java.lang.Double.compare(sc, bestS) > 0) { bestS = sc; bestJ = j }
+        j += 1
+      }
+      codes(mm) = bestJ
+      mm += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override def nullSafeEval(input: Any): Any = encode(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val kernel = ctx.addReferenceObj("pqEncodeKernel", this, classOf[PqEncode].getName)
+      s"${ev.value} = $kernel.encode($x);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Register `float_dot` in the session function registry so it is
     * callable from SQL/expr strings (Spark 4 removed public
@@ -192,4 +287,23 @@ object VectorExpressions {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDotProduct(exprs.head, exprs(1)), "built-in")
+
+  private val pqSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Register a [[PqEncode]] kernel under a per-call UNIQUE temp name
+    * (same concurrency rationale as the k-means kernel: a shared name
+    * would let two concurrent callers resolve each other's codebook).
+    * Caller builds its Columns, attaches them to a frame (Dataset
+    * construction eagerly analyzes, so the registry is never consulted
+    * again), then calls [[dropTempFunction]] with the returned name. */
+  def registerPqEncode(spark: SparkSession, codebook: Array[Array[Array[Double]]]): String = {
+    val fn = s"graft_pq_encode_${pqSeq.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fn, exprs => PqEncode(exprs.head, codebook), "built-in")
+    fn
+  }
+
+  def dropTempFunction(spark: SparkSession, fn: String): Unit =
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fn))
 }

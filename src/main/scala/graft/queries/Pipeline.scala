@@ -872,10 +872,16 @@ object Pipeline {
     *  - `n_oversize` counts docs whose n_tok alone exceeds the budget:
     *    those can NEVER fit a fixed-size buffer and must be split or
     *    truncated downstream — previously they overflowed silently. */
-  private[graft] def packManifest(docs: DataFrame, budget: Int): DataFrame = {
-    val t = docs
+  private[graft] def packManifest(docs: DataFrame, budget: Int): DataFrame =
+    packFromCounts(docs
       .withColumn("n_tok", size(expr(toks)).cast("long"))
-      .select(col("doc_id"), col("lang"), col("n_tok"))
+      .select(col("doc_id"), col("lang"), col("n_tok")), budget)
+
+  /** The p21 window+bin over a pre-tokenized `(doc_id, lang, n_tok)`
+    * frame — split out so the ScaleSmoke skew harness can drive the
+    * window pass with synthetic row volume (the tokenize step is a
+    * map-only pass with no skew axis; the window is what skews). */
+  private[graft] def packFromCounts(t: DataFrame, budget: Int): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     t.withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("pack_id", floor((col("cum") - col("n_tok")) / lit(budget)))
@@ -918,11 +924,14 @@ object Pipeline {
   private val packShardSpan = 100L
   private val packShardBudget = 512
 
-  private[graft] def packManifestSharded(docs: DataFrame, budget: Int, span: Long): DataFrame = {
-    val t = docs
+  private[graft] def packManifestSharded(docs: DataFrame, budget: Int, span: Long): DataFrame =
+    packFromCountsSharded(docs
       .withColumn("n_tok", size(expr(toks)).cast("long"))
-      .select(col("doc_id"), col("lang"), col("n_tok"))
-      .withColumn("shard_id", floor(col("doc_id") / lit(span)))
+      .select(col("doc_id"), col("lang"), col("n_tok")), budget, span)
+
+  /** Sharded counterpart of [[packFromCounts]] (see p21b). */
+  private[graft] def packFromCountsSharded(t0: DataFrame, budget: Int, span: Long): DataFrame = {
+    val t = t0.withColumn("shard_id", floor(col("doc_id") / lit(span)))
     val w = Window.partitionBy(col("lang"), col("shard_id")).orderBy(col("doc_id"))
     t.withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("pack_id", floor((col("cum") - col("n_tok")) / lit(budget)))
@@ -1160,40 +1169,64 @@ object Pipeline {
   private val pqK = 16
   private val pqPool = 32
 
+  /** Codebook from the first pqK seed vectors of
+    * `e(vec_id, embedding, …)`, engine-rounded to 6 dp (Spark round ==
+    * DuckDB ROUND on doubles, the p20 precedent) — bounded driver
+    * state, K'×dim doubles, same class as KMeans centroids.
+    * Shape: cb(m)(j)(t) = subspace m, code j, in-subspace dim t. */
+  private[graft] def pqCodebook(e: DataFrame): Array[Array[Array[Double]]] = {
+    val cbRows = e.orderBy(col("vec_id")).limit(pqK)
+      .select(expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))"))
+      .collect()
+    require(cbRows.length == pqK, s"p24 codebook needs $pqK seed vectors")
+    Array.tabulate(pqM, pqK, pqSub)((m, j, t) => cbRows(j).getSeq[Double](0)(m * pqSub + t))
+  }
+
+  /** Literal-expanded PQ encode over an `embedding` column — O(K'·d)
+    * expression nodes, the small-codebook strategy. Kept as the parity
+    * witness for the O(1)-plan `PqEncode` kernel (PipelineSpec pins
+    * row-for-row code equality on the full fixture corpus), the same
+    * dual-strategy discipline as the k-means argmax. Returns
+    * `array<int>` of the M codes. */
+  private[graft] def pqCodesExpanded(cb: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
+    val (m_, k_, s_) = (cb.length, cb.head.length, cb.head.head.length)
+    val cc = Array.tabulate(m_, k_)((m, j) => (0 until s_).map(t => cb(m)(j)(t) * cb(m)(j)(t)).sum)
+    val codes = (0 until m_).map { m =>
+      val scores = array((0 until k_).map { j =>
+        val dot = (0 until s_).map(t =>
+          col("embedding").getItem(m * s_ + t).cast("double") * lit(cb(m)(j)(t)))
+          .reduce(_ + _)
+        struct(round(dot - lit(0.5 * cc(m)(j)), 6).as("s"), lit(-j).as("nj"))
+      }: _*)
+      array_max(scores).getField("nj") * lit(-1)
+    }
+    array(codes: _*)
+  }
+
   val p24 = QuerySpec(
     "p24_pq_adc",
     (s, d) => {
       graft.expressions.VectorExpressions.register(s)
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
         expr(VectorFns.fastNormExpr("embedding")).as("nrm")).persist()
-      // Codebook seeds: first pqK vec_ids, engine-rounded to 6 dp
-      // (Spark round == DuckDB ROUND on doubles, the p20 precedent) —
-      // bounded driver state, K'×dim doubles, same class as KMeans.
-      val cbRows = e.orderBy(col("vec_id")).limit(pqK)
-        .select(expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))"))
-        .collect()
-      require(cbRows.length == pqK, s"p24 codebook needs $pqK seed vectors")
-      val cb = Array.tabulate(pqM, pqK, pqSub)((m, j, t) => cbRows(j).getSeq[Double](0)(m * pqSub + t))
-      val cc = Array.tabulate(pqM, pqK)((m, j) => (0 until pqSub).map(t => cb(m)(j)(t) * cb(m)(j)(t)).sum)
-      def encCol(m: Int): org.apache.spark.sql.Column = {
-        val scores = array((0 until pqK).map { j =>
-          val dot = (0 until pqSub).map(t =>
-            col("embedding").getItem(m * pqSub + t).cast("double") * lit(cb(m)(j)(t)))
-            .reduce(_ + _)
-          struct(round(dot - lit(0.5 * cc(m)(j)), 6).as("s"), lit(-j).as("nj"))
-        }: _*)
-        (array_max(scores).getField("nj") * lit(-1)).as(s"code_$m")
-      }
+      val cb = pqCodebook(e)
+      // encode through the PqEncode KERNEL (O(1) plan nodes; the
+      // ~1,000-node literal expansion dominated this entry's fixed
+      // cost, and production K'=256 would make it ~16,000 — see the
+      // PqEncode scaladoc). Unique-name registration dropped once the
+      // frame below is built, same hygiene as the k-means kernel.
+      val fnName = graft.expressions.VectorExpressions.registerPqEncode(s, cb)
       // reconstruction: codebook as a foldable literal array-of-arrays,
       // indexed by the code — constant-folded, so rv is a cheap lookup
       def reconSub(m: Int): org.apache.spark.sql.Column =
         element_at(
           array((0 until pqK).map(j => array((0 until pqSub).map(t => lit(cb(m)(j)(t))): _*)): _*),
-          col(s"code_$m") + lit(1))
-      val enc = e
-        .select(Seq(col("vec_id"), col("embedding"), col("nrm")) ++ (0 until pqM).map(encCol): _*)
-        .withColumn("rv", flatten(array((0 until pqM).map(reconSub): _*)))
-        .withColumn("rnrm", sqrt(expr("aggregate(zip_with(rv, rv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+          col("codes").getItem(m) + lit(1))
+      val enc = try {
+        e.withColumn("codes", expr(s"$fnName(embedding)"))
+          .withColumn("rv", flatten(array((0 until pqM).map(reconSub): _*)))
+          .withColumn("rnrm", sqrt(expr("aggregate(zip_with(rv, rv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+      } finally graft.expressions.VectorExpressions.dropTempFunction(s, fnName)
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
       // ADC: exact query against reconstructed corpus

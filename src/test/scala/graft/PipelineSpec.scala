@@ -275,4 +275,39 @@ class PipelineSpec extends SparkSuite {
       assert(got(qid).contains(truth), s"query $qid lost its true top-1 $truth")
     }
   }
+
+  test("p24 PqEncode kernel is bit-identical to the literal-expanded strategy") {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cb = graft.queries.Pipeline.pqCodebook(e)
+    val fn = graft.expressions.VectorExpressions.registerPqEncode(spark, cb)
+    val both = try {
+      e.withColumn("kc", expr(s"$fn(embedding)"))
+        .withColumn("xc", graft.queries.Pipeline.pqCodesExpanded(cb))
+    } finally graft.expressions.VectorExpressions.dropTempFunction(spark, fn)
+    val rows = both.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](2) == r.getSeq[Int](3),
+        s"vec ${r.getLong(0)}: kernel ${r.getSeq[Int](2)} != expanded ${r.getSeq[Int](3)}")
+    }
+    // registration hygiene: the unique temp function is gone
+    assert(!spark.catalog.functionExists(fn))
+  }
+
+  test("p24 PqEncode refuses dimension-mismatched vectors loudly") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cb = graft.queries.Pipeline.pqCodebook(e)
+    val fn = graft.expressions.VectorExpressions.registerPqEncode(spark, cb)
+    val ex = try {
+      intercept[Exception] {
+        Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+          .withColumn("c", expr(s"$fn(embedding)")).collect()
+      }
+    } finally graft.expressions.VectorExpressions.dropTempFunction(spark, fn)
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("dimension mismatch"), msgs)
+  }
 }
