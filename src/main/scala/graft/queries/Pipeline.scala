@@ -1286,7 +1286,123 @@ object Pipeline {
             |SELECT qid, CAST(rn2 AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
             |FROM rr WHERE rn2 <= 3 ORDER BY qid, rn""".stripMargin))
 
+  // p25 — EXACT duplicated-span mining (the substring-level dedup
+  // signal of Lee et al. 2022, "Deduplicating Training Data Makes
+  // Language Models Better"): token 5-gram spans that recur across
+  // DISTINCT documents, ranked by document reach. Complements the
+  // doc-level dedup family (p5–p8 hash whole documents; this finds
+  // the shared passages inside otherwise-distinct docs — boilerplate,
+  // licenses, templates — which doc-level MinHash can never surface).
+  // Shape: the span explode fans out inside the scan task (generator,
+  // no pre-shuffle), then ONE shuffle keyed by span with map-side
+  // partial aggregation; top-k is TakeOrderedAndProject (never a
+  // global sort). At 100 TB the shuffle key becomes the 64-bit span
+  // hash (md5IntScalarExpr) instead of the string — same plan, ~10×
+  // less shuffle volume; the gate keys on strings so the oracle rows
+  // stay human-readable.
+  private val dupSpanN = 5
+
+  val p25 = QuerySpec(
+    "p25_dup_ngram_spans",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("toks", expr(toks))
+        .select(col("doc_id"), explode(expr(TextFns.shinglesExpr("toks", dupSpanN))).as("span"))
+        .groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+        .limit(25),
+    Some {
+      val parts = (1 to dupSpanN).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |         UNNEST(list_transform(range(greatest(len(toks)-${dupSpanN - 1}, 0)),
+         |                               i -> $parts)) AS span
+         |       FROM base),
+         |g AS (SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+         |      FROM sh GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT span, n_docs, CAST(n_occ AS BIGINT) AS n_occ
+         |FROM g ORDER BY n_docs DESC, n_occ DESC, span LIMIT 25""".stripMargin
+    })
+
+  // p26 — deterministic CORPUS MIXING (domain-weight resampling): the
+  // upsample counterpart of p17's downsampling, and the op that turns
+  // a curated corpus into a training mix ("see domain X w times per
+  // epoch"). Each language carries a target weight w: every doc
+  // replicates floor(w) times, plus once more for the md5-bucket
+  // fraction frac(w) of docs — E[copies] = w exactly, decided
+  // content-independently per doc_id (no RNG state: the same doc gets
+  // the same copy count on any cluster, any partitioning, any rerun,
+  // the property a reproducible training run needs). w < 1
+  // downsamples (copies = 0 drops the doc). The mixed corpus
+  // materializes through one map-only generator explode (epoch index
+  // per copy) — no shuffle until the manifest aggregation, and at
+  // 100 TB the explode fans out INSIDE the scan task (q44's generator
+  // shape) so the mixed corpus streams to the writer without ever
+  // materializing centrally. Bucket convention shared with p17.
+  private val mixWeights: Seq[(String, Double)] =
+    Seq("de" -> 2.5, "en" -> 0.25, "es" -> 1.0, "fr" -> 2.0, "zh" -> 1.5)
+
+  val p26 = QuerySpec(
+    "p26_domain_mix",
+    (s, d) => {
+      val floorW = mixWeights.map { case (l, w) => l -> math.floor(w).toLong }
+      val thrW = mixWeights.map { case (l, w) => l -> math.round((w - math.floor(w)) * 1000.0) }
+      def chained(vals: Seq[(String, Long)]): org.apache.spark.sql.Column =
+        vals.tail.foldLeft(when(col("lang") === vals.head._1, vals.head._2)) {
+          case (acc, (l, v)) => acc.when(col("lang") === l, v)
+        }.otherwise(lit(0L))
+      val bucket = expr(s"${TextFns.md5IntScalarExpr("CAST(doc_id AS STRING)")} % 1000")
+      val base = documents(s, d)
+        .withColumn("n_tok", size(expr(toks)).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+        .withColumn("copies",
+          chained(floorW) + when(bucket < chained(thrW), 1L).otherwise(0L))
+      val inAgg = base.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs_in"), sum(col("n_tok")).as("tokens_in"))
+      val mixed = base.filter(col("copies") > 0)
+        .withColumn("epoch", explode(expr("sequence(CAST(1 AS BIGINT), copies)")))
+      val outAgg = mixed.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("docs_kept"),
+          count(lit(1)).as("rows_out"),
+          sum(col("n_tok")).as("tokens_out"),
+          max(col("epoch")).as("max_epoch"))
+      inAgg.join(outAgg, Seq("lang"), "left")
+        .na.fill(0L, Seq("docs_kept", "rows_out", "tokens_out", "max_epoch"))
+        .withColumn("achieved_weight",
+          round(col("rows_out").cast("double") / col("docs_in"), 6))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val duckWeights = mixWeights.map { case (l, w) =>
+        s"('$l', ${math.floor(w).toLong}, ${math.round((w - math.floor(w)) * 1000.0)})"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, len($duckToks) AS n_tok,
+         |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |          % ${TextFns.minhashP} % 1000 AS bucket
+         |      FROM documents),
+         |w AS (SELECT * FROM (VALUES $duckWeights) AS v(lang, fl, thr)),
+         |b AS (SELECT t.*, w.fl + CASE WHEN t.bucket < w.thr THEN 1 ELSE 0 END AS copies
+         |      FROM t JOIN w ON w.lang = t.lang),
+         |i AS (SELECT lang, COUNT(*) AS docs_in, CAST(SUM(n_tok) AS BIGINT) AS tokens_in
+         |      FROM b GROUP BY 1),
+         |m AS (SELECT lang, doc_id, n_tok,
+         |        UNNEST(generate_series(CAST(1 AS BIGINT), CAST(copies AS BIGINT))) AS epoch
+         |      FROM b WHERE copies > 0),
+         |o AS (SELECT lang, COUNT(DISTINCT doc_id) AS docs_kept, COUNT(*) AS rows_out,
+         |        CAST(SUM(n_tok) AS BIGINT) AS tokens_out, MAX(epoch) AS max_epoch
+         |      FROM m GROUP BY 1)
+         |SELECT i.lang, i.docs_in, i.tokens_in,
+         |       COALESCE(o.docs_kept, 0) AS docs_kept,
+         |       COALESCE(o.rows_out, 0) AS rows_out,
+         |       COALESCE(o.tokens_out, 0) AS tokens_out,
+         |       COALESCE(o.max_epoch, 0) AS max_epoch,
+         |       ROUND(CAST(COALESCE(o.rows_out, 0) AS DOUBLE) / i.docs_in, 6) AS achieved_weight
+         |FROM i LEFT JOIN o ON o.lang = i.lang ORDER BY i.lang""".stripMargin
+    })
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
-      p20, p20b, p21, p21b, p22, p23, p24)
+      p20, p20b, p21, p21b, p22, p23, p24, p25, p26)
 }

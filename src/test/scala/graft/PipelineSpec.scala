@@ -310,4 +310,54 @@ class PipelineSpec extends SparkSuite {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("dimension mismatch"), msgs)
   }
+
+  test("p26 domain mix hits its target weights deterministically and conserves tokens") {
+    val out = graft.queries.Pipeline.p26.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val weights = Map("de" -> 2.5, "en" -> 0.25, "es" -> 1.0, "fr" -> 2.0, "zh" -> 1.5)
+    weights.foreach { case (lang, w) =>
+      val r = out(lang)
+      val achieved = r.getAs[Double]("achieved_weight")
+      // E[copies] = w exactly; with ~60-220 docs per lang and 1000
+      // md5 buckets the realized rate sits within a few percent
+      assert(math.abs(achieved - w) <= 0.15, s"$lang achieved $achieved vs target $w")
+      // floor(w) copies are unconditional, frac(w) adds at most one
+      assert(r.getAs[Long]("max_epoch") <= math.ceil(w).toLong, lang)
+      // every emitted copy carries the doc's full token count: the
+      // mix conserves tokens per copy (tokens_out = Σ copies·n_tok,
+      // bounded by docs·⌈w⌉·max — spot-check the es identity case)
+      if (w == 1.0) {
+        assert(r.getAs[Long]("rows_out") == r.getAs[Long]("docs_in"), "es is the identity mix")
+        assert(r.getAs[Long]("tokens_out") == r.getAs[Long]("tokens_in"))
+        assert(r.getAs[Long]("docs_kept") == r.getAs[Long]("docs_in"))
+      }
+    }
+    // downsample drops docs; upsample replicates all of them
+    assert(out("en").getAs[Long]("docs_kept") < out("en").getAs[Long]("docs_in"))
+    assert(out("de").getAs[Long]("docs_kept") == out("de").getAs[Long]("docs_in"))
+    assert(out("de").getAs[Long]("rows_out") >= 2 * out("de").getAs[Long]("docs_in"))
+    // deterministic: a second evaluation is bit-identical
+    val again = graft.queries.Pipeline.p26.fn(spark, sf).collect().map(_.toSeq)
+    assert(again.toSeq == graft.queries.Pipeline.p26.fn(spark, sf).collect().map(_.toSeq).toSeq)
+  }
+
+  test("p25 duplicated spans really recur across distinct docs (brute-force recount)") {
+    val out = graft.queries.Pipeline.p25.fn(spark, sf).collect()
+    assert(out.length == 25)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+    def spansOf(t: Array[String]): Iterator[String] =
+      if (t.length < 5) Iterator.empty else t.sliding(5).map(_.mkString(" "))
+    out.foreach { r =>
+      val span = r.getString(0)
+      val inDocs = docs.count { case (_, t) => spansOf(t).contains(span) }
+      val occ = docs.valuesIterator.map(t => spansOf(t).count(_ == span)).sum
+      assert(inDocs.toLong == r.getLong(1), s"'$span' doc reach")
+      assert(occ.toLong == r.getLong(2), s"'$span' occurrence count")
+      assert(inDocs >= 2, "every reported span must cross documents")
+    }
+    // ranking: document reach dominates, occurrence count breaks ties
+    val pairs = out.map(r => (r.getLong(1), r.getLong(2)))
+    assert(pairs.sameElements(pairs.sortBy(p => (-p._1, -p._2))))
+  }
 }
