@@ -360,4 +360,98 @@ class PipelineSpec extends SparkSuite {
     val pairs = out.map(r => (r.getLong(1), r.getLong(2)))
     assert(pairs.sameElements(pairs.sortBy(p => (-p._1, -p._2))))
   }
+
+  test("p27 BM25 matches a brute-force single-node recount") {
+    val out = Pipeline.p27.fn(spark, sf).collect()
+    assert(out.length == 15)
+    val terms = Seq("dup", "spark", "stream")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum / n
+    val df = terms.map(t => t -> docs.count(_._2.contains(t))).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val s = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+      }.sum
+      val hits = terms.count(t => toks.contains(t))
+      if (hits > 0) Some((id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, hits.toLong))
+      else None
+    }.sortBy { case (id, s, _) => (-s, id) }.take(15)
+    out.zip(expected).foreach { case (r, (id, s, hits)) =>
+      assert(r.getLong(0) == id, s"rank order: got ${r.getLong(0)} want $id")
+      assert(math.abs(r.getDouble(1) - s) <= 2e-6, s"doc $id score")
+      assert(r.getLong(2) == hits, s"doc $id n_terms_hit")
+    }
+    // the rare term dominates: every doc containing 'dup' must outrank
+    // every doc that only hits the two common terms (idf ~ln(20) vs ~ln(1.3))
+    val dupDocs = docs.filter(_._2.contains("dup")).map(_._1).toSet
+    val ranks = out.map(_.getLong(0)).zipWithIndex.toMap
+    val worstDup = dupDocs.flatMap(ranks.get).maxOption
+    val bestNonDup = out.map(_.getLong(0)).filterNot(dupDocs).headOption.flatMap(ranks.get)
+    for (w <- worstDup; bnd <- bestNonDup if dupDocs.size <= 15)
+      assert(w < bnd || dupDocs.forall(ranks.contains), "rare-term docs rank first")
+  }
+
+  test("p28 semdedup: manifest is consistent and the removal rule recounts brute-force") {
+    val out = Pipeline.p28.fn(spark, sf).collect()
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_members")).sum == nVec, "clusters partition the corpus")
+    assert(out.forall(r => r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") == r.getAs[Long]("n_members")))
+    assert(out.map(_.getAs[Long]("n_removed")).sum > 0, "threshold must bite on this fixture")
+    // brute-force: refit the same model, assign, and recount removals per
+    // cluster with plain Scala cosine + the lowest-id-dominates rule
+    graft.expressions.VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val model = graft.ops.KMeans.fit(e, "vec_id", "embedding", 8, 3, forceKernel = true)
+    val asg = graft.ops.KMeans.assign(e, "embedding", model, forceKernel = true)
+      .select(col("vec_id"), col("embedding"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, model.seedIds(r.getInt(2))))
+    def cos(a: Array[Float], bb: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * bb(i); na += a(i).toDouble * a(i); nb += bb(i).toDouble * bb(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = asg.groupBy(_._3).map { case (cid, ms) =>
+      val sortedMs = ms.sortBy(_._1)
+      val removed = sortedMs.count { case (v, ev, _) =>
+        sortedMs.exists { case (u, eu, _) => u < v && cos(eu, ev) >= 0.35 }
+      }
+      cid -> (ms.length.toLong, removed.toLong)
+    }
+    out.foreach { r =>
+      val (mem, rem) = expect(r.getAs[Long]("cluster_id"))
+      assert(r.getAs[Long]("n_members") == mem, s"cluster ${r.get(0)} members")
+      assert(r.getAs[Long]("n_removed") == rem, s"cluster ${r.get(0)} removals")
+    }
+  }
+
+  test("p29 PMI bigrams match a brute-force recount") {
+    val out = Pipeline.p29.fn(spark, sf).collect()
+    assert(out.length == 20)
+    val docs = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select(col("text")).collect().map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nu = uni.values.sum.toDouble
+    val bigrams = docs.flatMap(t => t.dropRight(1).zip(t.drop(1)))
+    val big = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nb = bigrams.length.toDouble
+    out.foreach { r =>
+      val (w1, w2, cxy, pmi) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(big((w1, w2)) == cxy, s"($w1,$w2) count")
+      assert(cxy >= 5, "min-pair filter")
+      val want = math.log((cxy * nu * nu) / (nb * uni(w1) * uni(w2)))
+      assert(math.abs(pmi - want) <= 2e-6, s"($w1,$w2) pmi $pmi vs $want")
+    }
+    // descending by pmi with (w1, w2) tiebreak
+    val ranked = out.map(r => (r.getDouble(3), r.getString(0), r.getString(1)))
+    assert(ranked.sameElements(ranked.sortBy { case (p, a, bb) => (-p, a, bb) }))
+  }
 }
