@@ -33,7 +33,7 @@ object ScaleSmoke {
   private val sections =
     Set("dedup", "dedup_skew", "cdc", "cdc_throughput", "cdc_multi", "cdc_relcount",
       "cdc_soak", "cdc_bar", "cdc_partitioned", "ann", "kmeans_kernel",
-      "pq_encode", "pack_skew")
+      "pq_encode", "pack_skew", "semdedup")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -122,6 +122,7 @@ object ScaleSmoke {
     if (want("kmeans_kernel")) kmeansKernelCurve(spark, sfDir)
     if (want("pq_encode")) pqEncodeCurve(spark, sfDir)
     if (want("pack_skew")) packSkewCurve(spark)
+    if (want("semdedup")) semdedupCurve(spark, sfDir)
     spark.stop()
   }
 
@@ -851,5 +852,44 @@ object ScaleSmoke {
         s""""flat_rows_per_sec":${(n / flatSec).toLong},"sharded_rows_per_sec":${(n / shardSec).toLong}}""")
       t.unpersist()
     }
+  }
+
+  /** K-scaling curve for SemDeDup's pair scan (p28) — the measurement
+    * behind "K bounds the quadratic". Corpus = embeddings ×5 (the
+    * annCurve id-shift trick). For each K: one-iteration k-means fit
+    * (the curve is about the PAIR count, not centroid quality), a
+    * kernel assign, then the within-cluster candidate-pair join is
+    * counted and timed. Expected shape: candidate pairs ≈ N²/(2K) on a
+    * near-uniform corpus — doubling K halves the pair scan — while the
+    * assign cost grows only linearly in K (kmeans_assign curve). That
+    * pair of curves IS the SemDeDup dial: pick K so N/K pairs fit the
+    * executor budget, pay linear assign for quadratic relief. */
+  private def semdedupCurve(spark: SparkSession, sfDir: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val emb = sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val corpus = (0 until 5).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * maxId))
+    }.reduce(_ unionByName _).persist()
+    val n = corpus.count()
+    for (k <- Seq(4, 16, 64, 256)) {
+      val model = ops.KMeans.fit(corpus, "vec_id", "embedding", k, 1,
+        forceKernel = true)
+      val asg = ops.KMeans.assign(corpus, "embedding", model, forceKernel = true)
+        .select(col("vec_id"), col("cluster")).persist()
+      asg.count() // materialize outside the timed region
+      val t0 = System.nanoTime()
+      val a = asg.select(col("cluster"), col("vec_id").as("va"))
+      val b = asg.select(col("cluster"), col("vec_id").as("vb"))
+      val pairs = a.join(b, "cluster").filter(col("va") < col("vb")).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val allPairs = n * (n - 1) / 2
+      println(s"""{"metric":"semdedup_pairs","k":$k,"vectors":$n,""" +
+        s""""candidate_pairs":$pairs,"all_pairs":$allPairs,""" +
+        s""""fraction":${fx(pairs.toDouble / allPairs, 4)},"sec":${fx(sec, 2)}}""")
+      asg.unpersist()
+    }
+    corpus.unpersist()
   }
 }
