@@ -250,9 +250,11 @@ object Pipeline {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
-  /** The oracle-side CTE chain ending in `pairs(da, db, jaccard)` —
-    * rendered once, shared by the p6 and p13 oracles. */
-  private val duckPairCtes: String = {
+  /** The oracle-side CTE chain ending in `pairs(da, db, jaccard)`,
+    * parameterized by the candidate-pair predicate — shared by the
+    * p6/p13 oracles (`a.doc_id < b.doc_id` self-dedup) and the p30
+    * oracle (increment-side × corpus-side split). */
+  private def duckPairCtesWith(candPred: String): String = {
     val mhs = (0 until 8).map(k =>
       s"${TextFns.minhashSqlDuck("hs", k)} AS mh$k").mkString(",\n       ")
     s"""base AS (SELECT doc_id, $duckToks AS toks FROM documents),
@@ -265,7 +267,7 @@ object Pipeline {
        |  SELECT doc_id, 1, mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 FROM sig),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |         FROM bands a JOIN bands b
-       |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |           ON a.band_id = b.band_id AND a.band_val = b.band_val AND $candPred),
        |ss AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shs),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM ss GROUP BY 1),
        |ix AS (SELECT da, db, COUNT(*) AS inter
@@ -275,6 +277,9 @@ object Pipeline {
        |          FROM ix JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
        |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)""".stripMargin
   }
+
+  /** The p6/p13 rendering: self-dedup, lower id on the left. */
+  private val duckPairCtes: String = duckPairCtesWith("a.doc_id < b.doc_id")
 
   // p6 — MinHash LSH near-dup pair report (see [[minhashPairs]]).
   val p6 = QuerySpec(
@@ -1610,7 +1615,159 @@ object Pipeline {
             |CROSS JOIN nu CROSS JOIN nb
             |ORDER BY pmi DESC, big.w1, big.w2 LIMIT 20""".stripMargin))
 
+  // p30 — INCREMENTAL dedup (batch-vs-index): admit or reject a new
+  // ingest batch against the existing corpus — the daily-ingest shape
+  // p6's self-dedup doesn't cover. The candidate join puts the
+  // INCREMENT's band keys on one side and the CORPUS's on the other,
+  // so corpus×corpus pairs — the quadratic a full re-dedup would pay
+  // every day — are never generated: incremental cost is O(batch
+  // bands × matching corpus buckets), and at 100 TB the corpus band
+  // table is the precomputed persistent INDEX (written once, appended
+  // per admitted batch), while only the increment is signed fresh.
+  // Split predicate doc_id % 5 = 0 stands in for "today's batch"
+  // deterministically at any SF. Verification is the exact shingle
+  // Jaccard restricted to cross-side candidates (p6's verify shape);
+  // the decision is per increment doc: reject iff ANY verified corpus
+  // match, with the best match (highest rounded jaccard, lowest
+  // corpus id) reported for lineage.
+  private[graft] def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val isInc = pmod(col("doc_id"), lit(5)) === 0
+    val shs = documents(s, d)
+      .withColumn("toks", expr(toks))
+      .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
+      .select(col("doc_id"), col("sh"), isInc.as("is_inc"))
+      .persist() // reused: signatures + both verify sides + the admit frame
+    val sig = shs.withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
+      .select(Seq(col("doc_id"), col("is_inc")) ++
+        (0 until 8).map(k => expr(TextFns.minhashExpr("hs", k)).as(s"mh$k")): _*)
+    val bands = sig.select(col("doc_id"), col("is_inc"), lit(0).as("band_id"),
+        concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val"))
+      .unionByName(sig.select(col("doc_id"), col("is_inc"), lit(1).as("band_id"),
+        concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))
+    val inc = bands.filter(col("is_inc"))
+      .select(col("doc_id").as("da"), col("band_id"), col("band_val"))
+    val corp = bands.filter(!col("is_inc"))
+      .select(col("doc_id").as("db"), col("band_id").as("band_id2"), col("band_val").as("band_val2"))
+    val cand = inc.join(corp,
+        col("band_id") === col("band_id2") && col("band_val") === col("band_val2"))
+      .select(col("da"), col("db")).distinct()
+    val ss = shs.select(col("doc_id"), explode(array_distinct(col("sh"))).as("s")).persist()
+    val sz = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ssa = ss.select(col("doc_id").as("da"), col("s"))
+    val ssb = ss.select(col("doc_id").as("db2"), col("s").as("s2"))
+    val inter = cand
+      .join(ssa, "da")
+      .join(ssb, col("db") === col("db2") && col("s") === col("s2"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    val sza = sz.select(col("doc_id").as("da"), col("n").as("na"))
+    val szb = sz.select(col("doc_id").as("db"), col("n").as("nb"))
+    val m = inter.join(sza, "da").join(szb, "db")
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .withColumn("rj", round(col("jaccard"), 6))
+      .select(col("da"), col("db"), col("rj"))
+      .persist() // tiny (verified matches); read by best-pick AND count
+    val wBest = Window.partitionBy(col("da")).orderBy(col("rj").desc, col("db"))
+    val best = m.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("da"), col("db").as("best_match"), col("rj").as("best_jaccard"))
+    val agg = m.groupBy(col("da")).agg(count(lit(1)).as("n_matches"))
+    shs.filter(col("is_inc")).select(col("doc_id").as("inc_id"))
+      .join(agg.withColumnRenamed("da", "inc_id"), Seq("inc_id"), "left")
+      .join(best.withColumnRenamed("da", "inc_id"), Seq("inc_id"), "left")
+      .na.fill(0L, Seq("n_matches"))
+      .withColumn("decision", when(col("n_matches") > 0, "reject").otherwise("admit"))
+      .select(col("inc_id"), col("decision"), col("n_matches"),
+        col("best_match"), col("best_jaccard"))
+      .orderBy(col("inc_id"))
+  }
+
+  val p30 = QuerySpec(
+    "p30_incremental_dedup",
+    (s, d) => incrementalDedup(s, d),
+    Some(s"""WITH ${duckPairCtesWith("a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0")},
+            |m AS (SELECT da, db, ROUND(jaccard, 6) AS rj FROM pairs),
+            |best AS (SELECT da, db, rj, ROW_NUMBER() OVER
+            |           (PARTITION BY da ORDER BY rj DESC, db) AS rn FROM m),
+            |agg AS (SELECT da, COUNT(*) AS n_matches FROM m GROUP BY 1),
+            |inc AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0)
+            |SELECT inc.doc_id AS inc_id,
+            |       CASE WHEN agg.n_matches IS NULL THEN 'admit' ELSE 'reject' END AS decision,
+            |       COALESCE(agg.n_matches, 0) AS n_matches,
+            |       best.db AS best_match, best.rj AS best_jaccard
+            |FROM inc LEFT JOIN agg ON agg.da = inc.doc_id
+            |         LEFT JOIN best ON best.da = inc.doc_id AND best.rn = 1
+            |ORDER BY inc_id""".stripMargin))
+
+  // p31 — quality-classifier INFERENCE: a fixed linear model over
+  // p2's quality features (the fastText-style "good vs low quality"
+  // filter every curation pipeline runs, with the trained weights as
+  // plan literals). Pure map-only projection — no shuffle at all
+  // until the tiny per-language decision rollup — so at 100 TB it
+  // rides the same scan that computes p2 and costs one pass. The
+  // sigmoid is one double expression phrased identically in both
+  // engines (exp is libm-vs-JVM 1-ulp, the 6-dp round absorbs it —
+  // q17's ln convention). Weights chosen so the fixture splits
+  // meaningfully (~ sigmoid of centered features, not a constant).
+  private val qcW: (Double, Double, Double, Double, Double) =
+    (-3.05, 0.35, 2.0, -3.0, 0.18) // w0, w_avgtoklen, w_ttr, w_stop, w_lnTok
+  // w0 centers the fixture's z near 0 so the 0.5 boundary actually
+  // splits the corpus (an all-keep classifier gates nothing)
+
+  val p31 = QuerySpec(
+    "p31_quality_classifier",
+    (s, d) => {
+      val (w0, w1, w2, w3, w4) = qcW
+      val f = documents(s, d)
+        .withColumn("toks", expr(toks))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("len_sum", expr(TextFns.tokenLenSumExpr("toks")))
+        .withColumn("n_uniq", size(array_distinct(col("toks"))))
+        .withColumn("n_stop", expr(TextFns.wordListCountExpr("toks", TextFns.stopwords.toMap.apply("en"))))
+        .withColumn("z",
+          lit(w0) +
+            lit(w1) * (col("len_sum").cast("double") / col("n_tok")) +
+            lit(w2) * (col("n_uniq").cast("double") / col("n_tok")) +
+            lit(w3) * (col("n_stop").cast("double") / col("n_tok")) +
+            lit(w4) * log(col("n_tok").cast("double")))
+        .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+        .withColumn("keep", col("score") >= 0.5)
+      val perDoc = f.select(col("doc_id"), col("lang"), col("score"), col("keep"))
+      // mean over 6-dp scores via exact e6-integer sums: summing raw
+      // doubles is addition-order-dependent (the r1 determinism rule)
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          round(sum(round(col("score") * 1e6).cast("long")).cast("double") /
+            (count(lit(1)) * 1e6), 6).as("mean_score"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val (w0, w1, w2, w3, w4) = qcW
+      val en = TextFns.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+         |feat AS (SELECT doc_id, lang, len(toks) AS n_tok,
+         |                list_sum(list_transform(toks, t -> length(t))) AS len_sum,
+         |                len(list_distinct(toks)) AS n_uniq,
+         |                list_sum(list_transform(toks, t -> CASE WHEN t IN ($en) THEN 1 ELSE 0 END)) AS n_stop
+         |         FROM base),
+         |z AS (SELECT doc_id, lang,
+         |        $w0 + $w1 * (CAST(len_sum AS DOUBLE) / n_tok)
+         |            + $w2 * (CAST(n_uniq AS DOUBLE) / n_tok)
+         |            + $w3 * (CAST(n_stop AS DOUBLE) / n_tok)
+         |            + $w4 * LN(CAST(n_tok AS DOUBLE)) AS z
+         |      FROM feat),
+         |sc AS (SELECT doc_id, lang, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score FROM z)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |       ROUND(CAST(SUM(CAST(ROUND(score * 1e6) AS BIGINT)) AS DOUBLE)
+         |             / (COUNT(*) * 1e6), 6) AS mean_score,
+         |       MIN(score) AS min_score, MAX(score) AS max_score
+         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+    })
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
-      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29)
+      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31)
 }

@@ -454,4 +454,69 @@ class PipelineSpec extends SparkSuite {
     val ranked = out.map(r => (r.getDouble(3), r.getString(0), r.getString(1)))
     assert(ranked.sameElements(ranked.sortBy { case (p, a, bb) => (-p, a, bb) }))
   }
+
+  test("p30 incremental dedup: decisions agree with the exact cross-split Jaccard (p7 ground truth)") {
+    val out = Pipeline.p30.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // every doc_id % 5 == 0 gets exactly one decision row
+    val nInc = Tables.documents(spark, sf).filter(col("doc_id") % 5 === 0).count()
+    assert(out.size.toLong == nInc)
+    assert(out.values.exists(_.getString(1) == "reject"), "fixture plants cross-split near-dups")
+    assert(out.values.exists(_.getString(1) == "admit"))
+    // ground truth: p7's exact all-pairs >=0.8 report, filtered to pairs
+    // that straddle the split. p30 may reject a SUBSET (LSH recall), and
+    // every reject's best_match must be a true >=0.8 partner.
+    val exact = Pipeline.p7.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val truth = exact.flatMap { case (a, b, j) =>
+      Seq(a, b).filter(_ % 5 == 0).flatMap { i =>
+        val other = if (i == a) b else a
+        if (other % 5 != 0) Some(i -> (other, j)) else None
+      }
+    }.groupBy(_._1)
+    out.values.filter(_.getString(1) == "reject").foreach { r =>
+      val partners = truth.getOrElse(r.getLong(0), Array.empty).map(_._2).toMap
+      assert(partners.contains(r.getLong(3)),
+        s"inc ${r.getLong(0)}: best_match ${r.getLong(3)} not a true near-dup")
+      assert(math.abs(partners(r.getLong(3)) - r.getDouble(4)) < 1e-5)
+      assert(r.getLong(2) <= partners.size, "n_matches bounded by true partner count")
+    }
+    // admits must have NO true partner that LSH banding would also catch
+    // at band level — weaker check: none of the rejects are admitted twice
+    assert(out.values.count(_.getString(1) == "reject") <= truth.size)
+  }
+
+  test("p31 quality classifier: scores recount brute-force and the boundary splits the corpus") {
+    val out = Pipeline.p31.fn(spark, sf).collect()
+    val stop = graft.functions.TextFns.stopwords.toMap.apply("en").toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getString(1), r.getString(2).split(" ").filter(_.nonEmpty)))
+    val scored = docs.map { case (lang, toks) =>
+      val n = toks.length.toDouble
+      val z = -3.05 + 0.35 * (toks.map(_.length).sum / n) +
+        2.0 * (toks.distinct.length / n) +
+        -3.0 * (toks.count(stop) / n) +
+        0.18 * math.log(n)
+      val s = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      lang -> s
+    }
+    val byLang = scored.groupBy(_._1)
+    out.foreach { r =>
+      val ss = byLang(r.getString(0)).map(_._2)
+      assert(r.getAs[Long]("n_docs") == ss.length)
+      assert(r.getAs[Long]("n_keep") == ss.count(_ >= 0.5), s"${r.getString(0)} keep count")
+      assert(math.abs(r.getAs[Double]("min_score") - ss.min) <= 1e-6)
+      assert(math.abs(r.getAs[Double]("max_score") - ss.max) <= 1e-6)
+      val mean = BigDecimal(ss.map(s => math.round(s * 1e6)).sum.toDouble / (ss.length * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("mean_score") - mean) <= 1e-6)
+    }
+    // the 0.5 boundary must actually split the corpus — an all-keep or
+    // all-drop classifier gates nothing
+    val keeps = out.map(_.getAs[Long]("n_keep")).sum
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(keeps > 0 && keeps < total, s"boundary must bite: $keeps of $total kept")
+  }
 }
