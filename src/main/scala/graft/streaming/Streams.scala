@@ -253,6 +253,57 @@ object Streams {
       }
   }
 
+  /** Streaming ingest-time near-dup detection (B.6 × B.7): p6/p30's
+    * MinHash band index held as STREAMING STATE. Each arriving
+    * document's two band keys probe the keys of every prior document
+    * via flatMapGroupsWithState keyed by (band_id, band_val); per-band
+    * state is the KEEPER — the first doc_id ingested into that band
+    * (ties within a micro-batch broken by id, deterministic) — one
+    * long per distinct band, the minimal ingest-dedup index. A
+    * collision emits (doc_id, band_id, keeper_id): the arriving doc is
+    * an LSH candidate near-dup of the keeper and would route to p30's
+    * exact-Jaccard verify downstream. State shards across the cluster
+    * by band key (the same key the batch band join shuffles on) and is
+    * bounded by DISTINCT BANDS, not documents or pairs; at 100 TB this
+    * operator is p30's persistent corpus index kept hot between
+    * micro-batches instead of rebuilt per ingest batch. Null bands
+    * (empty docs) are dropped, matching the batch join's null
+    * semantics. */
+  final case class BandHit(docId: Long, bandId: Int, keeperId: Long)
+
+  def streamingNearDup(docs: DataFrame)(implicit spark: SparkSession): Dataset[BandHit] = {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val sig = docs
+      .withColumn("toks", expr(TextFns.tokensExpr("text")))
+      .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
+      .withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
+    val withMh = (0 until 8).foldLeft(sig)((df, k) =>
+      df.withColumn(s"mh$k", expr(TextFns.minhashExpr("hs", k))))
+    val bands = withMh.select(col("doc_id"), lit(0).as("band_id"),
+        concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val"))
+      .unionByName(withMh.select(col("doc_id"), lit(1).as("band_id"),
+        concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))
+      .filter(col("band_val").isNotNull)
+      .as[(Long, Int, String)]
+    bands
+      .groupByKey { case (_, bid, bval) => (bid, bval) }
+      .flatMapGroupsWithState[Long, BandHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((bid, _), rows, state: GroupState[Long]) =>
+          // deterministic in-group order regardless of partition layout
+          val sorted = rows.toSeq.sortBy(_._1)
+          val hits = Seq.newBuilder[BandHit]
+          var keeper = state.getOption.getOrElse(Long.MaxValue)
+          sorted.foreach { case (id, _, _) =>
+            if (keeper == Long.MaxValue) keeper = id
+            else if (id != keeper) hits += BandHit(id, bid, keeper)
+          }
+          state.update(keeper)
+          hits.result().iterator
+      }
+  }
+
   /** Stream–stream interval join (B.3): each error event joined to the
     * same user's click events in the preceding `lookback`. Watermarks on
     * BOTH sides plus the two-sided time-range predicate are what let

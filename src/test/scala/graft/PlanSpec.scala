@@ -270,4 +270,51 @@ class PlanSpec extends SparkSuite {
       assert(math.abs(r.getDouble(2) - p90) / p90 <= 0.10)
     }
   }
+
+  test("p27: BM25 plans with broadcast stats/df, map-side partials, and top-k as TakeOrdered") {
+    val plan = finalPlan(graft.queries.Pipeline.p27.fn(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), "top-15 must never be a global sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df (<=|terms| rows) must broadcast:\n${plan.take(800)}")
+    assert(plan.contains("partial_"), "tf counts need map-side combine before the shuffle")
+    assert(!plan.contains("CartesianProduct"), "the 1-row stats join must broadcast, not cartesian")
+  }
+
+  test("p29: PMI joins the vocabulary-sized unigram table by broadcast on BOTH sides") {
+    val plan = finalPlan(graft.queries.Pipeline.p29.fn(spark, sf))
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"expected both unigram joins broadcast, saw $bhj:\n${plan.take(800)}")
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 must never be a global sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("p28: the SemDeDup pair scan is an equi-join on cluster_id — never a cartesian") {
+    val plan = finalPlan(graft.queries.Pipeline.p28.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "within-cluster pairs must come from the cluster_id equi-join")
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("cluster_id")),
+      s"pair join must key on cluster_id:\n${plan.take(1200)}")
+  }
+
+  test("p30: incremental dedup candidates come from the band equi-join — no all-pairs shape") {
+    val plan = finalPlan(graft.queries.Pipeline.p30.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "increment x corpus candidates must join on band keys, never cross")
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("band_val")),
+      s"candidate join must key on band values:\n${plan.take(1200)}")
+    assert(plan.contains("partial_"), "shingle-intersection counts need map-side combine")
+  }
+
+  test("p31: classifier inference reads only the columns it scores; agg is partial+final") {
+    val plan = finalPlan(graft.queries.Pipeline.p31.fn(spark, sf))
+    assert(!plan.contains("n_chars") && !plan.contains("source"),
+      "unused document columns must be pruned from the scan")
+    assert(plan.contains("partial_"), "per-language rollup needs map-side combine")
+    assert(!plan.contains("Exchange") || plan.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"map-only scoring should shuffle only the 5-row rollup:\n${plan.take(800)}")
+  }
 }

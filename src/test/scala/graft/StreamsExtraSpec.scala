@@ -1230,4 +1230,53 @@ class StreamsExtraSpec extends SparkSuite {
         fs.exists(new Path(decoy, "_SUCCESS")),
         s"lookalike dir $decoy must be left byte-for-byte alone")
   }
+
+  test("streaming near-dup: band collisions across micro-batches match the batch band index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two ingest batches from the fixture corpus, split by id parity
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.streamingNearDup(input.toDF().toDF("doc_id", "text"))
+      .toDF().writeStream.format("memory").queryName("t_neardup")
+      .outputMode(OutputMode.Append()).start()
+    val got = try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      spark.table("t_neardup").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    } finally q.stop()
+    // batch reference: compute every doc's two band keys with the SAME
+    // expressions, then replay the keeper rule (first ingest batch's
+    // min id owns the band; everyone else in the band is a hit)
+    import graft.functions.TextFns
+    val sig0 = graft.sources.Tables.documents(spark, sf)
+      .withColumn("toks", expr(TextFns.tokensExpr("text")))
+      .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
+      .withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
+    val withMh = (0 until 8).foldLeft(sig0)((df, k) =>
+      df.withColumn(s"mh$k", expr(TextFns.minhashExpr("hs", k))))
+    val bandRows = withMh.select(col("doc_id"), lit(0).as("band_id"),
+        concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val"))
+      .unionByName(withMh.select(col("doc_id"), lit(1).as("band_id"),
+        concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))
+      .filter(col("band_val").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val expected = bandRows.groupBy(br => (br._2, br._3)).toSeq.flatMap {
+      case ((bid, _), ms) =>
+        val ids = ms.map(_._1).toSeq
+        val firstBatch = ids.filter(_ % 2 == 0)
+        val keeper = if (firstBatch.nonEmpty) firstBatch.min else ids.min
+        ids.filter(_ != keeper).map(id => (id, bid, keeper))
+    }.toSet
+    assert(got == expected, s"stream ${got.size} vs batch ${expected.size} hits")
+    assert(got.nonEmpty, "fixture plants near-dups; the band index must fire")
+    // keeper discipline: a keeper never reports itself
+    assert(got.forall { case (id, _, k) => id != k })
+  }
 }
