@@ -33,7 +33,7 @@ object ScaleSmoke {
   private val sections =
     Set("dedup", "dedup_skew", "cdc", "cdc_throughput", "cdc_multi", "cdc_relcount",
       "cdc_soak", "cdc_bar", "cdc_partitioned", "ann", "kmeans_kernel",
-      "pq_encode", "pack_skew", "semdedup")
+      "pq_encode", "pack_skew", "semdedup", "incremental")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -123,6 +123,7 @@ object ScaleSmoke {
     if (want("pq_encode")) pqEncodeCurve(spark, sfDir)
     if (want("pack_skew")) packSkewCurve(spark)
     if (want("semdedup")) semdedupCurve(spark, sfDir)
+    if (want("incremental")) incrementalCurve(spark, sfDir)
     spark.stop()
   }
 
@@ -891,5 +892,80 @@ object ScaleSmoke {
       asg.unpersist()
     }
     corpus.unpersist()
+  }
+
+  /** Batch-vs-index probe cost for incremental dedup (p30) — the
+    * measurement behind "incremental cost is O(batch), not
+    * O(corpus²)". Corpus = documents ×5 (id-shifted), its band table
+    * computed ONCE and persisted — the p30 production INDEX. Each
+    * ingest batch (a slice of docs under fresh ids) is signed fresh
+    * and band-joined against the index; the comparison bar is the full
+    * self-dedup over corpus+batch, which is what a pipeline without a
+    * persistent index pays per ingest. Expected shape: probe cost
+    * roughly flat in corpus size and ~linear in batch size, full
+    * re-dedup pays the whole corpus signature pipeline every time. */
+  private def incrementalCurve(spark: SparkSession, sfDir: String): Unit = {
+    import graft.functions.TextFns
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    def bandsOf(df: DataFrame): DataFrame = {
+      // p30's signing shape: md5 base hashes computed ONCE behind a
+      // cache boundary (the 8 per-seed projections would otherwise
+      // each inline the md5 transform — 16× the hashing across two
+      // bands, measured 15× slower here), both bands from ONE
+      // generator, everything map-only. Caches are dropped by the
+      // per-iteration clearCache below.
+      val hsF = df
+        .withColumn("toks", expr(TextFns.tokensExpr("text")))
+        .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
+        .withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
+        .select(col("doc_id"), col("hs"))
+        .persist()
+      val sig = hsF.select(Seq(col("doc_id")) ++
+        (0 until 8).map(k => expr(TextFns.minhashExpr("hs", k)).as(s"mh$k")): _*)
+      sig.select(col("doc_id"), explode(array(
+          struct(lit(0).as("band_id"),
+            concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val")),
+          struct(lit(1).as("band_id"),
+            concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))).as("b"))
+        .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+        .filter(col("band_val").isNotNull)
+    }
+    // filter, not limit: GlobalLimit coalesces to ONE task and would
+    // serialize the batch's whole signature pipeline
+    val batchRows = 1000L
+    val batch = docs.filter(col("doc_id") < batchRows)
+      .withColumn("doc_id", col("doc_id") + lit(1000L * maxId))
+    for (factor <- Seq(5, 25)) {
+      val corpus = (0 until factor).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * maxId))
+      }.reduce(_ unionByName _)
+      val index = bandsOf(corpus).persist() // the persistent corpus index
+      val nCorpus = index.select(col("doc_id")).distinct().count() // build off-clock
+      val t0 = System.nanoTime()
+      val probeHits = bandsOf(batch).as("b")
+        .join(index.as("i"), Seq("band_id", "band_val"))
+        .select(col("b.doc_id"), col("i.doc_id")).distinct().count()
+      val probeSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      // signatures computed once and cached — the fairest full-re-dedup
+      // a pipeline without a persistent index could run
+      val all = bandsOf(corpus.unionByName(batch)).persist()
+      val a = all.select(col("doc_id").as("da"), col("band_id"), col("band_val"))
+      val b = all.select(col("doc_id").as("db"), col("band_id").as("bi2"), col("band_val").as("bv2"))
+      val fullPairs = a.join(b,
+          col("band_id") === col("bi2") && col("band_val") === col("bv2") &&
+            col("da") < col("db"))
+        .select(col("da"), col("db")).distinct().count()
+      val fullSec = (System.nanoTime() - t1) / 1e9
+      all.unpersist()
+      index.unpersist()
+      spark.catalog.clearCache() // the hs caches bandsOf pinned per call
+      println(s"""{"metric":"incremental_dedup","corpus_docs":$nCorpus,""" +
+        s""""batch_docs":$batchRows,"probe_hits":$probeHits,"probe_sec":${fx(probeSec, 2)},""" +
+        s""""full_pairs":$fullPairs,"full_sec":${fx(fullSec, 2)},""" +
+        s""""speedup":${fx(fullSec / probeSec, 1)}}""")
+    }
   }
 }

@@ -1637,13 +1637,28 @@ object Pipeline {
       .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
       .select(col("doc_id"), col("sh"), isInc.as("is_inc"))
       .persist() // reused: signatures + both verify sides + the admit frame
-    val sig = shs.withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
-      .select(Seq(col("doc_id"), col("is_inc")) ++
-        (0 until 8).map(k => expr(TextFns.minhashExpr("hs", k)).as(s"mh$k")): _*)
-    val bands = sig.select(col("doc_id"), col("is_inc"), lit(0).as("band_id"),
-        concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val"))
-      .unionByName(sig.select(col("doc_id"), col("is_inc"), lit(1).as("band_id"),
-        concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))
+    // The md5 base-hash array is computed ONCE behind a cache boundary:
+    // the 8 per-seed minhash projections would otherwise each inline
+    // the md5 transform (projection collapse), and with the two band
+    // branches that is 16× the hashing — measured 15× slower at the
+    // signing stage (ScaleSmoke incremental, which sweeps this). The
+    // p5-style distinct-shingle dictionary was rejected for THIS
+    // operator: it shuffles every shingle instance to the dictionary
+    // join, a corpus-sized shuffle, where the cache form stays map-only
+    // (at 100 TB the cached hs frame is the signature table a real
+    // pipeline materializes next to its band index anyway).
+    val hsF = shs.withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
+      .select(col("doc_id"), col("is_inc"), col("hs"))
+      .persist()
+    val sig = hsF.select(Seq(col("doc_id"), col("is_inc")) ++
+      (0 until 8).map(k => expr(TextFns.minhashExpr("hs", k)).as(s"mh$k")): _*)
+    val bands = sig.select(col("doc_id"), col("is_inc"), explode(array(
+        struct(lit(0).as("band_id"),
+          concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val")),
+        struct(lit(1).as("band_id"),
+          concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))).as("b"))
+      .select(col("doc_id"), col("is_inc"),
+        col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
     val inc = bands.filter(col("is_inc"))
       .select(col("doc_id").as("da"), col("band_id"), col("band_val"))
     val corp = bands.filter(!col("is_inc"))
