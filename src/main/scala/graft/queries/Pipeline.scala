@@ -211,15 +211,25 @@ object Pipeline {
       .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
       .select(col("doc_id"), col("sh"))
       .persist()
-    val sig = shs.withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
-      .select(Seq(col("doc_id")) ++
-        (0 until 8).map(k => expr(TextFns.minhashExpr("hs", k)).as(s"mh$k")): _*)
+    // The md5 base-hash array materializes ONCE behind its own cache
+    // boundary: projection collapse otherwise inlines the md5
+    // transform into each of the 8 per-seed minhash projections — with
+    // the two band branches that is up to 16× the hashing (measured at
+    // the signing stage in ScaleSmoke incremental; same fix as p30).
+    val hsF = shs.withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
+      .select(col("doc_id"), col("hs"))
+      .persist()
+    val sig = hsF.select(Seq(col("doc_id")) ++
+      (0 until 8).map(k => expr(TextFns.minhashExpr("hs", k)).as(s"mh$k")): _*)
     // concat (not concat_ws): a null minhash (empty doc) must yield a
-    // null band that joins nothing, matching SQL || semantics.
-    val bands = sig.select(col("doc_id"), lit(0).as("band_id"),
-        concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val"))
-      .unionByName(sig.select(col("doc_id"), lit(1).as("band_id"),
-        concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))
+    // null band that joins nothing, matching SQL || semantics. Both
+    // bands come from ONE generator pass, not a 2× union re-scan.
+    val bands = sig.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band_id"),
+          concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val")),
+        struct(lit(1).as("band_id"),
+          concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))).as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
       .persist()
     val a = bands.select(col("doc_id").as("da"), col("band_id"), col("band_val"))
     val b = bands.select(col("doc_id").as("db"), col("band_id").as("band_id2"), col("band_val").as("band_val2"))

@@ -280,10 +280,17 @@ object Streams {
       .withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
     val withMh = (0 until 8).foldLeft(sig)((df, k) =>
       df.withColumn(s"mh$k", expr(TextFns.minhashExpr("hs", k))))
-    val bands = withMh.select(col("doc_id"), lit(0).as("band_id"),
-        concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val"))
-      .unionByName(withMh.select(col("doc_id"), lit(1).as("band_id"),
-        concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))
+    // ONE generator pass for both bands (a 2× union would re-run the
+    // whole signature pipeline per branch every micro-batch); the
+    // md5-inlining cache fix the batch ops use isn't available on a
+    // streaming frame, so per-seed duplication is accepted here —
+    // micro-batches are small by construction.
+    val bands = withMh.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band_id"),
+          concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val")),
+        struct(lit(1).as("band_id"),
+          concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))).as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
       .filter(col("band_val").isNotNull)
       .as[(Long, Int, String)]
     bands
