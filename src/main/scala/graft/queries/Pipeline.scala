@@ -1792,7 +1792,64 @@ object Pipeline {
          |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
     })
 
+  // p32 — duplicated-span SCRUB: the removal step completing p25's
+  // substring-dedup story (Lee et al. 2022 drop the repeated
+  // substring, not the document). Every token covered by ANY span
+  // recurring across >=2 distinct docs is masked out; the manifest
+  // emits per-doc token/masked counts plus the md5 of the scrubbed
+  // text (p19's byte-identity convention — the gate proves the exact
+  // output string without shipping it). Shape: positioned spans from
+  // a posexplode INSIDE the scan task; the duplicate-span dictionary
+  // is ONE span-keyed agg (map-side partials); covered positions are
+  // a generator over the span-dictionary join; the final mask is a
+  // filter HOF over the collected per-doc index set (bounded by doc
+  // length). At 100 TB the span join keys on the 64-bit span hash
+  // (p25's dial) and the dictionary is the materialized p25 output.
+  val p32 = QuerySpec(
+    "p32_span_scrub",
+    (s, d) => {
+      val t = documents(s, d)
+        .withColumn("toks", expr(toks))
+        .select(col("doc_id"), col("toks"))
+        .persist() // reused: span mining + the final scrub join
+      val spans = t.select(col("doc_id"),
+        posexplode(expr(TextFns.shinglesExpr("toks", dupSpanN))).as(Seq("pos", "span")))
+      val dup = spans.groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("span"))
+      val covered = spans.join(dup, "span")
+        .select(col("doc_id"),
+          explode(expr(s"sequence(pos, pos + ${dupSpanN - 1})")).as("idx"))
+        .distinct()
+      val cov = covered.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("idx"))).as("cov"))
+      t.join(cov, Seq("doc_id"), "left")
+        .withColumn("cov", coalesce(col("cov"), expr("CAST(array() AS ARRAY<INT>)")))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tok"),
+          size(col("cov")).as("n_masked"),
+          md5(concat_ws(" ",
+            expr("filter(toks, (t, i) -> NOT array_contains(cov, i))"))).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val parts = (1 to dupSpanN).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+      val offsets = (0 until dupSpanN).mkString("[", ", ", "]")
+      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, i AS pos, $parts AS span
+         |       FROM base, UNNEST(range(greatest(len(toks)-${dupSpanN - 1}, 0))) AS u(i)),
+         |g AS (SELECT span FROM sh GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+         |covered AS (SELECT DISTINCT sh.doc_id, sh.pos + o AS idx
+         |            FROM sh JOIN g USING(span), UNNEST($offsets) AS ofs(o)),
+         |cov AS (SELECT doc_id, list_sort(list(idx)) AS cov FROM covered GROUP BY 1)
+         |SELECT b.doc_id, len(b.toks) AS n_tok,
+         |       COALESCE(len(c.cov), 0) AS n_masked,
+         |       md5(COALESCE(array_to_string(list_filter(b.toks,
+         |             (t, i) -> NOT list_contains(COALESCE(c.cov, []), i - 1)), ' '), '')) AS scrub_md5
+         |FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id ORDER BY b.doc_id""".stripMargin
+    })
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
-      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31)
+      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32)
 }

@@ -519,4 +519,33 @@ class PipelineSpec extends SparkSuite {
     val total = out.map(_.getAs[Long]("n_docs")).sum
     assert(keeps > 0 && keeps < total, s"boundary must bite: $keeps of $total kept")
   }
+
+  test("p32 span scrub matches a brute-force single-node mask") {
+    val out = Pipeline.p32.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+    def spansOf(t: Array[String]): Seq[(Int, String)] =
+      if (t.length < 5) Seq.empty
+      else (0 to t.length - 5).map(i => i -> t.slice(i, i + 5).mkString(" "))
+    val reach = docs.toSeq.flatMap { case (id, t) => spansOf(t).map(_._2 -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val dup = reach.filter(_._2 >= 2).keySet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    var maskedDocs = 0
+    docs.foreach { case (id, t) =>
+      val cov = spansOf(t).filter(p => dup(p._2))
+        .flatMap(p => p._1 until p._1 + 5).toSet
+      val kept = t.zipWithIndex.collect { case (tok, i) if !cov(i) => tok }
+      val (nTok, nMasked, h) = out(id)
+      assert(nTok == t.length, s"doc $id n_tok")
+      assert(nMasked == cov.size, s"doc $id n_masked")
+      assert(h == md5hex(kept.mkString(" ")), s"doc $id scrub md5")
+      if (cov.nonEmpty) maskedDocs += 1
+    }
+    assert(maskedDocs > 0, "fixture plants cross-doc spans; the scrub must bite")
+    assert(out.keySet == docs.keySet, "every document gets a manifest row")
+  }
 }
