@@ -1849,7 +1849,71 @@ object Pipeline {
          |FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id ORDER BY b.doc_id""".stripMargin
     })
 
+  // p33 — FEATURE HASHING (the hashing trick, Weinberger et al. 2009)
+  // + cosine top-k over the hashed document vectors: the bridge from
+  // the text family to the vector family when no external embedding
+  // model exists — every doc becomes a fixed-dim hashed bag-of-words
+  // vector INSIDE the engine, and the q18 retrieval shape runs on it.
+  // The cosine is computed in SPARSE form — Σ ca·cb over shared
+  // buckets — so both engines do integer-exact dot products (counts
+  // are ints; only the final normalize divides). Shape: bucket ids
+  // are a map-side projection (md5 % dim, the p17/p26 convention);
+  // per-doc bucket counts are ONE partial-aggregated shuffle; the
+  // 5-query side (≤ 5·dim rows) BROADCASTS into the bucket equi-join,
+  // so the corpus side never shuffles for the join; top-k is a tiny
+  // ranking window per query. At 100 TB dim rises (2^18 is standard)
+  // and nothing changes — the join key space is the bucket id.
+  private val fhDim = 64
+
+  val p33 = QuerySpec(
+    "p33_feature_hash",
+    (s, d) => {
+      val bux = documents(s, d)
+        .select(col("doc_id"), explode(expr(toks)).as("tok"))
+        .select(col("doc_id"),
+          expr(s"${TextFns.md5IntScalarExpr("tok")} % $fhDim").as("bucket"))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+        .persist() // reused: corpus side, query side, norms
+      val nrm = bux.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))
+      val q = bux.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("bucket"), col("c").as("qc"))
+      val dot = bux.join(broadcast(q), Seq("bucket"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("c") * col("qc")).as("dot"))
+      val na = nrm.select(col("doc_id").as("qid"), col("nrm").as("qn"))
+      val pairs = dot
+        .join(broadcast(na), "qid")
+        .join(nrm, "doc_id")
+        .withColumn("cos", round(col("dot").cast("double") / (col("qn") * col("nrm")), 6))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("doc_id").as("cid"), col("cos").as("cosine"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+            |bux AS (SELECT doc_id,
+            |          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+            |            % ${TextFns.minhashP} % $fhDim AS bucket,
+            |          COUNT(*) AS c
+            |        FROM tok GROUP BY 1, 2),
+            |nrm AS (SELECT doc_id, SQRT(CAST(SUM(c*c) AS DOUBLE)) AS nrm FROM bux GROUP BY 1),
+            |q AS (SELECT doc_id AS qid, bucket, c AS qc FROM bux WHERE doc_id < 5),
+            |d AS (SELECT q.qid, b.doc_id, SUM(b.c * q.qc) AS dot
+            |      FROM bux b JOIN q ON q.bucket = b.bucket AND b.doc_id <> q.qid
+            |      GROUP BY 1, 2),
+            |pc AS (SELECT d.qid, d.doc_id,
+            |         ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cos
+            |       FROM d JOIN nrm na ON na.doc_id = d.qid
+            |              JOIN nrm nb ON nb.doc_id = d.doc_id),
+            |r AS (SELECT qid, doc_id, cos, ROW_NUMBER() OVER
+            |        (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rn FROM pc)
+            |SELECT qid, CAST(rn AS INTEGER) AS rn, doc_id AS cid, cos AS cosine
+            |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
-      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32)
+      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33)
 }

@@ -548,4 +548,39 @@ class PipelineSpec extends SparkSuite {
     assert(maskedDocs > 0, "fixture plants cross-doc spans; the scrub must bite")
     assert(out.keySet == docs.keySet, "every document gets a manifest row")
   }
+
+  test("p33 feature-hash retrieval matches a brute-force hashed-BoW cosine") {
+    val out = Pipeline.p33.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 15)
+    val p = 2147483647L
+    def bucket(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(h, 16) % p % 64
+    }
+    val vecs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val counts = r.getString(1).split(" ").filter(_.nonEmpty)
+          .groupBy(bucket).view.mapValues(_.length.toLong).toMap
+        r.getLong(0) -> counts
+      }.toMap
+    def cos(a: Map[Long, Long], b: Map[Long, Long]): Double = {
+      val dot = a.keysIterator.filter(b.contains).map(k => a(k) * b(k)).sum.toDouble
+      val c = dot / (math.sqrt(a.values.map(v => v * v).sum.toDouble) *
+        math.sqrt(b.values.map(v => v * v).sum.toDouble))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (qid <- 0L until 5L) {
+      val ranked = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(vecs(qid), v)) }
+        .filter(_._2 > 0.0)
+        .sortBy { case (id, c) => (-c, id) }.take(3)
+      val got = out.filter(_._1 == qid).sortBy(_._2).map(t => (t._3, t._4))
+      got.zip(ranked).zipWithIndex.foreach { case (((gc, gcos), (ec, ecos)), i) =>
+        assert(gc == ec, s"q$qid rank ${i + 1}: got $gc want $ec")
+        assert(math.abs(gcos - ecos) <= 1e-6, s"q$qid rank ${i + 1} cosine")
+      }
+    }
+  }
 }
