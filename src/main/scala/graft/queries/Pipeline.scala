@@ -1913,7 +1913,50 @@ object Pipeline {
             |SELECT qid, CAST(rn AS INTEGER) AS rn, doc_id AS cid, cos AS cosine
             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
 
+  // p34 — PERPLEXITY scoring (the CCNet/RedPajama quality signal):
+  // a unigram language model trained on the corpus itself (add-1
+  // smoothed), then every document scored by its per-token
+  // cross-entropy under that model — low = head-like fluent text,
+  // high = tail/noise. The real pipelines use a 5-gram KenLM; the
+  // unigram form keeps the oracle a pure SQL replay while exercising
+  // the identical engine shape: ONE vocabulary agg (map-side
+  // partials, vocab-sized output), the LM table BROADCAST into a
+  // map-side score join, ONE doc-keyed agg for the sums. Float
+  // discipline: each token's ln p is rounded to 6 dp and summed as
+  // exact e6 integers, so distributed addition order cannot fork the
+  // oracle (the r1 rule); the final normalize divides once.
+  val p34 = QuerySpec(
+    "p34_perplexity",
+    (s, d) => {
+      val tok = documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id"), explode(expr(toks)).as("tok"))
+      val lm = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val stats = lm.agg(sum(col("c")).as("nu"), count(lit(1)).as("v"))
+      val scored = tok
+        .join(broadcast(lm), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("lp_e6", round(
+          log((col("c") + 1.0) / (col("nu") + col("v"))) * 1e6).cast("long"))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          round(-(sum(col("lp_e6")).cast("double") / 1e6) /
+            count(lit(1)), 6).as("xent"))
+        .withColumn("ppl", round(exp(col("xent")), 2))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS tok
+            |             FROM documents WHERE lang = 'en'),
+            |lm AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+            |stats AS (SELECT CAST(SUM(c) AS BIGINT) AS nu, COUNT(*) AS v FROM lm),
+            |sc AS (SELECT doc_id,
+            |         CAST(ROUND(LN((c + 1.0) / (nu + v)) * 1e6) AS BIGINT) AS lp_e6
+            |       FROM tok JOIN lm ON lm.tok = tok.tok CROSS JOIN stats)
+            |SELECT doc_id, COUNT(*) AS n_tok,
+            |       ROUND(-(CAST(SUM(lp_e6) AS DOUBLE) / 1e6) / COUNT(*), 6) AS xent,
+            |       ROUND(EXP(ROUND(-(CAST(SUM(lp_e6) AS DOUBLE) / 1e6) / COUNT(*), 6)), 2) AS ppl
+            |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
-      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33)
+      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34)
 }

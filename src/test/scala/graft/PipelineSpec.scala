@@ -583,4 +583,30 @@ class PipelineSpec extends SparkSuite {
       }
     }
   }
+
+  test("p34 perplexity matches a brute-force unigram-LM recount") {
+    val out = Pipeline.p34.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val docs = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+    assert(out.keySet == docs.keySet, "every en doc gets a score")
+    val lm = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nu = lm.values.sum.toDouble
+    val v = lm.size.toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, toks) =>
+      val sumE6 = toks.map(t => math.round(math.log((lm(t) + 1.0) / (nu + v)) * 1e6)).sum
+      val xent = r6(-(sumE6.toDouble / 1e6) / toks.length)
+      val (nTok, gXent, gPpl) = out(id)
+      assert(nTok == toks.length, s"doc $id n_tok")
+      assert(math.abs(gXent - xent) <= 1e-6, s"doc $id xent $gXent vs $xent")
+      assert(math.abs(gPpl -
+        BigDecimal(math.exp(xent)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-2)
+    }
+    // the model must discriminate: rare-token docs carry higher
+    // cross-entropy than the corpus floor (not a constant score)
+    val xs = out.values.map(_._2)
+    assert(xs.max - xs.min > 0.05, "perplexity must spread across the corpus")
+  }
 }
