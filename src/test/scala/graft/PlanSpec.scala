@@ -317,4 +317,31 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Exchange") || plan.linesIterator.count(_.contains("Exchange")) <= 2,
       s"map-only scoring should shuffle only the 5-row rollup:\n${plan.take(800)}")
   }
+
+  test("p32: span scrub joins the span dictionary by equi-join, no cartesian") {
+    val plan = finalPlan(graft.queries.Pipeline.p32.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "covered positions must come from the span-keyed dictionary join")
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("span")),
+      s"dictionary join must key on the span:\n${plan.take(1200)}")
+    assert(plan.contains("partial_"), "span reach counts need map-side combine")
+  }
+
+  test("p33: hashed-BoW retrieval broadcasts the query side into the bucket join") {
+    val plan = finalPlan(graft.queries.Pipeline.p33.fn(spark, sf))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("bucket")),
+      s"the 5-query side must broadcast on the bucket key:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("p34: the unigram LM broadcasts into a map-side score join") {
+    val plan = finalPlan(graft.queries.Pipeline.p34.fn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocabulary-sized LM table must broadcast:\n${plan.take(1000)}")
+    assert(plan.contains("partial_"), "doc score sums need map-side combine")
+    assert(!plan.contains("CartesianProduct"), "the 1-row stats join must broadcast")
+  }
 }
