@@ -1738,25 +1738,53 @@ object Pipeline {
   // w0 centers the fixture's z near 0 so the 0.5 boundary actually
   // splits the corpus (an all-keep classifier gates nothing)
 
+  /** p31's per-doc classifier score over any frame carrying `text` —
+    * factored out so p35's source-reputation rollup scores with the
+    * SAME model (one formula, two gates). Appends `score` (6-dp
+    * sigmoid) and `keep`. */
+  private[graft] def qualityScored(df: DataFrame): DataFrame = {
+    val (w0, w1, w2, w3, w4) = qcW
+    df.withColumn("toks", expr(toks))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("len_sum", expr(TextFns.tokenLenSumExpr("toks")))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .withColumn("n_stop", expr(TextFns.wordListCountExpr("toks", TextFns.stopwords.toMap.apply("en"))))
+      .withColumn("z",
+        lit(w0) +
+          lit(w1) * (col("len_sum").cast("double") / col("n_tok")) +
+          lit(w2) * (col("n_uniq").cast("double") / col("n_tok")) +
+          lit(w3) * (col("n_stop").cast("double") / col("n_tok")) +
+          lit(w4) * log(col("n_tok").cast("double")))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      .withColumn("keep", col("score") >= 0.5)
+  }
+
+  /** DuckDB CTE chain ending in `sc(doc_id, lang, source, score)` —
+    * the oracle-side rendering of [[qualityScored]], shared by the
+    * p31 and p35 oracles. */
+  private def duckQualityCtes: String = {
+    val (w0, w1, w2, w3, w4) = qcW
+    val en = TextFns.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""qbase AS (SELECT doc_id, lang, source, $duckToks AS toks FROM documents),
+       |qfeat AS (SELECT doc_id, lang, source, len(toks) AS n_tok,
+       |                list_sum(list_transform(toks, t -> length(t))) AS len_sum,
+       |                len(list_distinct(toks)) AS n_uniq,
+       |                list_sum(list_transform(toks, t -> CASE WHEN t IN ($en) THEN 1 ELSE 0 END)) AS n_stop
+       |         FROM qbase),
+       |qz AS (SELECT doc_id, lang, source,
+       |        $w0 + $w1 * (CAST(len_sum AS DOUBLE) / n_tok)
+       |            + $w2 * (CAST(n_uniq AS DOUBLE) / n_tok)
+       |            + $w3 * (CAST(n_stop AS DOUBLE) / n_tok)
+       |            + $w4 * LN(CAST(n_tok AS DOUBLE)) AS z
+       |      FROM qfeat),
+       |sc AS (SELECT doc_id, lang, source, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score FROM qz)""".stripMargin
+  }
+
   val p31 = QuerySpec(
     "p31_quality_classifier",
     (s, d) => {
-      val (w0, w1, w2, w3, w4) = qcW
-      val f = documents(s, d)
-        .withColumn("toks", expr(toks))
-        .withColumn("n_tok", size(col("toks")))
-        .withColumn("len_sum", expr(TextFns.tokenLenSumExpr("toks")))
-        .withColumn("n_uniq", size(array_distinct(col("toks"))))
-        .withColumn("n_stop", expr(TextFns.wordListCountExpr("toks", TextFns.stopwords.toMap.apply("en"))))
-        .withColumn("z",
-          lit(w0) +
-            lit(w1) * (col("len_sum").cast("double") / col("n_tok")) +
-            lit(w2) * (col("n_uniq").cast("double") / col("n_tok")) +
-            lit(w3) * (col("n_stop").cast("double") / col("n_tok")) +
-            lit(w4) * log(col("n_tok").cast("double")))
-        .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
-        .withColumn("keep", col("score") >= 0.5)
-      val perDoc = f.select(col("doc_id"), col("lang"), col("score"), col("keep"))
+      val perDoc = qualityScored(documents(s, d))
+        .select(col("doc_id"), col("lang"), col("score"), col("keep"))
       // mean over 6-dp scores via exact e6-integer sums: summing raw
       // doubles is addition-order-dependent (the r1 determinism rule)
       perDoc.groupBy(col("lang"))
@@ -1768,29 +1796,13 @@ object Pipeline {
           max(col("score")).as("max_score"))
         .orderBy(col("lang"))
     },
-    Some {
-      val (w0, w1, w2, w3, w4) = qcW
-      val en = TextFns.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
-      s"""WITH base AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
-         |feat AS (SELECT doc_id, lang, len(toks) AS n_tok,
-         |                list_sum(list_transform(toks, t -> length(t))) AS len_sum,
-         |                len(list_distinct(toks)) AS n_uniq,
-         |                list_sum(list_transform(toks, t -> CASE WHEN t IN ($en) THEN 1 ELSE 0 END)) AS n_stop
-         |         FROM base),
-         |z AS (SELECT doc_id, lang,
-         |        $w0 + $w1 * (CAST(len_sum AS DOUBLE) / n_tok)
-         |            + $w2 * (CAST(n_uniq AS DOUBLE) / n_tok)
-         |            + $w3 * (CAST(n_stop AS DOUBLE) / n_tok)
-         |            + $w4 * LN(CAST(n_tok AS DOUBLE)) AS z
-         |      FROM feat),
-         |sc AS (SELECT doc_id, lang, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score FROM z)
-         |SELECT lang, COUNT(*) AS n_docs,
-         |       CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-         |       ROUND(CAST(SUM(CAST(ROUND(score * 1e6) AS BIGINT)) AS DOUBLE)
-         |             / (COUNT(*) * 1e6), 6) AS mean_score,
-         |       MIN(score) AS min_score, MAX(score) AS max_score
-         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
-    })
+    Some(s"""WITH $duckQualityCtes
+            |SELECT lang, COUNT(*) AS n_docs,
+            |       CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+            |       ROUND(CAST(SUM(CAST(ROUND(score * 1e6) AS BIGINT)) AS DOUBLE)
+            |             / (COUNT(*) * 1e6), 6) AS mean_score,
+            |       MIN(score) AS min_score, MAX(score) AS max_score
+            |FROM sc GROUP BY lang ORDER BY lang""".stripMargin))
 
   // p32 — duplicated-span SCRUB: the removal step completing p25's
   // substring-dedup story (Lee et al. 2022 drop the repeated
@@ -1956,7 +1968,65 @@ object Pipeline {
             |       ROUND(EXP(ROUND(-(CAST(SUM(lp_e6) AS DOUBLE) / 1e6) / COUNT(*), 6)), 2) AS ppl
             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // p35 — SOURCE REPUTATION rollup: the per-domain curation decision
+  // every web pipeline runs ("blocklist the domain, not the page") —
+  // a COMPOSITION gate proving the pieces work together: p31's
+  // classifier scores every doc, p6's verified near-dup pairs mark
+  // duplicated docs, and both roll up per source into a
+  // keep/blocklist decision. Shape: nothing new shuffles — scores
+  // are map-only, the dup-doc id set is O(near-dup pairs) and ships
+  // ids only, the rollup is one tiny agg keyed by source. Decision
+  // thresholds are plan literals applied to the ROUNDED deterministic
+  // aggregates, so both engines branch identically.
+  private val srcDupTau = 0.08
+  private val srcScoreTau = 0.505
+
+  val p35 = QuerySpec(
+    "p35_source_reputation",
+    (s, d) => {
+      val scores = qualityScored(documents(s, d))
+        .select(col("doc_id"), col("source"), col("score"))
+      val pairs = minhashPairs(s, d).select(col("da"), col("db"))
+      val dupIds = pairs.select(col("da").as("doc_id"))
+        .unionByName(pairs.select(col("db").as("doc_id")))
+        .distinct()
+        .withColumn("is_dup", lit(1L))
+      scores.join(dupIds, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("is_dup"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup")).as("dup_docs"),
+          round(sum(round(col("score") * 1e6).cast("long")).cast("double") /
+            (count(lit(1)) * 1e6), 6).as("mean_score"))
+        .withColumn("dup_rate",
+          round(col("dup_docs").cast("double") / col("n_docs"), 6))
+        .withColumn("decision",
+          when(col("dup_rate") >= srcDupTau || col("mean_score") < srcScoreTau,
+            "blocklist").otherwise("keep"))
+        .select(col("source"), col("n_docs"), col("dup_docs"),
+          col("mean_score"), col("dup_rate"), col("decision"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $duckPairCtes,
+            |$duckQualityCtes,
+            |dup AS (SELECT DISTINCT doc_id FROM
+            |          (SELECT da AS doc_id FROM pairs UNION ALL SELECT db FROM pairs)),
+            |j AS (SELECT sc.source, sc.score,
+            |        CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+            |      FROM sc LEFT JOIN dup ON dup.doc_id = sc.doc_id),
+            |agg AS (SELECT source, COUNT(*) AS n_docs,
+            |          CAST(SUM(is_dup) AS BIGINT) AS dup_docs,
+            |          ROUND(CAST(SUM(CAST(ROUND(score * 1e6) AS BIGINT)) AS DOUBLE)
+            |                / (COUNT(*) * 1e6), 6) AS mean_score
+            |        FROM j GROUP BY 1)
+            |SELECT source, n_docs, dup_docs, mean_score,
+            |       ROUND(CAST(dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
+            |       CASE WHEN ROUND(CAST(dup_docs AS DOUBLE) / n_docs, 6) >= $srcDupTau
+            |                 OR mean_score < $srcScoreTau
+            |            THEN 'blocklist' ELSE 'keep' END AS decision
+            |FROM agg ORDER BY source""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
-      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34)
+      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35)
 }

@@ -609,4 +609,30 @@ class PipelineSpec extends SparkSuite {
     val xs = out.values.map(_._2)
     assert(xs.max - xs.min > 0.05, "perplexity must spread across the corpus")
   }
+
+  test("p35 source reputation: rollup recounts from its own ingredients and both decisions appear") {
+    val out = Pipeline.p35.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getString(5)))).toMap
+    // ingredients: p31's per-doc scores + p6's verified pair list
+    val scores = Pipeline.qualityScored(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("source"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val dup = Pipeline.p6.fn(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    scores.groupBy(_._2).foreach { case (src, docs) =>
+      val (nDocs, dupDocs, mean, rate, dec) = out(src)
+      assert(nDocs == docs.length, s"$src n_docs")
+      assert(dupDocs == docs.count(d => dup(d._1)), s"$src dup_docs")
+      val m = r6(docs.map(d => math.round(d._3 * 1e6)).sum.toDouble / (docs.length * 1e6))
+      assert(math.abs(mean - m) <= 1e-6, s"$src mean")
+      val rr = r6(dupDocs.toDouble / nDocs)
+      assert(math.abs(rate - rr) <= 1e-6, s"$src dup_rate")
+      val want = if (rr >= 0.08 || m < 0.505) "blocklist" else "keep"
+      assert(dec == want, s"$src decision")
+    }
+    val decs = out.values.map(_._5).toSet
+    assert(decs == Set("keep", "blocklist"), "thresholds must split the sources")
+  }
 }
