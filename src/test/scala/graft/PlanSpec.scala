@@ -344,4 +344,11 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("partial_"), "doc score sums need map-side combine")
     assert(!plan.contains("CartesianProduct"), "the 1-row stats join must broadcast")
   }
+
+  test("p35: the reputation rollup composes without a cartesian; dup ids join by doc_id") {
+    val plan = finalPlan(graft.queries.Pipeline.p35.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "the dup-id set must left-join on doc_id, never cross")
+    assert(plan.contains("partial_"), "the source rollup needs map-side combine")
+  }
 }
