@@ -934,9 +934,11 @@ object ScaleSmoke {
     }
     // filter, not limit: GlobalLimit coalesces to ONE task and would
     // serialize the batch's whole signature pipeline
-    val batchRows = 1000L
-    val batch = docs.filter(col("doc_id") < batchRows)
+    val batch = docs.filter(col("doc_id") < 1000L)
       .withColumn("doc_id", col("doc_id") + lit(1000L * maxId))
+    // counted off-clock: at sf0.001 the corpus has fewer than 1000 docs,
+    // so the filter constant would overstate the batch in the metric
+    val batchRows = batch.count()
     for (factor <- Seq(5, 25)) {
       val corpus = (0 until factor).map { i =>
         docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * maxId))

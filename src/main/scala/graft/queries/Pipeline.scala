@@ -1749,14 +1749,20 @@ object Pipeline {
       .withColumn("len_sum", expr(TextFns.tokenLenSumExpr("toks")))
       .withColumn("n_uniq", size(array_distinct(col("toks"))))
       .withColumn("n_stop", expr(TextFns.wordListCountExpr("toks", TextFns.stopwords.toMap.apply("en"))))
-      .withColumn("z",
+      // empty-doc guard: the ratios divide by n_tok and log(0) = -inf —
+      // a CASE gate (branches evaluate lazily per row, so ANSI mode
+      // never sees the division) makes the helper safe on arbitrary
+      // frames beyond the fixture's non-empty contract: score null,
+      // keep false. Fixture has no empty docs, so gated hashes are
+      // unchanged.
+      .withColumn("z", when(col("n_tok") > 0,
         lit(w0) +
           lit(w1) * (col("len_sum").cast("double") / col("n_tok")) +
           lit(w2) * (col("n_uniq").cast("double") / col("n_tok")) +
           lit(w3) * (col("n_stop").cast("double") / col("n_tok")) +
-          lit(w4) * log(col("n_tok").cast("double")))
+          lit(w4) * log(col("n_tok").cast("double"))))
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
-      .withColumn("keep", col("score") >= 0.5)
+      .withColumn("keep", coalesce(col("score") >= 0.5, lit(false)))
   }
 
   /** DuckDB CTE chain ending in `sc(doc_id, lang, source, score)` —
@@ -1817,6 +1823,23 @@ object Pipeline {
   // filter HOF over the collected per-doc index set (bounded by doc
   // length). At 100 TB the span join keys on the 64-bit span hash
   // (p25's dial) and the dictionary is the materialized p25 output.
+  /** The p32 mask over per-row `toks`/`cov` (cov = sorted covered
+    * 0-based positions): kept positions = ALL positions minus cov via
+    * `array_except`, which builds a hash set of `cov` — O(n_tok +
+    * n_cov) per doc, replacing the r16 `filter(toks, (t, i) -> NOT
+    * array_contains(cov, i))` form whose per-token linear scan of cov
+    * was O(n_tok × n_cov) (quadratic on a boilerplate-heavy long doc
+    * with most positions covered — the r16 verdict nit). array_except
+    * preserves left-operand order and `sequence` has no duplicates, so
+    * the kept positions come back in document order and the output is
+    * hash-identical. Shared with ScaleSmoke's long-doc linearity
+    * datapoint. The CASE guards sequence(0, -1) on empty docs (that
+    * call would yield [0, -1], not an empty range). */
+  private[graft] val scrubKeptToksExpr: String =
+    """CASE WHEN size(toks) = 0 THEN CAST(array() AS ARRAY<STRING>)
+      |     ELSE transform(array_except(sequence(0, size(toks) - 1), cov), i -> toks[i])
+      |END""".stripMargin
+
   val p32 = QuerySpec(
     "p32_span_scrub",
     (s, d) => {
@@ -1840,8 +1863,7 @@ object Pipeline {
         .select(col("doc_id"),
           size(col("toks")).as("n_tok"),
           size(col("cov")).as("n_masked"),
-          md5(concat_ws(" ",
-            expr("filter(toks, (t, i) -> NOT array_contains(cov, i))"))).as("scrub_md5"))
+          md5(concat_ws(" ", expr(scrubKeptToksExpr))).as("scrub_md5"))
         .orderBy(col("doc_id"))
     },
     Some {
@@ -2026,7 +2048,138 @@ object Pipeline {
             |            THEN 'blocklist' ELSE 'keep' END AS decision
             |FROM agg ORDER BY source""".stripMargin))
 
+  // p36 — the FULL production ANN stack as ONE query (the r16 verdict's
+  // top-next): trained-IVF list routing (p22) → PQ-ADC scan of ONLY the
+  // probed lists' members (p24) → exact rescore of the survivor pool
+  // (p23's discipline). Each stage cuts the candidate set for the next:
+  // probe selects ~nprobe/K of the corpus, those candidates are scanned
+  // as M-byte PQ codes instead of float vectors (16× less memory
+  // bandwidth), and only the top `pqPool` per query pay an exact float
+  // dot. This is the plan a 100 TB retrieval service actually runs —
+  // the pieces were hash-gated separately (p22/p23/p24); this gate
+  // proves they COMPOSE under one oracle: the DuckDB side walks the
+  // identical k-means trajectory, list routing, PQ encode, ADC scores,
+  // and rescore. Scale shape: training is p20's bounded driver state;
+  // encode is a map-only kernel projection; candidates come from a
+  // list equi-join against broadcast probes (never all-pairs); the
+  // rescore pool is a fixed constant per query.
+  val p36 = QuerySpec(
+    "p36_ann_full_stack",
+    (s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        expr(VectorFns.fastNormExpr("embedding")).as("nrm"))
+        .persist() // reused: training scans (×iters), list build, PQ encode, rescore
+      val e0 = e.select(col("vec_id"), col("embedding"))
+      // forceKernel: same rationale as p22 — strategies are bit-identical
+      // (fuzz-pinned) and the kernel avoids the per-iteration janino
+      // compile of a K·dim expanded projection
+      val model = graft.ops.KMeans.fit(e0, "vec_id", "embedding", kmK, kmIters,
+        forceKernel = true)
+      val lists = graft.ops.KMeans.assign(e0, "embedding", model, forceKernel = true)
+        .select(col("vec_id"), col("cluster").as("list_id"))
+        .persist() // the argmax projection evaluates once
+      // PQ encode of the corpus (p24's kernel + reconstruction literals)
+      val cb = pqCodebook(e)
+      val fnName = graft.expressions.VectorExpressions.registerPqEncode(s, cb)
+      def reconSub(m: Int): org.apache.spark.sql.Column =
+        element_at(
+          array((0 until pqK).map(j => array((0 until pqSub).map(t => lit(cb(m)(j)(t))): _*)): _*),
+          col("codes").getItem(m) + lit(1))
+      val enc = try {
+        e.withColumn("codes", expr(s"$fnName(embedding)"))
+          .withColumn("rv", flatten(array((0 until pqM).map(reconSub): _*)))
+          .withColumn("rnrm", sqrt(expr("aggregate(zip_with(rv, rv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+      } finally graft.expressions.VectorExpressions.dropTempFunction(s, fnName)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      // probe ranking against the TRAINED centroids (p22's convention:
+      // trainer's own cosineTo, 6-dp round, cluster-index tiebreak)
+      val scoreArr = array(model.centroids.zipWithIndex.map { case (c, j) =>
+        struct(graft.ops.KMeans.cosineTo("qe", "qn", c).as("ccos"), lit(j).as("cent_id"))
+      }: _*)
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("list_id"))
+      val probes = q.select(col("qid"), explode(scoreArr).as("sc"))
+        .select(col("qid"), col("sc.cent_id").as("list_id"), col("sc.ccos").as("ccos"))
+        .withColumn("crn", row_number().over(wProbe))
+        .filter(col("crn") <= ivfProbe)
+        .select(col("qid"), col("list_id"))
+      val cand = lists.join(broadcast(probes), "list_id")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id")).distinct()
+      // ADC over list members only: exact query float vs reconstructed codes
+      val dotA = "aggregate(zip_with(qe, rv, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
+      val scored = cand
+        .join(enc, "vec_id")
+        .join(broadcast(q), "qid")
+        .withColumn("acos_", round(expr(dotA) / (col("qn") * col("rnrm")), 6))
+      val wA = Window.partitionBy(col("qid")).orderBy(col("acos_").desc, col("vec_id"))
+      val pool = scored.withColumn("arn", row_number().over(wA)).filter(col("arn") <= pqPool)
+      val exact = pool.withColumn("cos",
+        round(expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")), 6))
+      val wT = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      exact.withColumn("rn", row_number().over(wT)).filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cos").as("cosine"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    // oracle = p22's trajectory + routing CTEs composed with p24's PQ
+    // CTEs (pqseeds/cb renamed to avoid the k-means `seeds` clash), ADC
+    // restricted to the routed candidates, then the exact rescore
+    Some(s"""${duckKmeansPrefix(kmK)},
+            |cnF AS (SELECT cent_id, SQRT(SUM(v*v)) AS cnrm FROM c$kmIters GROUP BY 1),
+            |scF AS (SELECT f.vec_id, c.cent_id, SUM(f.v * c.v) AS dot
+            |        FROM f JOIN c$kmIters c ON c.i = f.i GROUP BY 1, 2),
+            |rkF AS (SELECT s.vec_id, s.cent_id, ROW_NUMBER() OVER
+            |          (PARTITION BY s.vec_id
+            |           ORDER BY ROUND(s.dot / (n.nrm * cn.cnrm), 6) DESC, s.cent_id) AS crn
+            |        FROM scF s JOIN n ON n.vec_id = s.vec_id
+            |                    JOIN cnF cn ON cn.cent_id = s.cent_id),
+            |asgF AS (SELECT vec_id, cent_id AS list_id FROM rkF WHERE crn = 1),
+            |probe AS (SELECT vec_id AS qid, cent_id AS list_id FROM rkF
+            |          WHERE vec_id < 5 AND crn <= $ivfProbe),
+            |cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid
+            |         FROM probe p JOIN asgF a ON a.list_id = p.list_id AND a.vec_id <> p.qid),
+            |pqseeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+            |            FROM embeddings ORDER BY vec_id LIMIT $pqK),
+            |cb AS (SELECT s.j, CAST(FLOOR(f.i / $pqSub) AS BIGINT) AS m, f.i % $pqSub AS t,
+            |               ROUND(f.v, 6) AS cv
+            |        FROM f JOIN pqseeds s ON f.vec_id = s.vec_id),
+            |ccn AS (SELECT m, j, SUM(cv*cv) AS cc FROM cb GROUP BY 1, 2),
+            |psc AS (SELECT f.vec_id, cb.m, cb.j, SUM(f.v * cb.cv) AS dot
+            |        FROM f JOIN cb ON cb.m = CAST(FLOOR(f.i / $pqSub) AS BIGINT)
+            |                      AND cb.t = f.i % $pqSub
+            |        GROUP BY 1, 2, 3),
+            |prk AS (SELECT s.vec_id, s.m, s.j, ROW_NUMBER() OVER
+            |          (PARTITION BY s.vec_id, s.m
+            |           ORDER BY ROUND(s.dot - 0.5 * c.cc, 6) DESC, s.j) AS jr
+            |        FROM psc s JOIN ccn c ON c.m = s.m AND c.j = s.j),
+            |code AS (SELECT vec_id, m, j FROM prk WHERE jr = 1),
+            |r AS (SELECT code.vec_id, cb.m * $pqSub + cb.t AS i, cb.cv AS rv
+            |      FROM code JOIN cb ON cb.m = code.m AND cb.j = code.j),
+            |rn_ AS (SELECT vec_id, SQRT(SUM(rv*rv)) AS rnrm FROM r GROUP BY 1),
+            |ad AS (SELECT cand.qid, cand.cid, SUM(fq.v * r.rv) AS dot
+            |       FROM cand JOIN f fq ON fq.vec_id = cand.qid
+            |                 JOIN r ON r.vec_id = cand.cid AND r.i = fq.i
+            |       GROUP BY 1, 2),
+            |ac AS (SELECT qid, cid, ad.dot / (nq.nrm * nc.rnrm) AS acos_
+            |       FROM ad JOIN n nq ON nq.vec_id = qid JOIN rn_ nc ON nc.vec_id = cid),
+            |pool AS (SELECT qid, cid FROM (
+            |           SELECT qid, cid, ROW_NUMBER() OVER
+            |             (PARTITION BY qid ORDER BY ROUND(acos_, 6) DESC, cid) AS arn FROM ac)
+            |         WHERE arn <= $pqPool),
+            |pd AS (SELECT pool.qid, pool.cid, SUM(x.v * y.v) AS dot
+            |       FROM pool JOIN f x ON x.vec_id = pool.qid
+            |                 JOIN f y ON y.vec_id = pool.cid AND y.i = x.i
+            |       GROUP BY 1, 2),
+            |pc AS (SELECT qid, cid, dot / (na.nrm * nb.nrm) AS cos
+            |       FROM pd JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+            |rr AS (SELECT qid, cid, cos, ROW_NUMBER() OVER
+            |         (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) AS rn2 FROM pc)
+            |SELECT qid, CAST(rn2 AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
+            |FROM rr WHERE rn2 <= 3 ORDER BY qid, rn""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
-      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35)
+      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35,
+      p36)
 }

@@ -301,12 +301,16 @@ object Streams {
           // deterministic in-group order regardless of partition layout
           val sorted = rows.toSeq.sortBy(_._1)
           val hits = Seq.newBuilder[BandHit]
-          var keeper = state.getOption.getOrElse(Long.MaxValue)
+          // Option, not a sentinel id: any Long is a legal doc_id
+          var keeper: Option[Long] = state.getOption
           sorted.foreach { case (id, _, _) =>
-            if (keeper == Long.MaxValue) keeper = id
-            else if (id != keeper) hits += BandHit(id, bid, keeper)
+            keeper match {
+              case None            => keeper = Some(id)
+              case Some(k) if id != k => hits += BandHit(id, bid, k)
+              case _               => ()
+            }
           }
-          state.update(keeper)
+          keeper.foreach(state.update)
           hits.result().iterator
       }
   }

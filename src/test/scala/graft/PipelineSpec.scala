@@ -393,10 +393,13 @@ class PipelineSpec extends SparkSuite {
     // every doc that only hits the two common terms (idf ~ln(20) vs ~ln(1.3))
     val dupDocs = docs.filter(_._2.contains("dup")).map(_._1).toSet
     val ranks = out.map(_.getLong(0)).zipWithIndex.toMap
-    val worstDup = dupDocs.flatMap(ranks.get).maxOption
-    val bestNonDup = out.map(_.getLong(0)).filterNot(dupDocs).headOption.flatMap(ranks.get)
-    for (w <- worstDup; bnd <- bestNonDup if dupDocs.size <= 15)
-      assert(w < bnd || dupDocs.forall(ranks.contains), "rare-term docs rank first")
+    if (dupDocs.size <= 15) {
+      assert(dupDocs.forall(ranks.contains), "every rare-term doc must make the top 15")
+      val worstDup = dupDocs.flatMap(ranks.get).maxOption
+      val bestNonDup = out.map(_.getLong(0)).filterNot(dupDocs).headOption.flatMap(ranks.get)
+      for (w <- worstDup; bnd <- bestNonDup)
+        assert(w < bnd, "rare-term docs rank first")
+    }
   }
 
   test("p28 semdedup: manifest is consistent and the removal rule recounts brute-force") {
