@@ -2406,8 +2406,188 @@ object Pipeline {
             |       MIN(score) AS min_score, MAX(score) AS max_score
             |FROM inf GROUP BY lang ORDER BY lang""".stripMargin))
 
+  // p38 — PARAGRAPH-granularity near-dup (the C4/RefinedWeb shape:
+  // real pipelines dedup paragraphs, not just documents — boilerplate
+  // repeats at sub-document granularity). p6's MinHash-LSH pipeline
+  // re-keyed from doc_id to (doc_id, para_idx): paragraphs here are
+  // fixed 32-token windows (this fixture's text carries no paragraph
+  // delimiter — delimiter-split is the same plan with a split()
+  // generator instead of the slice transform), each paragraph gets its
+  // own 8-hash signature, bands are equi-joined on band value with the
+  // composite (da,pa) < (db,pb) self-dedup, and candidates verify by
+  // exact 3-shingle Jaccard ≥ 0.8 — catching both cross-doc AND
+  // intra-doc repeated paragraphs. The oracle replays the LSH (bands
+  // included), so recall loss is mirrored, never hidden — the p6
+  // convention. Scale shape identical to p6: paragraph count is
+  // O(corpus tokens / span); candidates come from the band equi-join,
+  // never an all-pairs product; the verify join starts from the tiny
+  // candidate side.
+  private val paraSpan = 32
+
+  val p38 = QuerySpec(
+    "p38_paragraph_neardup",
+    (s, d) => {
+      val paras = documents(s, d)
+        .withColumn("toks", expr(toks))
+        .select(col("doc_id"), posexplode(expr(
+          // CASE guards sequence(0, -1) on empty docs (backward range)
+          s"""CASE WHEN size(toks) = 0 THEN CAST(array() AS ARRAY<ARRAY<STRING>>)
+             |     ELSE transform(sequence(0, CAST(ceil(size(toks) / $paraSpan.0) AS INT) - 1),
+             |                    k -> slice(toks, k * $paraSpan + 1, $paraSpan))
+             |END""".stripMargin)).as(Seq("pidx", "ptoks")))
+        .withColumn("sh", expr(TextFns.shinglesExpr("ptoks")))
+        .select(col("doc_id"), col("pidx"), col("sh"))
+        .persist() // reused: signatures + the exact-Jaccard verify
+      // md5 base hashes behind their own cache boundary (the p6/p30
+      // projection-collapse lesson: 16× the hashing otherwise)
+      val hsF = paras.withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
+        .select(col("doc_id"), col("pidx"), col("hs"))
+        .persist()
+      val sig = hsF.select(Seq(col("doc_id"), col("pidx")) ++
+        (0 until 8).map(k => expr(TextFns.minhashExpr("hs", k)).as(s"mh$k")): _*)
+      val bands = sig.select(col("doc_id"), col("pidx"), explode(array(
+          struct(lit(0).as("band_id"),
+            concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val")),
+          struct(lit(1).as("band_id"),
+            concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))).as("b"))
+        .select(col("doc_id"), col("pidx"),
+          col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+        .persist()
+      val a = bands.select(col("doc_id").as("da"), col("pidx").as("pa"),
+        col("band_id"), col("band_val"))
+      val b = bands.select(col("doc_id").as("db"), col("pidx").as("pb"),
+        col("band_id").as("bi2"), col("band_val").as("bv2"))
+      val cand = a.join(b,
+          col("band_id") === col("bi2") && col("band_val") === col("bv2") &&
+            (col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb"))))
+        .select(col("da"), col("pa"), col("db"), col("pb")).distinct()
+      val ss = paras.select(col("doc_id"), col("pidx"),
+        explode(array_distinct(col("sh"))).as("s")).persist()
+      val sz = ss.groupBy(col("doc_id"), col("pidx")).agg(count(lit(1)).as("n"))
+      val ssa = ss.select(col("doc_id").as("da"), col("pidx").as("pa"), col("s"))
+      val ssb = ss.select(col("doc_id").as("db2"), col("pidx").as("pb2"), col("s").as("s2"))
+      val inter = cand
+        .join(ssa, Seq("da", "pa"))
+        .join(ssb, col("db") === col("db2") && col("pb") === col("pb2") && col("s") === col("s2"))
+        .groupBy(col("da"), col("pa"), col("db"), col("pb")).agg(count(lit(1)).as("inter"))
+      val sza = sz.select(col("doc_id").as("da"), col("pidx").as("pa"), col("n").as("na"))
+      val szb = sz.select(col("doc_id").as("db"), col("pidx").as("pb"), col("n").as("nb"))
+      inter.join(sza, Seq("da", "pa")).join(szb, Seq("db", "pb"))
+        .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.8)
+        .select(col("da"), col("pa"), col("db"), col("pb"),
+          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+        .orderBy(col("da"), col("pa"), col("db"), col("pb"))
+    },
+    Some {
+      val mhs = (0 until 8).map(k =>
+        s"${TextFns.minhashSqlDuck("hs", k)} AS mh$k").mkString(",\n       ")
+      val pSh =
+        "list_transform(range(greatest(len(ptoks)-2, 0)), i -> ptoks[i+1] || ' ' || ptoks[i+2] || ' ' || ptoks[i+3])"
+      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |paras AS (SELECT doc_id, k AS pidx, list_slice(toks, k*$paraSpan+1, (k+1)*$paraSpan) AS ptoks
+         |          FROM base, UNNEST(range(CAST(CEIL(len(toks)/$paraSpan.0) AS BIGINT))) AS u(k)),
+         |shs AS (SELECT doc_id, pidx, $pSh AS sh FROM paras),
+         |hsd AS (SELECT doc_id, pidx, sh, ${TextFns.md5IntsSqlDuck("sh")} AS hs FROM shs),
+         |sig AS (SELECT doc_id, pidx, $mhs FROM hsd),
+         |bands AS (
+         |  SELECT doc_id, pidx, 0 AS band_id, mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS band_val FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, pidx, 1, mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, a.pidx AS pa, b.doc_id AS db, b.pidx AS pb
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |          AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pidx < b.pidx))),
+         |ss AS (SELECT DISTINCT doc_id, pidx, unnest(sh) AS s FROM shs),
+         |sz AS (SELECT doc_id, pidx, COUNT(*) AS n FROM ss GROUP BY 1, 2),
+         |ix AS (SELECT da, pa, db, pb, COUNT(*) AS inter
+         |       FROM cand JOIN ss x ON x.doc_id = da AND x.pidx = pa
+         |                 JOIN ss y ON y.doc_id = db AND y.pidx = pb AND y.s = x.s
+         |       GROUP BY 1, 2, 3, 4),
+         |pairs AS (SELECT da, pa, db, pb, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |          FROM ix JOIN sz sa ON sa.doc_id = da AND sa.pidx = pa
+         |                  JOIN sz sb ON sb.doc_id = db AND sb.pidx = pb
+         |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)
+         |SELECT da, CAST(pa AS INTEGER) AS pa, db, CAST(pb AS INTEGER) AS pb,
+         |       ROUND(jaccard, 6) AS jaccard
+         |FROM pairs ORDER BY da, pa, db, pb""".stripMargin
+    })
+
+  // p34b — BIGRAM perplexity (the LM upgrade of p34's unigram form,
+  // much closer to the CCNet/KenLM signal while staying a pure SQL
+  // replay): p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c1(w_{i-1}) +
+  // V) with add-1 smoothing (V = unigram vocab), and the document's
+  // first token priced by the unigram model (p34's formula) — so every
+  // token contributes exactly one log-prob and n_tok matches p34.
+  // Shape: TWO dictionary aggs (unigram + bigram counts, both
+  // map-side-partial, vocabulary-sized output), then the token/bigram
+  // instances equi-join their dictionary entries — the bigram
+  // dictionary is corpus-sized in the worst case, so it is a plain
+  // shuffle equi-join on the bigram key (NOT broadcast — the p34
+  // unigram broadcast doesn't survive vocab²), the context count joins
+  // on w1, and ONE doc-keyed agg sums the e6-integer log-probs (p34's
+  // determinism discipline). At 100 TB all three joins key on
+  // token/bigram strings — bucketable, skew-salted if a stopword
+  // bigram dominates; nothing is all-pairs.
+  val p34b = QuerySpec(
+    "p34b_bigram_ppl",
+    (s, d) => {
+      val base = documents(s, d).filter(col("lang") === "en")
+        .withColumn("toks", expr(toks))
+        .select(col("doc_id"), col("toks"))
+        .persist() // reused: unigram dict, bigram dict, firsts, instances
+      val uni = base.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val stats = uni.agg(sum(col("c")).as("nu"), count(lit(1)).as("v"))
+      val firsts = base.filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), col("toks").getItem(0).as("tok"))
+      val lp1 = firsts
+        .join(uni, "tok")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(log((col("c") + 1.0) / (col("nu") + col("v"))) * 1e6).cast("long").as("lp_e6"))
+      val bg = base
+        .select(col("doc_id"), col("toks"),
+          posexplode(expr(TextFns.shinglesExpr("toks", 2))).as(Seq("i", "big")))
+        .select(col("doc_id"), col("toks").getItem(col("i")).as("w1"), col("big"))
+      val bgc = bg.groupBy(col("big")).agg(count(lit(1)).as("c2"))
+      val lp2 = bg
+        .join(bgc, "big")
+        .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(log((col("c2") + 1.0) / (col("c1") + col("v"))) * 1e6).cast("long").as("lp_e6"))
+      lp1.unionByName(lp2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          round(-(sum(col("lp_e6")).cast("double") / 1e6) /
+            count(lit(1)), 6).as("xent"))
+        .withColumn("ppl", round(exp(col("xent")), 2))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE lang = 'en'),
+            |uni AS (SELECT tok, COUNT(*) AS c
+            |        FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY 1),
+            |stats AS (SELECT CAST(SUM(c) AS BIGINT) AS nu, COUNT(*) AS v FROM uni),
+            |firsts AS (SELECT doc_id, toks[1] AS tok FROM base WHERE len(toks) >= 1),
+            |lp1 AS (SELECT doc_id,
+            |          CAST(ROUND(LN((c + 1.0) / (nu + v)) * 1e6) AS BIGINT) AS lp_e6
+            |        FROM firsts JOIN uni ON uni.tok = firsts.tok CROSS JOIN stats),
+            |bg AS (SELECT doc_id, toks[i+1] AS w1, toks[i+1] || ' ' || toks[i+2] AS big
+            |       FROM base, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i)),
+            |bgc AS (SELECT big, COUNT(*) AS c2 FROM bg GROUP BY 1),
+            |lp2 AS (SELECT bg.doc_id,
+            |          CAST(ROUND(LN((c2 + 1.0) / (c1 + v)) * 1e6) AS BIGINT) AS lp_e6
+            |        FROM bg JOIN bgc USING (big)
+            |                JOIN (SELECT tok AS w1, c AS c1 FROM uni) u USING (w1)
+            |                CROSS JOIN stats),
+            |allx AS (SELECT * FROM lp1 UNION ALL SELECT * FROM lp2)
+            |SELECT doc_id, COUNT(*) AS n_tok,
+            |       ROUND(-(CAST(SUM(lp_e6) AS DOUBLE) / 1e6) / COUNT(*), 6) AS xent,
+            |       ROUND(EXP(ROUND(-(CAST(SUM(lp_e6) AS DOUBLE) / 1e6) / COUNT(*), 6)), 2) AS ppl
+            |FROM allx GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
-      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35,
-      p36, p37, p37b)
+      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b,
+      p35, p36, p37, p37b, p38)
 }
