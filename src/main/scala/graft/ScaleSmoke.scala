@@ -33,7 +33,7 @@ object ScaleSmoke {
   private val sections =
     Set("dedup", "dedup_skew", "cdc", "cdc_throughput", "cdc_multi", "cdc_relcount",
       "cdc_soak", "cdc_bar", "cdc_partitioned", "ann", "kmeans_kernel",
-      "pq_encode", "pack_skew", "semdedup", "incremental")
+      "pq_encode", "pack_skew", "semdedup", "incremental", "spanscrub")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -124,7 +124,42 @@ object ScaleSmoke {
     if (want("pack_skew")) packSkewCurve(spark)
     if (want("semdedup")) semdedupCurve(spark, sfDir)
     if (want("incremental")) incrementalCurve(spark, sfDir)
+    if (want("spanscrub")) spanScrubCurve(spark)
     spark.stop()
+  }
+
+  /** Long-doc linearity witness for the p32 scrub mask (r17, closing
+    * the r16 verdict's "quadratic mask" nit): per doc the r16
+    * `filter(toks, (t, i) -> NOT array_contains(cov, i))` form scans
+    * the covered-index array once per token — O(n_tok × n_cov) — while
+    * the shipped `array_except` mask builds a hash set of cov —
+    * O(n_tok + n_cov). Synthetic boilerplate-heavy docs (90% of
+    * positions covered) at growing lengths make the difference
+    * visible: linear sec/token stays flat as n_tok quadruples, the
+    * quadratic form's sec/token grows ~4× per step (so it is only run
+    * at the two smaller sizes to keep the smoke bounded). */
+  private def spanScrubCurve(spark: SparkSession): Unit = {
+    val quadExpr = "filter(toks, (t, i) -> NOT array_contains(cov, i))"
+    def mk(nTok: Int) = spark.range(32).select(col("id").as("doc_id"),
+        expr(s"transform(sequence(0, ${nTok - 1}), i -> concat('t', i % 97))").as("toks"),
+        expr(s"filter(sequence(0, ${nTok - 1}), i -> i % 10 != 0)").as("cov"))
+      .persist()
+    def run(docs: org.apache.spark.sql.DataFrame, mask: String): Double = {
+      val t0 = System.nanoTime()
+      docs.select(md5(concat_ws(" ", expr(mask))).as("m")).agg(count(col("m"))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup: codegen + whole pipeline once off-clock
+    { val w = mk(500); run(w, graft.queries.Pipeline.scrubKeptToksExpr); run(w, quadExpr); w.unpersist() }
+    for (nTok <- Seq(2000, 8000, 32000)) {
+      val docs = mk(nTok)
+      docs.count() // build the inputs off-clock
+      val linSec = run(docs, graft.queries.Pipeline.scrubKeptToksExpr)
+      val quadSec = if (nTok <= 8000) fx(run(docs, quadExpr), 2) else "null"
+      docs.unpersist()
+      println(s"""{"metric":"span_scrub_mask","n_tok":$nTok,"n_docs":32,"cover_frac":0.9,""" +
+        s""""linear_sec":${fx(linSec, 2)},"quadratic_sec":$quadSec}""")
+    }
   }
 
   /** Skew-hardening witness for connected components (round-11 verdict

@@ -1279,4 +1279,44 @@ class StreamsExtraSpec extends SparkSuite {
     // keeper discipline: a keeper never reports itself
     assert(got.forall { case (id, _, k) => id != k })
   }
+
+  test("streaming near-dup: band state survives a checkpoint restart; cross-restart collisions keep the pre-restart keeper") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val srcDir = Files.createTempDirectory("graft_nd_src").toString
+    val ckpt = Files.createTempDirectory("graft_nd_ckpt").toString
+    val sink = Files.createTempDirectory("graft_nd_sink").toString
+    val sch = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    // two near-identical texts (>= 3 tokens → shingles exist), one unique
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    def writeBatch(rows: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    def runOnce(): Unit = {
+      val q = Streams.streamingNearDup(spark.readStream.schema(sch).parquet(srcDir))(spark)
+        .toDF().writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: doc 2 collides with keeper 0 on both bands; doc 5 is unique
+    writeBatch(Seq(0L -> textA, 2L -> textA, 5L -> textB))
+    runOnce()
+    val after1 = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(after1 == Set((2L, 0, 0L), (2L, 1, 0L)),
+      s"first run must report doc 2 against keeper 0 on both bands, got $after1")
+    // run 2 is a NEW query on the same checkpoint: doc 10's text matches
+    // the band state doc 0 claimed BEFORE the restart — detecting it
+    // proves the flatMapGroupsWithState store recovered, not recomputed
+    writeBatch(Seq(10L -> textA))
+    runOnce()
+    val after2 = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(after2 == after1 ++ Set((10L, 0, 0L), (10L, 1, 0L)),
+      s"restarted query must keep pre-restart keepers and add only doc 10's hits, got $after2")
+  }
 }
