@@ -638,4 +638,163 @@ class PipelineSpec extends SparkSuite {
     val decs = out.values.map(_._5).toSet
     assert(decs == Set("keep", "blocklist"), "thresholds must split the sources")
   }
+
+  test("p36 full ANN stack: results honor list routing and the exact-rescore discipline") {
+    val out = Pipeline.p36.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 5 * 3, "5 queries x top-3")
+    // composition: every returned candidate must live in a list its
+    // query probed (re-derive lists + probes with the same trainer)
+    graft.expressions.VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val model = graft.ops.KMeans.fit(e, "vec_id", "embedding", 8, 3, forceKernel = true)
+    val lists = graft.ops.KMeans.assign(e, "embedding", model, forceKernel = true)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probed: Map[Long, Set[Int]] = (0L until 5L).map { qid =>
+      val q = vecs(qid)
+      val ranked = model.centroids.zipWithIndex
+        .map { case (c, j) =>
+          (BigDecimal(cos(q, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, j) }
+        .sortBy { case (s, j) => (-s, j) }.take(4).map(_._2).toSet
+      qid -> ranked
+    }.toMap
+    out.foreach { case (qid, _, cid, gCos) =>
+      assert(probed(qid).contains(lists(cid)),
+        s"candidate $cid of query $qid must come from a probed list")
+      // exact rescore: the reported cosine is the true float cosine,
+      // not the ADC approximation
+      assert(math.abs(gCos - cos(vecs(qid), vecs(cid))) <= 2e-6,
+        s"pair ($qid,$cid) cosine must be exact, not reconstructed")
+    }
+    // per-query ranks are 1..3 ordered by cosine desc
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1, 2, 3), s"query $q ranks")
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b }, s"query $q order")
+    }
+  }
+
+  test("p37 training converges: the distilled model agrees with the rule labels") {
+    val traj = Pipeline.p37.fn(spark, sf).collect()
+      .map(r => r.getInt(0) -> (1 to 5).map(r.getDouble).toArray).toMap
+    assert(traj.keySet == Set(1, 2, 3), "one row per iteration")
+    assert(traj.values.flatten.forall(w => !w.isNaN && math.abs(w) < 10),
+      "weights must stay finite and bounded (no divergence)")
+    // the trajectory must MOVE monotonically away from zero overall
+    // (a stalled or oscillating-divergent run fails the distillation)
+    val norms = (1 to 3).map(t => math.sqrt(traj(t).map(w => w * w).sum))
+    assert(norms.zip(norms.tail).forall { case (a, b) => b > a },
+      s"weight norm must grow while converging: $norms")
+    // label agreement of the final model (measured 94% on this fixture)
+    val w = traj(3)
+    val featr = Pipeline.lrFeatures(Tables.documents(spark, sf)).persist()
+    val (std, _, _) = Pipeline.lrStandardize(featr)
+    val rows = std.select(col("y"), col("x1"), col("x2"), col("x3"), col("x4")).collect()
+    featr.unpersist()
+    val agree = rows.count { r =>
+      val z = w(0) + w(1) * r.getDouble(1) + w(2) * r.getDouble(2) +
+        w(3) * r.getDouble(3) + w(4) * r.getDouble(4)
+      val keep = 1.0 / (1.0 + math.exp(-z)) >= 0.5
+      keep == (r.getDouble(0) == 1.0)
+    }
+    assert(agree.toDouble / rows.length >= 0.85,
+      s"distilled model must track the rule: $agree/${rows.length}")
+  }
+
+  test("p37b trained inference recounts from the standardized scores and is non-degenerate") {
+    val out = Pipeline.p37b.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val featr = Pipeline.lrFeatures(Tables.documents(spark, sf)).persist()
+    val (std, _, _) = Pipeline.lrStandardize(featr)
+    val feats = std.persist()
+    val w = Pipeline.lrFit(feats, 1.0, 3).last
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scores = feats.collect().map { r =>
+      val z = r6(w(0) + w(1) * r.getDouble(3) + w(2) * r.getDouble(4) +
+        w(3) * r.getDouble(5) + w(4) * r.getDouble(6))
+      (r.getString(1), r6(1.0 / (1.0 + math.exp(-z))))
+    }
+    feats.unpersist(); featr.unpersist()
+    scores.groupBy(_._1).foreach { case (lang, ds) =>
+      val (nDocs, nKeep, mean, mn, mx) = out(lang)
+      assert(nDocs == ds.length, s"$lang n_docs")
+      assert(nKeep == ds.count(_._2 >= 0.5), s"$lang n_keep")
+      assert(math.abs(mean -
+        r6(ds.map(d => math.round(d._2 * 1e6)).sum.toDouble / (ds.length * 1e6))) <= 1e-6)
+      assert(math.abs(mn - ds.map(_._2).min) <= 1e-6 && math.abs(mx - ds.map(_._2).max) <= 1e-6)
+    }
+    val keeps = out.values.map(_._2).sum
+    val total = out.values.map(_._1).sum
+    assert(keeps > 0 && keeps < total, "trained decision must split the corpus")
+  }
+
+  test("p38 paragraph pairs are true near-dups and LSH recall stays high vs brute force") {
+    val got = Pipeline.p38.fn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)), r.getDouble(4))).toMap
+    // brute force: all paragraph pairs by exact 3-shingle Jaccard
+    val paras = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        toks.grouped(32).zipWithIndex.map { case (p, k) =>
+          ((r.getLong(0), k), p.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet)
+        }
+      }.filter(_._2.nonEmpty)
+    val brute = (for {
+      (ka, sa) <- paras; (kb, sb) <- paras
+      if ka._1 < kb._1 || (ka._1 == kb._1 && ka._2 < kb._2)
+      inter = (sa & sb).size
+      if inter > 0 && inter.toDouble / (sa.size + sb.size - inter) >= 0.8
+    } yield ((ka._1, ka._2, kb._1, kb._2),
+      inter.toDouble / (sa.size + sb.size - inter))).toMap
+    assert(got.nonEmpty, "the fixture's near-dup docs must yield paragraph pairs")
+    got.foreach { case (k, j) =>
+      assert(brute.contains(k), s"reported pair $k must be a true near-dup")
+      assert(math.abs(j - BigDecimal(brute(k)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) <= 1e-6, s"pair $k jaccard")
+    }
+    assert(got.size.toDouble / brute.size >= 0.8,
+      s"2-band LSH recall collapsed: ${got.size}/${brute.size}")
+  }
+
+  test("p34b bigram perplexity matches a brute-force bigram-LM recount") {
+    val out = Pipeline.p34b.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val docs = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+      .filter(_._2.nonEmpty)
+    assert(out.keySet == docs.keySet, "every non-empty en doc gets a score")
+    val uni = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = uni.size.toDouble
+    val nu = uni.values.sum.toDouble
+    val big = docs.values.flatMap(_.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, toks) =>
+      val lp1 = math.round(math.log((uni(toks.head) + 1.0) / (nu + v)) * 1e6)
+      val lp2 = toks.sliding(2).filter(_.length == 2).map { p =>
+        math.round(math.log((big(p.mkString(" ")) + 1.0) / (uni(p.head) + v)) * 1e6)
+      }.sum
+      val xent = r6(-((lp1 + lp2).toDouble / 1e6) / toks.length)
+      val (nTok, gXent, gPpl) = out(id)
+      assert(nTok == toks.length, s"doc $id n_tok")
+      assert(math.abs(gXent - xent) <= 1e-6, s"doc $id xent $gXent vs $xent")
+      assert(math.abs(gPpl -
+        BigDecimal(math.exp(xent)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-2)
+    }
+    // bigram context must sharpen the model vs p34's unigram: mean
+    // cross-entropy strictly drops (repeated phrases are predictable)
+    val uniXent = Pipeline.p34.fn(spark, sf).collect().map(_.getDouble(2))
+    val biXent = out.values.map(_._2)
+    assert(biXent.sum / biXent.size < uniXent.sum / uniXent.length,
+      "bigram LM must beat unigram cross-entropy on average")
+  }
 }

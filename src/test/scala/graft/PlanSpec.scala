@@ -351,4 +351,55 @@ class PlanSpec extends SparkSuite {
       "the dup-id set must left-join on doc_id, never cross")
     assert(plan.contains("partial_"), "the source rollup needs map-side combine")
   }
+
+  test("p36: full ANN stack routes candidates by list equi-join with broadcast probes — no all-pairs scan") {
+    val plan = finalPlan(graft.queries.Pipeline.p36.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "candidates must come from the trained-list equi-join, never a cross product")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("list_id")),
+      s"the per-query probe set must broadcast into the list join:\n${plan.take(1200)}")
+    assert(plan.contains("pq_encode"),
+      s"the corpus side must be scanned as PQ codes via the kernel expression:\n${plan.take(1200)}")
+  }
+
+  test("p37: one GD gradient pass is a map-only scan + partial-aggregated 5-number reduce") {
+    import org.apache.spark.sql.functions.{round => rnd, sum, exp}
+    val feats = graft.queries.Pipeline.lrFeatures(graft.sources.Tables.documents(spark, sf))
+    // the iteration body's shape: sigmoid projection under literal
+    // weights, e6-integer gradient sums (what lrFit runs ×iters)
+    val z = rnd(lit(0.1) + lit(0.2) * col("x1") + lit(0.3) * col("x2") +
+      lit(0.4) * col("x3") + lit(0.5) * col("x4"), 6)
+    val p = rnd(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    val grad = feats.agg(
+      count(lit(1)).as("n"),
+      sum(rnd((p - col("y")) * lit(1e6)).cast("long")).as("g0"),
+      sum(rnd((p - col("y")) * col("x1") * lit(1e6)).cast("long")).as("g1"))
+    val plan = finalPlan(grad)
+    assert(plan.contains("partial_"), "gradient sums need map-side combine")
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"one scan + one single-partition reduce — no wider shuffle:\n${plan.take(1000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("p38: paragraph near-dup candidates come from the band equi-join — never all paragraph pairs") {
+    val plan = finalPlan(graft.queries.Pipeline.p38.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "paragraph candidates must join on band values, never cross")
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("band_val")),
+      s"candidate join must key on band values:\n${plan.take(1200)}")
+    assert(plan.contains("partial_"), "shingle-intersection counts need map-side combine")
+  }
+
+  test("p34b: bigram LM joins are dictionary equi-joins; doc sums are partial+final") {
+    val plan = finalPlan(graft.queries.Pipeline.p34b.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"), "only the 1-row stats frame may cross (broadcast)")
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("big")),
+      s"bigram instances must equi-join their dictionary entry:\n${plan.take(1200)}")
+    assert(plan.contains("partial_"), "per-doc log-prob sums need map-side combine")
+  }
 }
