@@ -146,16 +146,19 @@ object ScaleSmoke {
       .persist()
     def run(docs: org.apache.spark.sql.DataFrame, mask: String): Double = {
       val t0 = System.nanoTime()
-      docs.select(md5(concat_ws(" ", expr(mask))).as("m")).agg(count(col("m"))).head()
+      // max, not count: count(md5(..)) lets Catalyst skip the mask
+      // entirely (measured 0.13 s for a 16 s computation) — the md5
+      // value must be REQUIRED for the mask to execute
+      docs.select(md5(concat_ws(" ", expr(mask))).as("m")).agg(max(col("m"))).head()
       (System.nanoTime() - t0) / 1e9
     }
     // warmup: codegen + whole pipeline once off-clock
     { val w = mk(500); run(w, graft.queries.Pipeline.scrubKeptToksExpr); run(w, quadExpr); w.unpersist() }
-    for (nTok <- Seq(2000, 8000, 32000)) {
+    for (nTok <- Seq(8000, 32000, 128000)) {
       val docs = mk(nTok)
       docs.count() // build the inputs off-clock
       val linSec = run(docs, graft.queries.Pipeline.scrubKeptToksExpr)
-      val quadSec = if (nTok <= 8000) fx(run(docs, quadExpr), 2) else "null"
+      val quadSec = if (nTok <= 32000) fx(run(docs, quadExpr), 2) else "null"
       docs.unpersist()
       println(s"""{"metric":"span_scrub_mask","n_tok":$nTok,"n_docs":32,"cover_frac":0.9,""" +
         s""""linear_sec":${fx(linSec, 2)},"quadratic_sec":$quadSec}""")
