@@ -33,13 +33,29 @@ object Envelope {
     StructField("date_of_birth", StringType),
     StructField("status_id", IntegerType)))
 
-  /** Full envelope: lsn + tag + table + new/old images. */
+  /** Full envelope: lsn + tag + table + new/old images. `old` carries
+    * the key only — the default REPLICA IDENTITY wire shape. */
   val schema: StructType = StructType(Seq(
     StructField("lsn", StringType),
     StructField("tag", StringType),
     StructField("table", StringType),
     StructField("new", rowImage),
     StructField("old", StructType(Seq(StructField("id", LongType))))))
+
+  /** Envelope for a source running REPLICA IDENTITY FULL: wal2json's
+    * `old` then carries the COMPLETE pre-change row on updates/deletes
+    * (the reference's event type allows it —
+    * `/root/reference/src/database/postgresql/PostgresLogicalPg.ts:21-23`,
+    * Wal2Json.Output — though its consumer never reads `old`;
+    * SURVEY §1.1 item 2). [[project]] passes the extra old fields
+    * through as `old`-prefixed camelCase columns, giving before/after
+    * diff consumers both images in one row. */
+  val schemaFullOld: StructType = StructType(Seq(
+    StructField("lsn", StringType),
+    StructField("tag", StringType),
+    StructField("table", StringType),
+    StructField("new", rowImage),
+    StructField("old", rowImage)))
 
   /** Transaction-control tags dropped by the reference's filter
     * (`customMapper.ts:12-13`). */
@@ -150,6 +166,16 @@ object Envelope {
       case Some(s: StructType) => s.fields.filterNot(f => knownImageFields(f.name)).toSeq
       case _ => Seq.empty
     }
+    // REPLICA IDENTITY FULL: any `old` field beyond the key is the
+    // pre-change image — pass it through as oldXxx (null on inserts,
+    // and on every event of a default-identity stream, whose key-only
+    // `old` adds no columns here: backward-compatible by construction).
+    // Updates then carry (new, old) side by side for before/after diff
+    // consumers; deletes carry the full final image of the removed row.
+    val oldExtras: Seq[StructField] = df.schema.fields.find(_.name == "old").map(_.dataType) match {
+      case Some(s: StructType) => s.fields.filterNot(_.name == "id").toSeq
+      case _ => Seq.empty
+    }
     // ONE list is both the select and the shadow-guard vocabulary —
     // deriving fixedNames from it means adding a projected column can
     // never silently re-open the drift-shadowing hole a stale
@@ -164,19 +190,38 @@ object Envelope {
       "status" -> col("new.status_id"))
     val fixedNames = fixedCols.map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet +
       "__rn" // lastImageByKey's bookkeeping — shadowing it clobbers the fold
-    extras.foreach { f =>
-      val out = camelCase(f.name)
+    // known old fields mirror the new side's rename/cast conventions
+    // (oldStatus not oldStatusId, oldDateOfBirth as a DATE) so a diff
+    // consumer compares like with like; drifted old fields fold
+    // generically (old_email_x → oldEmailX)
+    val oldKnown: Map[String, (String, Column)] = Map(
+      "first_name" -> ("oldFirstName", col("old.first_name")),
+      "last_name" -> ("oldLastName", col("old.last_name")),
+      "date_of_birth" -> ("oldDateOfBirth", col("old.date_of_birth").cast(DateType)),
+      "status_id" -> ("oldStatus", col("old.status_id")))
+    def oldOut(f: StructField): String =
+      oldKnown.get(f.name).map(_._1).getOrElse(camelCase("old_" + f.name))
+    def oldCol(f: StructField): Column =
+      oldKnown.get(f.name).map(_._2).getOrElse(col(s"old.${f.name}"))
+    (extras.map(f => f.name -> camelCase(f.name)) ++
+      oldExtras.map(f => s"old.${f.name}" -> oldOut(f))).foreach { case (in, out) =>
       require(!fixedNames.contains(out.toLowerCase(java.util.Locale.ROOT)),
-        s"[graft] drifted image field '${f.name}' would shadow projected column '$out' — rename it upstream")
+        s"[graft] image field '$in' would shadow projected column '$out' — rename it upstream")
     }
     // the fold must also be injective AMONG the extras: two drifted
     // fields collapsing to one camelCase (`email_x` and `emailX`) would
     // emit duplicate output columns and poison every downstream
-    // resolution with ambiguity errors — refuse at the projection
-    requireInjectiveOutputs("drifted image", extras.map(f => f.name -> camelCase(f.name)))
+    // resolution with ambiguity errors — refuse at the projection. The
+    // old-image outputs join the same vocabulary: a drifted `new` field
+    // literally named old_first_name must not collide with the
+    // old-image projection of first_name.
+    requireInjectiveOutputs("projected image",
+      extras.map(f => f.name -> camelCase(f.name)) ++
+        oldExtras.map(f => s"old.${f.name}" -> oldOut(f)))
     df.filter(tagFilter)
       .select(fixedCols.map { case (n, c) => c.as(n) } ++
-        extras.map(f => col(s"new.${f.name}").as(camelCase(f.name))): _*)
+        extras.map(f => col(s"new.${f.name}").as(camelCase(f.name))) ++
+        oldExtras.map(f => oldCol(f).as(oldOut(f))): _*)
   }
 
   /** A relation in a multi-table CDC stream — the per-table schema

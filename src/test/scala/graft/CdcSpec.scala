@@ -260,4 +260,45 @@ class CdcSpec extends SparkSuite {
     val ordered = files.sortBy(_.getName).map(_.lastModified())
     assert(ordered == ordered.sorted && ordered.distinct == ordered)
   }
+
+  test("A5 full-old-image (REPLICA IDENTITY FULL): updates/deletes carry the pre-change row as oldXxx") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"lsn": "0/00000010", "tag": "insert", "table": "students", "new": {"id": 1, "first_name": "Ada", "last_name": "Lovelace", "date_of_birth": "1815-12-10", "status_id": 1}}""",
+      """{"lsn": "0/00000020", "tag": "update", "table": "students", "new": {"id": 1, "first_name": "Ada", "last_name": "Byron", "date_of_birth": "1815-12-10", "status_id": 2}, "old": {"id": 1, "first_name": "Ada", "last_name": "Lovelace", "date_of_birth": "1815-12-10", "status_id": 1}}""",
+      """{"lsn": "0/00000030", "tag": "delete", "table": "students", "old": {"id": 1, "first_name": "Ada", "last_name": "Byron", "date_of_birth": "1815-12-10", "status_id": 2}}""")
+    val out = Envelope.project(
+        spark.read.schema(Envelope.schemaFullOld).json(lines.toDS))
+      .orderBy(col("lsn")).collect()
+    // insert: no pre-change image
+    assert(out(0).getAs[String]("oldLastName") == null && out(0).getAs[String]("lastName") == "Lovelace")
+    // update: before/after side by side, old side under the NEW side's
+    // rename/cast conventions (oldStatus, oldDateOfBirth as DATE)
+    assert(out(1).getAs[String]("lastName") == "Byron")
+    assert(out(1).getAs[String]("oldLastName") == "Lovelace")
+    assert(out(1).getAs[Int]("status") == 2 && out(1).getAs[Int]("oldStatus") == 1)
+    assert(out(1).getAs[java.sql.Date]("oldDateOfBirth") == java.sql.Date.valueOf("1815-12-10"))
+    // delete: the full final image of the removed row rides in old
+    assert(out(2).getAs[String]("oldLastName") == "Byron" && out(2).getAs[String]("lastName") == null)
+    assert(out(2).getAs[Long]("id") == 1L)
+    // a default-identity (key-only old) stream is byte-for-byte unchanged:
+    // the old image contributes NO columns
+    val keyOnly = Envelope.project(spark.read.schema(Envelope.schema).json(lines.toDS))
+    assert(!keyOnly.columns.exists(_.toLowerCase.startsWith("old")), keyOnly.columns.mkString(","))
+  }
+
+  test("full-old projection refuses a drifted new field that shadows an old-image output") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val driftedNew = StructType(Envelope.rowImage.fields :+ StructField("old_first_name", StringType))
+    val sch = StructType(Envelope.schemaFullOld.fields.map {
+      case f if f.name == "new" => StructField("new", driftedNew)
+      case f => f
+    })
+    val line = """{"lsn": "0/00000010", "tag": "insert", "table": "students", "new": {"id": 1, "first_name": "A", "last_name": "B", "date_of_birth": "2000-01-01", "status_id": 1, "old_first_name": "X"}}"""
+    val e = intercept[IllegalArgumentException] {
+      Envelope.project(spark.read.schema(sch).json(Seq(line).toDS))
+    }
+    assert(e.getMessage.contains("oldFirstName"), e.getMessage)
+  }
 }
