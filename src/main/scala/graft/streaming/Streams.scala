@@ -315,6 +315,72 @@ object Streams {
       }
   }
 
+  /** [[streamingNearDup]] with an EVICTION HORIZON — the bounded-index
+    * variant SCALE.md §6 documents as the state-size dial
+    * ("only dedup against the last N days"). Input rows carry an event
+    * time `tsCol`; each band's keeper entry lives until the watermark
+    * passes (last activity on the band + horizon), then the event-time
+    * timeout REMOVES it — a later duplicate of an evicted band becomes
+    * the band's NEW keeper instead of a hit, which is exactly
+    * dedup-within-horizon semantics (an operator choice, not a
+    * correctness fix: the unbounded form IS the full index). The
+    * timeout timestamp is re-armed on every touch, so hot boilerplate
+    * bands never expire while quiet ones age out — state is bounded by
+    * bands ACTIVE within the horizon. */
+  def streamingNearDupWithHorizon(docs: DataFrame, horizonMs: Long,
+      tsCol: String = "ts", watermarkDelay: String = "0 seconds")(
+      implicit spark: SparkSession): Dataset[BandHit] = {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val sig = docs
+      .withColumn("toks", expr(TextFns.tokensExpr("text")))
+      .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
+      .withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
+    val withMh = (0 until 8).foldLeft(sig)((df, k) =>
+      df.withColumn(s"mh$k", expr(TextFns.minhashExpr("hs", k))))
+    val bands = withMh.select(col("doc_id"), col(tsCol).as("ts"), explode(array(
+        struct(lit(0).as("band_id"),
+          concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val")),
+        struct(lit(1).as("band_id"),
+          concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))).as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"),
+        col("b.band_val").as("band_val"), col("ts"))
+      .filter(col("band_val").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Int, String, java.sql.Timestamp)]
+    bands
+      .groupByKey { case (_, bid, bval, _) => (bid, bval) }
+      .flatMapGroupsWithState[Long, BandHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((bid, _), rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // horizon passed with no new activity: forget the keeper —
+            // the next arrival under this band founds a fresh entry
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic order: ingest time, then id
+            val sorted = rows.toSeq.sortBy { case (id, _, _, ts) => (ts.getTime, id) }
+            val hits = Seq.newBuilder[BandHit]
+            var keeper: Option[Long] = state.getOption
+            sorted.foreach { case (id, _, _, _) =>
+              keeper match {
+                case None               => keeper = Some(id)
+                case Some(k) if id != k => hits += BandHit(id, bid, k)
+                case _                  => ()
+              }
+            }
+            keeper.foreach(state.update)
+            // re-arm from the band's latest activity; never behind the
+            // current watermark (setTimeoutTimestamp refuses the past)
+            val maxTs = sorted.map(_._4.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1L))
+            hits.result().iterator
+          }
+      }
+  }
+
   /** Stream–stream interval join (B.3): each error event joined to the
     * same user's click events in the preceding `lookback`. Watermarks on
     * BOTH sides plus the two-sided time-range predicate are what let

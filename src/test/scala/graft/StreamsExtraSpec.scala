@@ -1319,4 +1319,37 @@ class StreamsExtraSpec extends SparkSuite {
     assert(after2 == after1 ++ Set((10L, 0, 0L), (10L, 1, 0L)),
       s"restarted query must keep pre-restart keepers and add only doc 10's hits, got $after2")
   }
+
+  test("streaming near-dup horizon: quiet bands age out; a post-eviction duplicate founds a NEW keeper") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Streams.streamingNearDupWithHorizon(
+        input.toDF().toDF("doc_id", "text", "ts"), horizonMs = 5000L)
+      .toDF().writeStream.format("memory").queryName("t_neardup_h")
+      .outputMode(OutputMode.Append()).start()
+    def got() = spark.table("t_neardup_h").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    try {
+      input.addData((0L, textA, ts(10))); q.processAllAvailable()
+      input.addData((2L, textA, ts(12))); q.processAllAvailable()
+      assert(got() == Set((2L, 0, 0L), (2L, 1, 0L)),
+        "inside the horizon a collision reports the founding keeper")
+      // watermark sails past the textA band's (12 s + 5 s) deadline —
+      // its keeper entry must be evicted by the event-time timeout
+      input.addData((5L, textB, ts(100))); q.processAllAvailable()
+      input.addData((6L, textB, ts(101))); q.processAllAvailable()
+      val before = got() // includes textB's own (6 -> 5) collisions
+      assert((before -- Set((2L, 0, 0L), (2L, 1, 0L))) == Set((6L, 0, 5L), (6L, 1, 5L)))
+      input.addData((10L, textA, ts(102))); q.processAllAvailable()
+      assert(got() == before,
+        "doc 10 must FOUND a new keeper — the textA band state was evicted, not matched")
+      input.addData((12L, textA, ts(103))); q.processAllAvailable()
+      assert((got() -- before) == Set((12L, 0, 10L), (12L, 1, 10L)),
+        "post-eviction collisions report the new keeper, never the evicted one")
+    } finally q.stop()
+  }
 }
