@@ -2586,8 +2586,92 @@ object Pipeline {
             |       ROUND(EXP(ROUND(-(CAST(SUM(lp_e6) AS DOUBLE) / 1e6) / COUNT(*), 6)), 2) AS ppl
             |FROM allx GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // p39 — BPE TOKENIZER TRAINING (merge learning): the other half of
+  // the tokenizer story (p1 counts with a BPE-ish regex; here the
+  // merge table itself is LEARNED). The real-trainer shape
+  // (HuggingFace/SentencePiece BPE): ONE corpus agg builds the word
+  // dictionary with multiplicities, then every iteration works on the
+  // DICTIONARY (vocabulary-sized, not corpus-sized) — adjacent-symbol
+  // pair counts weighted by word frequency, argmax pair (count desc,
+  // pair asc tiebreak — both engines deterministic), fuse it
+  // everywhere, repeat. Driver state per iteration: ONE merge rule —
+  // the learned tokenizer is the collected merge list, the p20/p37
+  // broadcast-literals template with integer-only arithmetic (no float
+  // discipline needed at all). Merge application is a single
+  // left-to-right replace() pass over the space-separated symbol
+  // string per iteration — Spark's replace and DuckDB's replace share
+  // the scan-continue-after-replacement semantics, so both engines
+  // fuse identical positions (NOTE: for an odd-length run of the same
+  // symbol this deviates from strict greedy BPE at the third repeat —
+  // a documented convention, identical in both engines, not a fork).
+  // At 100 TB only the dictionary build touches the corpus; iterations
+  // cost O(vocab) each and the pair agg is map-side-partial.
+  private val bpeIters = 4
+
+  val p39 = QuerySpec(
+    "p39_bpe_merges",
+    (s, d) => {
+      import s.implicits._
+      val dict0 = documents(s, d).filter(col("lang") === "en")
+        .select(explode(expr(toks)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("r", concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
+        .persist() // the corpus is touched once; iterations reuse this
+      var dict = dict0
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (t <- 1 to bpeIters) {
+        val top = dict
+          .withColumn("sy", expr("filter(split(trim(r), ' '), x -> x <> '')"))
+          .select(col("c"), explode(expr(TextFns.shinglesExpr("sy", 2))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("c")).as("total"))
+          .orderBy(col("total").desc, col("pair"))
+          .limit(1).collect()
+        require(top.nonEmpty, s"[graft] p39 iteration $t found no adjacent pairs — " +
+          "the vocabulary needs at least one multi-symbol word")
+        val pair = top(0).getString(0)
+        val total = top(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        merges += ((t, pair, merged, total))
+        val prev = dict
+        dict = prev.withColumn("r",
+            replace(col("r"), lit(s" $pair "), lit(s" $merged ")))
+          .persist()
+        dict.count() // materialize before dropping the parent cache
+        if (prev ne dict0) prev.unpersist()
+      }
+      if (dict ne dict0) dict.unpersist()
+      dict0.unpersist()
+      merges.result().toDF("iter", "pair", "merged", "n").orderBy(col("iter"))
+    },
+    Some {
+      def prevD(t: Int) = if (t == 1) "d0" else s"d${t - 1}"
+      val iters = (1 to bpeIters).map { t =>
+        s"""pr$t AS (SELECT q.pair, CAST(SUM(q.c) AS BIGINT) AS total FROM (
+           |         SELECT z.c, z.sy[i+1] || ' ' || z.sy[i+2] AS pair FROM (
+           |           SELECT c, list_filter(string_split(trim(r), ' '), x -> x <> '') AS sy
+           |           FROM ${prevD(t)}) z,
+           |           UNNEST(range(greatest(len(z.sy)-1, 0))) AS u(i)) q
+           |        GROUP BY 1),
+           |m$t AS (SELECT pair, total FROM pr$t ORDER BY total DESC, pair LIMIT 1),
+           |d$t AS (SELECT w, c, replace(r,
+           |          ' ' || (SELECT pair FROM m$t) || ' ',
+           |          ' ' || replace((SELECT pair FROM m$t), ' ', '') || ' ') AS r
+           |        FROM ${prevD(t)})""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to bpeIters).map(t =>
+        s"SELECT CAST($t AS INTEGER) AS iter, pair, replace(pair, ' ', '') AS merged, total AS n FROM m$t")
+        .mkString("\nUNION ALL\n")
+      s"""WITH tok AS (SELECT unnest($duckToks) AS w FROM documents WHERE lang = 'en'),
+         |d0 AS (SELECT w, COUNT(*) AS c,
+         |         ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS r
+         |       FROM tok GROUP BY w),
+         |$iters
+         |$out
+         |ORDER BY iter""".stripMargin
+    })
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b,
-      p35, p36, p37, p37b, p38)
+      p35, p36, p37, p37b, p38, p39)
 }

@@ -797,4 +797,35 @@ class PipelineSpec extends SparkSuite {
     assert(biXent.sum / biXent.size < uniXent.sum / uniXent.length,
       "bigram LM must beat unigram cross-entropy on average")
   }
+
+  test("p39 BPE merges match a brute-force single-node trainer") {
+    val out = Pipeline.p39.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val words = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val dict: Map[String, Long] =
+      words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // same repr/apply conventions: leading+trailing-space symbol string,
+    // ONE left-to-right java replace pass per merge (identical
+    // continue-after-replacement semantics as Spark/DuckDB replace)
+    var reprs: Map[String, String] =
+      dict.keys.map(w => w -> ("" + ' ' + w.toCharArray.map(c => s"$c ").mkString)).toMap
+    val expected = (1 to 4).map { t =>
+      val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for {
+        (w, r) <- reprs
+        syms = r.trim.split(" ").filter(_.nonEmpty)
+        i <- 0 until syms.length - 1
+      } counts(syms(i) + " " + syms(i + 1)) += dict(w)
+      val (pair, total) = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+      val merged = pair.replace(" ", "")
+      reprs = reprs.map { case (w, r) => w -> r.replace(s" $pair ", s" $merged ") }
+      (t, pair, merged, total)
+    }
+    assert(out == expected, s"merge tables diverge:\n got $out\nwant $expected")
+    // merge frequency is non-increasing: a later merge's count is
+    // bounded by the fused symbol's own occurrence count
+    assert(out.map(_._4) == out.map(_._4).sortBy(-_), "totals must be non-increasing")
+  }
 }

@@ -393,6 +393,24 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("partial_"), "shingle-intersection counts need map-side combine")
   }
 
+  test("p39: one BPE iteration is a dictionary-sized pair agg + TakeOrdered argmax") {
+    import org.apache.spark.sql.functions.{explode, expr, sum, concat, regexp_replace, lit => l}
+    import graft.functions.TextFns
+    val dict = graft.sources.Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select(explode(expr(TextFns.tokensExpr("text"))).as("w"))
+      .groupBy(col("w")).agg(count(l(1)).as("c"))
+      .withColumn("r", concat(l(" "), regexp_replace(col("w"), "(.)", "$1 ")))
+    val top = dict.withColumn("sy", expr("filter(split(trim(r), ' '), x -> x <> '')"))
+      .select(col("c"), explode(expr(TextFns.shinglesExpr("sy", 2))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("total"))
+      .orderBy(col("total").desc, col("pair")).limit(1)
+    val plan = finalPlan(top)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the argmax must plan as top-k, not a global sort:\n${plan.take(800)}")
+    assert(plan.contains("partial_"), "pair counts need map-side combine")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("p34b: bigram LM joins are dictionary equi-joins; doc sums are partial+final") {
     val plan = finalPlan(graft.queries.Pipeline.p34b.fn(spark, sf))
     assert(!plan.contains("CartesianProduct"), "only the 1-row stats frame may cross (broadcast)")
