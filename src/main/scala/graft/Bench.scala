@@ -94,18 +94,28 @@ object Bench {
     }
     // 2-decimal times (trailing zeros stripped), locale-fixed: raw
     // Double.toString put the 70-query line over the driver's 2000-byte
-    // tail capture (r4–r6 all recorded a truncated head → parsed:null),
-    // and at 76 queries even 3-decimal entries left the line + sbt's
-    // ~75-byte [success] trailer over the window (r15 audit: 1933+75).
-    // 10 ms resolution is ample for a 2× regression gate; two decimals
-    // keep ~130 bytes of slack at the current query count.
+    // tail capture (r4–r6 all recorded a truncated head → parsed:null).
+    // At 98 queries even the 2-decimal line (~2.7 KB) no longer fits
+    // that window — the BENCH_LAST.json file write below is the
+    // authoritative carrier; the printed line remains for captures
+    // wide enough to hold it. 10 ms resolution is ample for a 2× gate.
     def fmt(v: Double): String = {
       val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the line to a file: at 98 queries the line is ~2.7 KB
+    // and the driver's ~2 KB tail capture truncates its head (r16's
+    // BENCH json was parsed:null for exactly this) — the file carries
+    // the full per-query numbers regardless of capture window. Best
+    // effort: a read-only CWD must not fail the bench itself.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write BENCH_LAST.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
