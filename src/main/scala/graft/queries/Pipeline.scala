@@ -2670,8 +2670,192 @@ object Pipeline {
          |ORDER BY iter""".stripMargin
     })
 
+  // p40 — distributed PCA: the DOMINANT PRINCIPAL COMPONENT of the
+  // embedding corpus via power iteration — the third trainer family
+  // (k-means p20 = geometry, logistic regression p37 = supervised,
+  // PCA = spectral). Real pipelines run this for embedding whitening,
+  // ANN residual rotation, and drift monitoring. Shape is the proven
+  // p20/p37 template: ONE corpus pass computes the per-dim mean
+  // (e6-integer sums, 64-key partial agg); the centered corpus is
+  // cached; each iteration rides the current direction v as literals
+  // through a single scan — per-row dot ds = Σ round(cv·v·1e6) (exact
+  // integer fold, order-free), then ONE 64-key partial agg reduces
+  // g_i = Σ_rows round(cv_i·(ds/1e6)·1e6) — and the driver holds 64
+  // doubles: u = round(g/(n·1e6)), λ = round(√(Σ round(u²·1e12)/1e12))
+  // (the Rayleigh growth estimate), v' = round(u/λ). Every cross-row
+  // sum is an exact e6/e12 INTEGER so neither engine's addition order
+  // can fork the trajectory; the DuckDB oracle replays
+  // center→iterate with unrolled CTEs (the p37 convention). At 100 TB:
+  // iterations stream the corpus, driver state is dim doubles, the
+  // per-dim agg is map-side partial — no shuffle wider than 64 keys.
+  // Top-R components = R sequential runs with deflation (x' −= (x'·v)v,
+  // one more map-only pass per component) — same plan, R× the scans.
+  private val pcaIters = 3
+  private val pcaDim = 64
+
+  /** Power-iteration trajectory over `(vec_id, embedding)`: per
+    * iteration the unit direction (64 doubles, 6 dp) and the growth
+    * estimate λ. Driver state: dim doubles + n. */
+  private[graft] def pcaFit(embs: DataFrame, iters: Int): Seq[(Array[Double], Double)] = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mRows = embs.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(round(sum(round(col("x").cast("double") * 1e6).cast("long")) /
+        (count(lit(1)) * 1e6), 6).as("m"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    require(mRows.length == pcaDim,
+      s"[graft] p40 expects $pcaDim-dim embeddings, found ${mRows.length} dims")
+    val m = Array.ofDim[Double](pcaDim)
+    mRows.foreach(r => m(r.getInt(0)) = r.getDouble(1))
+    val n = mRows.head.getLong(2)
+    val mLit = array(m.toIndexedSeq.map(lit): _*)
+    val cen = embs.select(col("vec_id"),
+      zip_with(col("embedding"), mLit,
+        (x, mu) => round(x.cast("double") - mu, 6)).as("ce"))
+      .persist() // scanned ×iters
+    var v = Array.fill(pcaDim)(0.125) // exact binary fraction, unit 64-dim
+    val out = Seq.newBuilder[(Array[Double], Double)]
+    for (_ <- 1 to iters) {
+      val vLit = array(v.toIndexedSeq.map(lit): _*)
+      val gRows = cen
+        .withColumn("ds",
+          aggregate(zip_with(col("ce"), vLit,
+            (x, y) => round(x * y * 1e6).cast("long")), lit(0L), (a, x) => a + x))
+        .select(posexplode(col("ce")).as(Seq("i", "cv")), col("ds"))
+        .groupBy(col("i"))
+        .agg(sum(round(col("cv") * (col("ds") / 1e6) * 1e6).cast("long")).as("g"))
+        .collect()
+      val g = Array.ofDim[Long](pcaDim)
+      gRows.foreach(r => g(r.getInt(0)) = r.getLong(1))
+      val u = g.map(gi => r6(gi / (n * 1e6)))
+      val s2 = u.map(ui => math.round(ui * ui * 1e12)).sum // exact e12 ints
+      val lam = r6(math.sqrt(s2 / 1e12))
+      require(lam > 0, "[graft] p40 power iteration collapsed to the zero vector")
+      v = u.map(ui => r6(ui / lam))
+      out += ((v.clone(), lam))
+    }
+    cen.unpersist()
+    out.result()
+  }
+
+  val p40 = QuerySpec(
+    "p40_pca_power_iteration",
+    (s, d) => {
+      import s.implicits._
+      pcaFit(embeddings(s, d).select(col("vec_id"), col("embedding")), pcaIters)
+        .zipWithIndex
+        .flatMap { case ((vec, lam), t0) =>
+          vec.zipWithIndex.map { case (vi, i) => (t0 + 1, i, vi, lam) }
+        }
+        .toDF("iter", "i", "v", "lam")
+        .orderBy(col("iter"), col("i"))
+    },
+    Some {
+      val iters = (1 to pcaIters).map { t =>
+        val pv = if (t == 1) "v0" else s"v${t - 1}"
+        s"""d$t AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
+           |        FROM c JOIN $pv w ON w.i = c.i GROUP BY 1),
+           |g$t AS (SELECT c.i, SUM(CAST(ROUND(c.cv * (d.ds / 1e6) * 1e6) AS BIGINT)) AS g
+           |        FROM c JOIN d$t d ON d.vec_id = c.vec_id GROUP BY 1),
+           |u$t AS (SELECT i, ROUND(g / (n.n * 1e6), 6) AS u FROM g$t CROSS JOIN nn n),
+           |l$t AS (SELECT ROUND(SQRT(CAST(SUM(CAST(ROUND(u*u*1e12) AS BIGINT)) AS BIGINT) / 1e12), 6) AS lam
+           |        FROM u$t),
+           |v$t AS (SELECT i, ROUND(u / l.lam, 6) AS v FROM u$t CROSS JOIN l$t l)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to pcaIters).map(t =>
+        s"SELECT CAST($t AS INTEGER) AS iter, CAST(v$t.i AS INTEGER) AS i, v$t.v, l$t.lam FROM v$t CROSS JOIN l$t")
+        .mkString("\nUNION ALL\n")
+      s"""WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |mu AS (SELECT i, ROUND(CAST(SUM(CAST(ROUND(v * 1e6) AS BIGINT)) AS BIGINT)
+         |                       / (COUNT(*) * 1e6), 6) AS m
+         |       FROM f GROUP BY i),
+         |c AS (SELECT f.vec_id, f.i, ROUND(f.v - mu.m, 6) AS cv
+         |      FROM f JOIN mu ON mu.i = f.i),
+         |v0 AS (SELECT unnest(range($pcaDim)) AS i, 0.125 AS v),
+         |$iters
+         |$out
+         |ORDER BY iter, i""".stripMargin
+    })
+
+  // p41 — COUNT-MIN SKETCH heavy hitters (bigram boilerplate mining):
+  // the third sketch family after HLL (q16_hll) and approx quantiles
+  // (q26b), and unlike those this one composes to an EXACT answer —
+  // the production pattern for corpus-frequency screens ("which
+  // phrases are suspiciously common"): build a tiny mergeable sketch
+  // in one pass, take the sketch's top-k as CANDIDATES, exact-recount
+  // only the candidates. The sketch is integer-only (md5-derived
+  // bucket hashes, the TextFns portability discipline), so the WHOLE
+  // composition — cells, min-over-rows estimates, candidate cut,
+  // recount — hash-gates against a DuckDB replay: CMS overestimates
+  // (est ≥ exact always; collisions at width 256 over ~900 bigrams
+  // are REAL and mirrored, never hidden — the p6 LSH convention).
+  // Shape at 100 TB: the sketch build is a depth×width=1024-key
+  // partial agg (map-side combine does almost all the work — this IS
+  // the distributed/streaming CMS merge story); estimates join the
+  // vocab-sized distinct-bigram frame to the BROADCAST 1024-row
+  // sketch (vocab shuffles once for distinct, the p29 dictionary cost
+  // class — no corpus-sized shuffle); the candidate cut is
+  // TakeOrdered(k); the recount is a broadcast semi-join + k-key agg
+  // over one more corpus scan.
+  private val cmsDepth = 4
+  private val cmsWidth = 256
+  private val cmsTopK = 25
+
+  val p41 = QuerySpec(
+    "p41_cms_heavy_hitters",
+    (s, d) => {
+      val inst = documents(s, d).filter(col("lang") === "en")
+        .withColumn("toks", expr(toks))
+        .select(explode(expr(TextFns.shinglesExpr("toks", 2))).as("big"))
+        .persist() // scanned: sketch build, distinct vocab, exact recount
+      def bucket = expr(
+        s"${TextFns.md5IntScalarExpr("concat(CAST(k AS STRING), ':', big)")} % $cmsWidth")
+      val ks = explode(array((0 until cmsDepth).map(lit): _*)).as("k")
+      val cells = inst.select(col("big"), ks)
+        .withColumn("bucket", bucket)
+        .groupBy(col("k"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      val est = inst.distinct()
+        .select(col("big"), ks)
+        .withColumn("bucket", bucket)
+        .join(broadcast(cells), Seq("k", "bucket"))
+        .groupBy(col("big")).agg(min(col("cnt")).as("cms_est"))
+      val cand = est.orderBy(col("cms_est").desc, col("big")).limit(cmsTopK)
+      val exact = inst.join(broadcast(cand.select(col("big"))), "big")
+        .groupBy(col("big")).agg(count(lit(1)).as("n_exact"))
+      cand.join(exact, "big")
+        .select(col("big").as("bigram"), col("cms_est"), col("n_exact"))
+        .orderBy(col("cms_est").desc, col("bigram"))
+    },
+    Some {
+      val duckBucket =
+        s"CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || big), 1, 15) AS BIGINT) % ${TextFns.minhashP} % $cmsWidth"
+      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE lang = 'en'),
+         |inst AS (SELECT toks[i+1] || ' ' || toks[i+2] AS big
+         |         FROM base, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i)),
+         |ks AS (SELECT unnest(range($cmsDepth)) AS k),
+         |cells AS (SELECT k, $duckBucket AS bucket, COUNT(*) AS cnt
+         |          FROM inst CROSS JOIN ks GROUP BY 1, 2),
+         |dx AS (SELECT DISTINCT big FROM inst),
+         |est AS (SELECT q.big, MIN(c.cnt) AS cms_est
+         |        FROM (SELECT d.big, k.k, $duckBucket AS bucket
+         |              FROM dx d CROSS JOIN ks k) q
+         |        JOIN cells c ON c.k = q.k AND c.bucket = q.bucket
+         |        GROUP BY 1),
+         |cand AS (SELECT big, cms_est FROM est ORDER BY cms_est DESC, big LIMIT $cmsTopK),
+         |ex AS (SELECT i.big, COUNT(*) AS n_exact FROM inst i
+         |       JOIN cand c ON c.big = i.big GROUP BY 1)
+         |SELECT c.big AS bigram, CAST(c.cms_est AS BIGINT) AS cms_est,
+         |       CAST(e.n_exact AS BIGINT) AS n_exact
+         |FROM cand c JOIN ex e ON e.big = c.big
+         |ORDER BY cms_est DESC, bigram""".stripMargin
+    })
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b,
-      p35, p36, p37, p37b, p38, p39)
+      p35, p36, p37, p37b, p38, p39, p40, p41)
 }

@@ -828,4 +828,74 @@ class PipelineSpec extends SparkSuite {
     // bounded by the fused symbol's own occurrence count
     assert(out.map(_._4) == out.map(_._4).sortBy(-_), "totals must be non-increasing")
   }
+
+  test("p40 power-iteration trajectory matches a brute-force single-node PCA") {
+    val out = Pipeline.p40.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSeq
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rL(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val embs = Tables.embeddings(spark, sf).orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = embs.length
+    val dim = 64
+    // replay pcaFit's quantization naively: e6-integer mean, 6-dp
+    // centering, per-row integer dot, per-dim integer gradient sums
+    val m = Array.tabulate(dim)(i => r6(embs.map(e => rL(e(i) * 1e6)).sum / (n * 1e6)))
+    val cen = embs.map(e => Array.tabulate(dim)(i => r6(e(i) - m(i))))
+    var v = Array.fill(dim)(0.125)
+    val expected = (1 to 3).flatMap { t =>
+      val ds = cen.map(c => (0 until dim).map(i => rL(c(i) * v(i) * 1e6)).sum)
+      val g = Array.tabulate(dim)(i =>
+        cen.zip(ds).map { case (c, d) => rL(c(i) * (d / 1e6) * 1e6) }.sum)
+      val u = g.map(gi => r6(gi / (n * 1e6)))
+      val lam = r6(math.sqrt(u.map(ui => rL(ui * ui * 1e12)).sum / 1e12))
+      v = u.map(ui => r6(ui / lam))
+      v.zipWithIndex.map { case (vi, i) => (t, i, vi, lam) }.toSeq
+    }
+    assert(out == expected, "distributed trajectory must equal the single-node replay")
+    // spectral sanity: growth estimate climbs toward the dominant
+    // eigenvalue, directions are unit and progressively aligned
+    val lams = out.map(_._4).distinct
+    assert(lams == lams.sorted && lams.toSet.size == 3 && lams.head > 0,
+      s"growth estimates must strictly increase: $lams")
+    val vecs = out.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray)
+    vecs.foreach { w =>
+      assert(math.abs(w.map(x => x * x).sum - 1.0) <= 1e-3, "direction must be unit") }
+    val aligns = vecs.sliding(2).map { case Seq(a, b) =>
+      a.zip(b).map { case (x, y) => x * y }.sum }.toSeq
+    assert(aligns.forall(_ >= 0.9) && aligns == aligns.sorted,
+      s"successive directions must converge: $aligns")
+  }
+
+  test("p41 CMS heavy hitters match a brute-force single-node sketch replay") {
+    val out = Pipeline.p41.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // full replay: same md5-bucket family, depth 4 × width 256
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    def bucket(k: Int, big: String): Long =
+      java.lang.Long.parseLong(md5hex(s"$k:$big").take(15), 16) % 2147483647L % 256L
+    val bigs = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select(col("text")).collect()
+      .flatMap { r =>
+        val t = r.getString(0).split(" ").filter(_.nonEmpty)
+        t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }
+      }.toSeq
+    val exact = bigs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cells = (for { big <- bigs; k <- 0 until 4 } yield (k, bucket(k, big)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = exact.keys.map(big =>
+      big -> (0 until 4).map(k => cells((k, bucket(k, big)))).min).toMap
+    val expected = est.toSeq.sortBy { case (b, e) => (-e, b) }.take(25)
+      .map { case (b, e) => (b, e, exact(b)) }
+    assert(out == expected, s"sketch replay diverges:\n got ${out.take(5)}…\nwant ${expected.take(5)}…")
+    // the CMS law: estimates never undercount
+    assert(out.forall { case (_, e, x) => e >= x }, "CMS must only overestimate")
+    assert(out.map(_._2) == out.map(_._2).sortBy(-_), "candidates ranked by estimate")
+  }
 }

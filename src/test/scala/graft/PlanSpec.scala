@@ -411,6 +411,41 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("p40: one power-iteration pass is a map-only centered scan + 64-key partial agg") {
+    import org.apache.spark.sql.functions.{round => rnd, sum, posexplode, aggregate, zip_with, array, lit => l}
+    // the iteration body's shape: literal direction rides the plan,
+    // per-row dot is an integer fold, ONE dim-keyed agg (what pcaFit
+    // runs ×iters after the same-shaped mean pass)
+    val vLit = array((0 until 64).map(_ => l(0.125)): _*)
+    val g = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        zip_with(col("embedding"), vLit, (x, mu) => rnd(x.cast("double") - mu, 6)).as("ce"))
+      .withColumn("ds",
+        aggregate(zip_with(col("ce"), vLit,
+          (x, y) => rnd(x * y * 1e6).cast("long")), l(0L), (a, x) => a + x))
+      .select(posexplode(col("ce")).as(Seq("i", "cv")), col("ds"))
+      .groupBy(col("i"))
+      .agg(sum(rnd(col("cv") * (col("ds") / 1e6) * 1e6).cast("long")).as("g"))
+    val plan = finalPlan(g)
+    assert(plan.contains("partial_"), "gradient sums need map-side combine")
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"one scan + one dim-keyed reduce — no wider shuffle:\n${plan.take(1000)}")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Generate"), "per-dim fan-out happens in-scan, post-dot")
+  }
+
+  test("p41: CMS estimates broadcast the 1024-row sketch; the candidate cut is top-k") {
+    val plan = finalPlan(graft.queries.Pipeline.p41.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "depth fan-out is a Generate over a literal array, never a cross join")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("bucket")),
+      s"the sketch (≤1024 cells) must broadcast into the estimate join:\n${plan.take(1200)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the candidate cut must plan as top-k, not a global sort:\n${plan.take(800)}")
+    assert(plan.contains("partial_"), "sketch cell counts need map-side combine")
+  }
+
   test("p34b: bigram LM joins are dictionary equi-joins; doc sums are partial+final") {
     val plan = finalPlan(graft.queries.Pipeline.p34b.fn(spark, sf))
     assert(!plan.contains("CartesianProduct"), "only the 1-row stats frame may cross (broadcast)")
