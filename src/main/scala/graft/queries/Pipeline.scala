@@ -2608,67 +2608,122 @@ object Pipeline {
   // cost O(vocab) each and the pair agg is map-side-partial.
   private val bpeIters = 4
 
+  /** The p39 BPE trainer: returns the final merged dictionary
+    * `(w, c, r)` (persisted — callers that only need the merge list
+    * unpersist it) plus the learned merge table. */
+  private[graft] def bpeTrain(s: SparkSession, d: String): (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val dict0 = documents(s, d).filter(col("lang") === "en")
+      .select(explode(expr(toks)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("r", concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
+      .persist() // the corpus is touched once; iterations reuse this
+    var dict = dict0
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (t <- 1 to bpeIters) {
+      val top = dict
+        .withColumn("sy", expr("filter(split(trim(r), ' '), x -> x <> '')"))
+        .select(col("c"), explode(expr(TextFns.shinglesExpr("sy", 2))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("total"))
+        .orderBy(col("total").desc, col("pair"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"[graft] p39 iteration $t found no adjacent pairs — " +
+        "the vocabulary needs at least one multi-symbol word")
+      val pair = top(0).getString(0)
+      val total = top(0).getLong(1)
+      val merged = pair.replace(" ", "")
+      merges += ((t, pair, merged, total))
+      val prev = dict
+      dict = prev.withColumn("r",
+          replace(col("r"), lit(s" $pair "), lit(s" $merged ")))
+        .persist()
+      dict.count() // materialize before dropping the parent cache
+      if (prev ne dict0) prev.unpersist()
+    }
+    dict0.unpersist()
+    (dict, merges.result())
+  }
+
   val p39 = QuerySpec(
     "p39_bpe_merges",
     (s, d) => {
       import s.implicits._
-      val dict0 = documents(s, d).filter(col("lang") === "en")
-        .select(explode(expr(toks)).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .withColumn("r", concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
-        .persist() // the corpus is touched once; iterations reuse this
-      var dict = dict0
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
-      for (t <- 1 to bpeIters) {
-        val top = dict
-          .withColumn("sy", expr("filter(split(trim(r), ' '), x -> x <> '')"))
-          .select(col("c"), explode(expr(TextFns.shinglesExpr("sy", 2))).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("c")).as("total"))
-          .orderBy(col("total").desc, col("pair"))
-          .limit(1).collect()
-        require(top.nonEmpty, s"[graft] p39 iteration $t found no adjacent pairs — " +
-          "the vocabulary needs at least one multi-symbol word")
-        val pair = top(0).getString(0)
-        val total = top(0).getLong(1)
-        val merged = pair.replace(" ", "")
-        merges += ((t, pair, merged, total))
-        val prev = dict
-        dict = prev.withColumn("r",
-            replace(col("r"), lit(s" $pair "), lit(s" $merged ")))
-          .persist()
-        dict.count() // materialize before dropping the parent cache
-        if (prev ne dict0) prev.unpersist()
-      }
-      if (dict ne dict0) dict.unpersist()
-      dict0.unpersist()
-      merges.result().toDF("iter", "pair", "merged", "n").orderBy(col("iter"))
+      val (dict, merges) = bpeTrain(s, d)
+      dict.unpersist() // merge table already on the driver
+      merges.toDF("iter", "pair", "merged", "n").orderBy(col("iter"))
     },
     Some {
-      def prevD(t: Int) = if (t == 1) "d0" else s"d${t - 1}"
-      val iters = (1 to bpeIters).map { t =>
-        s"""pr$t AS (SELECT q.pair, CAST(SUM(q.c) AS BIGINT) AS total FROM (
-           |         SELECT z.c, z.sy[i+1] || ' ' || z.sy[i+2] AS pair FROM (
-           |           SELECT c, list_filter(string_split(trim(r), ' '), x -> x <> '') AS sy
-           |           FROM ${prevD(t)}) z,
-           |           UNNEST(range(greatest(len(z.sy)-1, 0))) AS u(i)) q
-           |        GROUP BY 1),
-           |m$t AS (SELECT pair, total FROM pr$t ORDER BY total DESC, pair LIMIT 1),
-           |d$t AS (SELECT w, c, replace(r,
-           |          ' ' || (SELECT pair FROM m$t) || ' ',
-           |          ' ' || replace((SELECT pair FROM m$t), ' ', '') || ' ') AS r
-           |        FROM ${prevD(t)})""".stripMargin
-      }.mkString(",\n")
       val out = (1 to bpeIters).map(t =>
         s"SELECT CAST($t AS INTEGER) AS iter, pair, replace(pair, ' ', '') AS merged, total AS n FROM m$t")
         .mkString("\nUNION ALL\n")
-      s"""WITH tok AS (SELECT unnest($duckToks) AS w FROM documents WHERE lang = 'en'),
-         |d0 AS (SELECT w, COUNT(*) AS c,
-         |         ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS r
-         |       FROM tok GROUP BY w),
-         |$iters
+      s"""WITH $duckBpePrefix
          |$out
          |ORDER BY iter""".stripMargin
     })
+
+  /** DuckDB rendering of [[bpeTrain]]: word dictionary + $bpeIters
+    * unrolled merge iterations, ending in the fused dictionary
+    * `d$bpeIters(w, c, r)` and per-iteration argmaxes `m1..m$bpeIters`. */
+  private def duckBpePrefix: String = {
+    def prevD(t: Int) = if (t == 1) "d0" else s"d${t - 1}"
+    val iters = (1 to bpeIters).map { t =>
+      s"""pr$t AS (SELECT q.pair, CAST(SUM(q.c) AS BIGINT) AS total FROM (
+         |         SELECT z.c, z.sy[i+1] || ' ' || z.sy[i+2] AS pair FROM (
+         |           SELECT c, list_filter(string_split(trim(r), ' '), x -> x <> '') AS sy
+         |           FROM ${prevD(t)}) z,
+         |           UNNEST(range(greatest(len(z.sy)-1, 0))) AS u(i)) q
+         |        GROUP BY 1),
+         |m$t AS (SELECT pair, total FROM pr$t ORDER BY total DESC, pair LIMIT 1),
+         |d$t AS (SELECT w, c, replace(r,
+         |          ' ' || (SELECT pair FROM m$t) || ' ',
+         |          ' ' || replace((SELECT pair FROM m$t), ' ', '') || ' ') AS r
+         |        FROM ${prevD(t)})""".stripMargin
+    }.mkString(",\n")
+    s"""tok AS (SELECT unnest($duckToks) AS w FROM documents WHERE lang = 'en'),
+       |d0 AS (SELECT w, COUNT(*) AS c,
+       |         ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS r
+       |       FROM tok GROUP BY w),
+       |$iters""".stripMargin
+  }
+
+  // p39b — TOKENIZE under the TRAINED merges (tokenizer train→deploy,
+  // the p37b/p40b precedent): fit the merge table on the cluster, then
+  // tokenize EVERY doc with it and report per-doc symbol counts and
+  // the compression the learned merges bought. Inference is exactly
+  // what a production BPE tokenizer does at scale: the trained
+  // vocabulary (word → fused symbol repr, vocabulary-sized) BROADCASTS
+  // into a map-side join against the token instances — the corpus
+  // never shuffles for lookup — and ONE doc-keyed partial agg sums
+  // n_chars (symbols before merging) and n_sym (after). The oracle
+  // replays the full dictionary-iteration training THEN tokenizes, so
+  // train→deploy composes under one hash; all sums are integers, the
+  // compression ratio is one deterministic division of exact ints.
+  val p39b = QuerySpec(
+    "p39b_bpe_tokenize",
+    (s, d) => {
+      val (dict, _) = bpeTrain(s, d)
+      val sym = dict.select(col("w"),
+        size(expr("filter(split(trim(r), ' '), x -> x <> '')")).as("ns"))
+      documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id"), explode(expr(toks)).as("w"))
+        .join(broadcast(sym), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).as("n_chars"),
+          sum(col("ns")).as("n_sym"),
+          round(sum(length(col("w"))).cast("double") / sum(col("ns")), 6).as("compression"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $duckBpePrefix,
+            |base AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE lang = 'en'),
+            |ti AS (SELECT doc_id, unnest(toks) AS w FROM base),
+            |sym AS (SELECT w, len(list_filter(string_split(trim(r), ' '), x -> x <> '')) AS ns
+            |        FROM d$bpeIters)
+            |SELECT t.doc_id, COUNT(*) AS n_words,
+            |       CAST(SUM(length(t.w)) AS BIGINT) AS n_chars,
+            |       CAST(SUM(s.ns) AS BIGINT) AS n_sym,
+            |       ROUND(CAST(SUM(length(t.w)) AS BIGINT) / CAST(SUM(s.ns) AS BIGINT), 6) AS compression
+            |FROM ti t JOIN sym s ON s.w = t.w
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   // p40 — distributed PCA: the DOMINANT PRINCIPAL COMPONENT of the
   // embedding corpus via power iteration — the third trainer family
@@ -2693,10 +2748,11 @@ object Pipeline {
   private val pcaIters = 3
   private val pcaDim = 64
 
-  /** Power-iteration trajectory over `(vec_id, embedding)`: per
-    * iteration the unit direction (64 doubles, 6 dp) and the growth
-    * estimate λ. Driver state: dim doubles + n. */
-  private[graft] def pcaFit(embs: DataFrame, iters: Int): Seq[(Array[Double], Double)] = {
+  /** Power-iteration trajectory over `(vec_id, embedding)`: the
+    * per-dim corpus means plus, per iteration, the unit direction
+    * (64 doubles, 6 dp) and the growth estimate λ. Driver state:
+    * dim doubles + n. */
+  private[graft] def pcaFit(embs: DataFrame, iters: Int): (Array[Double], Seq[(Array[Double], Double)]) = {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val mRows = embs.select(posexplode(col("embedding")).as(Seq("i", "x")))
@@ -2737,14 +2793,14 @@ object Pipeline {
       out += ((v.clone(), lam))
     }
     cen.unpersist()
-    out.result()
+    (m, out.result())
   }
 
   val p40 = QuerySpec(
     "p40_pca_power_iteration",
     (s, d) => {
       import s.implicits._
-      pcaFit(embeddings(s, d).select(col("vec_id"), col("embedding")), pcaIters)
+      pcaFit(embeddings(s, d).select(col("vec_id"), col("embedding")), pcaIters)._2
         .zipWithIndex
         .flatMap { case ((vec, lam), t0) =>
           vec.zipWithIndex.map { case (vi, i) => (t0 + 1, i, vi, lam) }
@@ -2753,33 +2809,82 @@ object Pipeline {
         .orderBy(col("iter"), col("i"))
     },
     Some {
-      val iters = (1 to pcaIters).map { t =>
-        val pv = if (t == 1) "v0" else s"v${t - 1}"
-        s"""d$t AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
-           |        FROM c JOIN $pv w ON w.i = c.i GROUP BY 1),
-           |g$t AS (SELECT c.i, SUM(CAST(ROUND(c.cv * (d.ds / 1e6) * 1e6) AS BIGINT)) AS g
-           |        FROM c JOIN d$t d ON d.vec_id = c.vec_id GROUP BY 1),
-           |u$t AS (SELECT i, ROUND(g / (n.n * 1e6), 6) AS u FROM g$t CROSS JOIN nn n),
-           |l$t AS (SELECT ROUND(SQRT(CAST(SUM(CAST(ROUND(u*u*1e12) AS BIGINT)) AS BIGINT) / 1e12), 6) AS lam
-           |        FROM u$t),
-           |v$t AS (SELECT i, ROUND(u / l.lam, 6) AS v FROM u$t CROSS JOIN l$t l)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to pcaIters).map(t =>
         s"SELECT CAST($t AS INTEGER) AS iter, CAST(v$t.i AS INTEGER) AS i, v$t.v, l$t.lam FROM v$t CROSS JOIN l$t")
         .mkString("\nUNION ALL\n")
-      s"""WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-         |nn AS (SELECT COUNT(*) AS n FROM embeddings),
-         |mu AS (SELECT i, ROUND(CAST(SUM(CAST(ROUND(v * 1e6) AS BIGINT)) AS BIGINT)
-         |                       / (COUNT(*) * 1e6), 6) AS m
-         |       FROM f GROUP BY i),
-         |c AS (SELECT f.vec_id, f.i, ROUND(f.v - mu.m, 6) AS cv
-         |      FROM f JOIN mu ON mu.i = f.i),
-         |v0 AS (SELECT unnest(range($pcaDim)) AS i, 0.125 AS v),
-         |$iters
+      s"""WITH $duckPcaPrefix
          |$out
          |ORDER BY iter, i""".stripMargin
     })
+
+  /** DuckDB rendering of [[pcaFit]]: center → $pcaIters unrolled power
+    * iterations, ending in `v$pcaIters(i, v)` + `l$pcaIters(lam)` with
+    * the centered frame `c(vec_id, i, cv)` still in scope. */
+  private def duckPcaPrefix: String = {
+    val iters = (1 to pcaIters).map { t =>
+      val pv = if (t == 1) "v0" else s"v${t - 1}"
+      s"""d$t AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
+         |        FROM c JOIN $pv w ON w.i = c.i GROUP BY 1),
+         |g$t AS (SELECT c.i, SUM(CAST(ROUND(c.cv * (d.ds / 1e6) * 1e6) AS BIGINT)) AS g
+         |        FROM c JOIN d$t d ON d.vec_id = c.vec_id GROUP BY 1),
+         |u$t AS (SELECT i, ROUND(g / (n.n * 1e6), 6) AS u FROM g$t CROSS JOIN nn n),
+         |l$t AS (SELECT ROUND(SQRT(CAST(SUM(CAST(ROUND(u*u*1e12) AS BIGINT)) AS BIGINT) / 1e12), 6) AS lam
+         |        FROM u$t),
+         |v$t AS (SELECT i, ROUND(u / l.lam, 6) AS v FROM u$t CROSS JOIN l$t l)""".stripMargin
+    }.mkString(",\n")
+    s"""f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |mu AS (SELECT i, ROUND(CAST(SUM(CAST(ROUND(v * 1e6) AS BIGINT)) AS BIGINT)
+       |                       / (COUNT(*) * 1e6), 6) AS m
+       |       FROM f GROUP BY i),
+       |c AS (SELECT f.vec_id, f.i, ROUND(f.v - mu.m, 6) AS cv
+       |      FROM f JOIN mu ON mu.i = f.i),
+       |v0 AS (SELECT unnest(range($pcaDim)) AS i, 0.125 AS v),
+       |$iters""".stripMargin
+  }
+
+  // p40b — projection under the TRAINED component (spectral
+  // train→deploy, the p37b precedent): fit the dominant direction on
+  // the cluster, then project EVERY embedding onto it and roll up the
+  // per-label projection distribution — the drift/segmentation monitor
+  // an embedding pipeline actually runs ("did source X shift along the
+  // corpus's main axis?"). The projection reuses the training
+  // quantization token-for-token: per-row ds = Σ round(cv·v·1e6) is an
+  // exact integer, so the label rollup (count / e6-integer mean /
+  // min / max) is order-free in both engines; the oracle replays the
+  // FULL center→iterate trajectory and then projects under v3, so
+  // train→deploy composes under one hash. Map-only scan + one
+  // label-keyed partial agg — nothing new shuffles at 100 TB.
+  val p40b = QuerySpec(
+    "p40b_pca_projection",
+    (s, d) => {
+      val embs = embeddings(s, d)
+      val (m, traj) = pcaFit(embs.select(col("vec_id"), col("embedding")), pcaIters)
+      val v = traj.last._1
+      val mLit = array(m.toIndexedSeq.map(lit): _*)
+      val vLit = array(v.toIndexedSeq.map(lit): _*)
+      embs
+        .withColumn("ds",
+          aggregate(zip_with(
+            zip_with(col("embedding"), mLit, (x, mu) => round(x.cast("double") - mu, 6)),
+            vLit, (x, y) => round(x * y * 1e6).cast("long")), lit(0L), (a, b) => a + b))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vec"),
+          round(sum(col("ds")).cast("double") / (count(lit(1)) * 1e6), 6).as("mean_proj"),
+          round(min(col("ds")) / 1e6, 6).as("min_proj"),
+          round(max(col("ds")) / 1e6, 6).as("max_proj"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH $duckPcaPrefix,
+            |pr AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
+            |       FROM c JOIN v$pcaIters w ON w.i = c.i GROUP BY 1)
+            |SELECT e.label, COUNT(*) AS n_vec,
+            |       ROUND(CAST(SUM(p.ds) AS BIGINT) / (COUNT(*) * 1e6), 6) AS mean_proj,
+            |       ROUND(MIN(p.ds) / 1e6, 6) AS min_proj,
+            |       ROUND(MAX(p.ds) / 1e6, 6) AS max_proj
+            |FROM pr p JOIN embeddings e ON e.vec_id = p.vec_id
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   // p41 — COUNT-MIN SKETCH heavy hitters (bigram boilerplate mining):
   // the third sketch family after HLL (q16_hll) and approx quantiles
@@ -2857,5 +2962,5 @@ object Pipeline {
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b,
-      p35, p36, p37, p37b, p38, p39, p40, p41)
+      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p41)
 }

@@ -829,6 +829,44 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_._4) == out.map(_._4).sortBy(-_), "totals must be non-increasing")
   }
 
+  test("p39b tokenize-under-trained-merges recounts from the brute-force dictionary") {
+    val out = Pipeline.p39b.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    val docs = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val dict: Map[String, Long] = docs.flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var reprs: Map[String, String] =
+      dict.keys.map(w => w -> ("" + ' ' + w.toCharArray.map(c => s"$c ").mkString)).toMap
+    for (_ <- 1 to 4) {
+      val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for {
+        (w, r) <- reprs
+        syms = r.trim.split(" ").filter(_.nonEmpty)
+        i <- 0 until syms.length - 1
+      } counts(syms(i) + " " + syms(i + 1)) += dict(w)
+      val (pair, _) = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+      val merged = pair.replace(" ", "")
+      reprs = reprs.map { case (w, r) => w -> r.replace(s" $pair ", s" $merged ") }
+    }
+    val nsym: Map[String, Long] =
+      reprs.map { case (w, r) => w -> r.trim.split(" ").count(_.nonEmpty).toLong }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.filter(_._2.nonEmpty).sortBy(_._1).map { case (id, ws) =>
+      val chars = ws.map(_.length.toLong).sum
+      val syms = ws.map(nsym).sum
+      (id, ws.length.toLong, chars, syms, r6(chars.toDouble / syms))
+    }.toSeq
+    assert(out == expected, "per-doc tokenization must equal the single-node replay")
+    // merges only ever fuse: symbols never exceed chars, so the
+    // learned tokenizer compresses (ratio ≥ 1) on every doc
+    assert(out.forall { case (_, _, ch, sy, ratio) => sy <= ch && ratio >= 1.0 })
+    assert(out.exists { case (_, _, ch, sy, _) => sy < ch },
+      "the 4 learned merges must fire somewhere in the corpus")
+  }
+
   test("p40 power-iteration trajectory matches a brute-force single-node PCA") {
     val out = Pipeline.p40.fn(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSeq
@@ -868,6 +906,42 @@ class PipelineSpec extends SparkSuite {
       a.zip(b).map { case (x, y) => x * y }.sum }.toSeq
     assert(aligns.forall(_ >= 0.9) && aligns == aligns.sorted,
       s"successive directions must converge: $aligns")
+  }
+
+  test("p40b projection rollup recounts from the trained direction") {
+    val out = Pipeline.p40b.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rL(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rows = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val n = rows.length
+    val dim = 64
+    val m = Array.tabulate(dim)(i => r6(rows.map(_._1(i)).map(x => rL(x * 1e6)).sum / (n * 1e6)))
+    val cen = rows.map { case (e, lab) => (Array.tabulate(dim)(i => r6(e(i) - m(i))), lab) }
+    var v = Array.fill(dim)(0.125)
+    for (_ <- 1 to 3) {
+      val ds = cen.map { case (c, _) => (0 until dim).map(i => rL(c(i) * v(i) * 1e6)).sum }
+      val g = Array.tabulate(dim)(i =>
+        cen.zip(ds).map { case ((c, _), d) => rL(c(i) * (d / 1e6) * 1e6) }.sum)
+      val u = g.map(gi => r6(gi / (n * 1e6)))
+      val lam = r6(math.sqrt(u.map(ui => rL(ui * ui * 1e12)).sum / 1e12))
+      v = u.map(ui => r6(ui / lam))
+    }
+    val expected = cen
+      .map { case (c, lab) => (lab, (0 until dim).map(i => rL(c(i) * v(i) * 1e6)).sum) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (lab, xs) =>
+        val ds = xs.map(_._2)
+        (lab, ds.length.toLong, r6(ds.sum.toDouble / (ds.length * 1e6)),
+          r6(ds.min / 1e6), r6(ds.max / 1e6))
+      }
+    assert(out == expected, "per-label projection rollup must equal the single-node replay")
+    assert(out.map(_._2).sum == n, "every vector lands in exactly one label bucket")
+    assert(out.forall { case (_, _, mean, lo, hi) => lo <= mean && mean <= hi },
+      "mean must sit inside the [min, max] projection band")
   }
 
   test("p41 CMS heavy hitters match a brute-force single-node sketch replay") {

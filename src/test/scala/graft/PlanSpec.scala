@@ -434,6 +434,15 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("Generate"), "per-dim fan-out happens in-scan, post-dot")
   }
 
+  test("p39b: tokenizer inference broadcasts the trained vocabulary — the corpus never shuffles for lookup") {
+    val plan = finalPlan(graft.queries.Pipeline.p39b.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("w#")),
+      s"token instances must probe the broadcast vocab, not shuffle-join it:\n${plan.take(1200)}")
+    assert(plan.contains("partial_"), "per-doc symbol sums need map-side combine")
+  }
+
   test("p41: CMS estimates broadcast the 1024-row sketch; the candidate cut is top-k") {
     val plan = finalPlan(graft.queries.Pipeline.p41.fn(spark, sf))
     assert(!plan.contains("CartesianProduct"),
