@@ -2906,8 +2906,8 @@ object Pipeline {
   // class — no corpus-sized shuffle); the candidate cut is
   // TakeOrdered(k); the recount is a broadcast semi-join + k-key agg
   // over one more corpus scan.
-  private val cmsDepth = 4
-  private val cmsWidth = 256
+  private[graft] val cmsDepth = 4
+  private[graft] val cmsWidth = 256
   private val cmsTopK = 25
 
   val p41 = QuerySpec(

@@ -1352,4 +1352,45 @@ class StreamsExtraSpec extends SparkSuite {
         "post-eviction collisions report the new keeper, never the evicted one")
     } finally q.stop()
   }
+
+  test("streaming CMS: sketch cells merge by addition across micro-batches") {
+    // the SCALE.md §5 claim behind p41 pinned as code: the count-min
+    // sketch is the STREAMING frequency structure because its cells
+    // are a fixed-key counter agg — Spark's state store sums each
+    // micro-batch's partials, so after any prefix of batches the
+    // streaming sketch equals the batch sketch of the data so far
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.TextFns
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val depth = graft.queries.Pipeline.cmsDepth
+    val width = graft.queries.Pipeline.cmsWidth
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("big"), explode(array((0 until depth).map(lit): _*)).as("k"))
+      .withColumn("bucket", expr(
+        s"${TextFns.md5IntScalarExpr("concat(CAST(k AS STRING), ':', big)")} % $width"))
+      .groupBy(col("k"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val batches: Seq[Seq[String]] = Seq(
+      Seq("a b", "b c", "a b", "c d"),
+      Seq("a b", "d e", "b c"),
+      Seq("e f", "a b", "c d", "c d"))
+    val input = MemoryStream[String]
+    val q = cells(input.toDF().toDF("big"))
+      .writeStream.format("memory").queryName("t_cms")
+      .outputMode(OutputMode.Complete()).start()
+    def got() = spark.table("t_cms").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    try {
+      var seen = Seq.empty[String]
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        val want = cells(seen.toDF("big")).collect()
+          .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+        assert(got() == want,
+          s"after ${seen.size} bigrams the streaming sketch must equal the batch sketch")
+        assert(got().values.sum == depth.toLong * seen.size,
+          "every instance lands in exactly one cell per hash row")
+      }
+    } finally q.stop()
+  }
 }
