@@ -33,7 +33,8 @@ object ScaleSmoke {
   private val sections =
     Set("dedup", "dedup_skew", "cdc", "cdc_throughput", "cdc_multi", "cdc_relcount",
       "cdc_soak", "cdc_bar", "cdc_partitioned", "ann", "kmeans_kernel",
-      "pq_encode", "pack_skew", "semdedup", "incremental", "spanscrub")
+      "pq_encode", "pack_skew", "semdedup", "incremental", "spanscrub",
+      "pca", "cms")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -125,7 +126,75 @@ object ScaleSmoke {
     if (want("semdedup")) semdedupCurve(spark, sfDir)
     if (want("incremental")) incrementalCurve(spark, sfDir)
     if (want("spanscrub")) spanScrubCurve(spark)
+    if (want("pca")) pcaCurve(spark, sfDir)
+    if (want("cms")) cmsCurve(spark, sfDir)
     spark.stop()
+  }
+
+  /** p40 scale witness: power-iteration fit wall-clock vs corpus
+    * factor. Per iteration the plan is one scan + a 64-key partial
+    * agg, so fit time should grow ≤ linearly with vectors (at fixture
+    * scale plan/driver overhead dominates and the curve reads nearly
+    * FLAT — the point: iteration cost is scan-bound, never
+    * super-linear). */
+  private def pcaCurve(spark: SparkSession, sfDir: String): Unit = {
+    val embs = sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val maxId = embs.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    def scaled(f: Int) =
+      if (f == 1) embs
+      else (0 until f).map(i => embs.withColumn("vec_id", col("vec_id") + lit(i * maxId)))
+        .reduce(_ unionByName _)
+    queries.Pipeline.pcaFit(embs, 1) // warmup: codegen + agg machinery off-clock
+    for (f <- Seq(1, 5, 25)) {
+      val e = scaled(f).persist()
+      val n = e.count() // inputs built off-clock
+      val t0 = System.nanoTime()
+      val (_, traj) = queries.Pipeline.pcaFit(e, 3)
+      val sec = (System.nanoTime() - t0) / 1e9
+      e.unpersist()
+      println(s"""{"metric":"pca_power_iter","factor":$f,"vecs":$n,"iters":3,""" +
+        s""""fit_sec":${fx(sec, 2)},"sec_per_iter":${fx(sec / 3, 2)},""" +
+        s""""lam3":${traj.last._2}}""")
+    }
+  }
+
+  /** p41 scale witness: the count-min sketch build vs corpus factor.
+    * The cells agg has ≤ depth×width keys by construction, so map-side
+    * combine collapses every task and the OUTPUT is bounded (the
+    * distributed/streaming merge story); build wall-clock grows with
+    * instances only through the scan. */
+  private def cmsCurve(spark: SparkSession, sfDir: String): Unit = {
+    import graft.functions.TextFns
+    val depth = queries.Pipeline.cmsDepth
+    val width = queries.Pipeline.cmsWidth
+    val inst0 = sources.Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en")
+      .withColumn("toks", expr(TextFns.tokensExpr("text")))
+      .select(explode(expr(TextFns.shinglesExpr("toks", 2))).as("big"))
+      .persist()
+    inst0.count()
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("big"), explode(array((0 until depth).map(lit): _*)).as("k"))
+      .withColumn("bucket", expr(
+        s"${TextFns.md5IntScalarExpr("concat(CAST(k AS STRING), ':', big)")} % $width"))
+      .groupBy(col("k"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    cellsOf(inst0).count() // warmup off-clock
+    for (f <- Seq(1, 5, 25)) {
+      val inst = (0 until f).map(_ => inst0).reduce(_ unionByName _)
+      val n = inst0.count() * f
+      val t0 = System.nanoTime()
+      val cells = cellsOf(inst)
+      val (nCells, total) = {
+        val r = cells.agg(count(lit(1)).as("nc"), sum(col("cnt")).as("s")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(total == depth * n, "every instance lands in exactly one cell per row")
+      println(s"""{"metric":"cms_sketch","factor":$f,"instances":$n,""" +
+        s""""cells":$nCells,"cell_bound":${depth * width},"build_sec":${fx(sec, 2)}}""")
+    }
+    inst0.unpersist()
   }
 
   /** Long-doc linearity witness for the p32 scrub mask (r17, closing
