@@ -2959,8 +2959,94 @@ object Pipeline {
          |ORDER BY cms_est DESC, bigram""".stripMargin
     })
 
+  // p42 — BLOOM-FILTER decontamination screen: the fourth sketch
+  // family (HLL counts, quantile ranks, CMS frequencies — bloom does
+  // MEMBERSHIP), and like p41 it composes to an exact answer. The
+  // production shape for "has this shingle been seen in the index
+  // corpus": build an m-bit bloom over the corpus's distinct shingles
+  // (k md5-derived bit positions each — the set-bit table is ≤ m rows
+  // and BROADCASTS), probe every increment shingle map-side (a
+  // shingle is maybe-present iff ALL k of its bits are set; no false
+  // negatives ever, false positives mirrored in the oracle — the p41
+  // convention), and run the EXPENSIVE exact lookup only on the
+  // bloom-pruned survivors — the pruning IS the operator's point, and
+  // because bloom has no false negatives the pruned exact count
+  // equals the unpruned one (the law the spec pins). The screen
+  // decision is integer arithmetic (2·n_maybe ≥ n_sh), so both
+  // engines branch identically. At 100 TB: the bit table is ≤ m rows
+  // no matter the corpus (the ops/Layout bloom-join story, now
+  // oracle-gated), probes never shuffle, and the exact verify starts
+  // from the candidate side only. ops/Layout.scala:88-89's UDF-based
+  // bloom join is this same screen as a join strategy; this gate is
+  // the engine-level membership sketch with its false-positive
+  // behavior under hash.
+  private val bloomM = 4096
+  private val bloomK = 3
+
+  val p42 = QuerySpec(
+    "p42_bloom_decontaminate",
+    (s, d) => {
+      val shs = documents(s, d)
+        .withColumn("toks", expr(toks))
+        .select(col("doc_id"),
+          explode(array_distinct(expr(TextFns.shinglesExpr("toks")))).as("sh"))
+        .persist() // reused: corpus dictionary + increment probes
+      val corpus = shs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("sh")).distinct().persist() // index side: distinct shingles
+      val inc = shs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      def bitOf = expr(
+        s"${TextFns.md5IntScalarExpr("concat('b', CAST(j AS STRING), ':', sh)")} % $bloomM")
+      val js = explode(array((0 until bloomK).map(lit): _*)).as("j")
+      val bits = corpus.select(col("sh"), js)
+        .select(bitOf.as("bit")).distinct()
+      val hits = inc.select(col("doc_id"), col("sh"), js)
+        .withColumn("bit", bitOf)
+        .join(broadcast(bits), "bit")
+        .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("nbits"))
+        .filter(col("nbits") === bloomK)
+        .select(col("doc_id"), col("sh"))
+      val tot = inc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val nMaybe = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_maybe"))
+      // exact lookup ONLY on the bloom-pruned survivors — no false
+      // negatives means this equals the unpruned exact count
+      val nExact = hits.join(corpus, Seq("sh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+      tot.join(nMaybe, Seq("doc_id"), "left").join(nExact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          when(coalesce(col("n_maybe"), lit(0L)) * 2 >= col("n_sh"), 1)
+            .otherwise(0).as("screened"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def duckBit(src: String) =
+        s"CAST('0x' || substr(md5('b' || CAST(j AS VARCHAR) || ':' || $src), 1, 15) AS BIGINT) % ${TextFns.minhashP} % $bloomM"
+      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |shs AS (SELECT doc_id, $duckShingles AS sh FROM base),
+         |ss AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shs),
+         |corpus AS (SELECT DISTINCT s FROM ss WHERE doc_id % 5 <> 0),
+         |inc AS (SELECT doc_id, s FROM ss WHERE doc_id % 5 = 0),
+         |js AS (SELECT unnest(range($bloomK)) AS j),
+         |bits AS (SELECT DISTINCT ${duckBit("s")} AS bit FROM corpus CROSS JOIN js),
+         |pb AS (SELECT doc_id, s, ${duckBit("s")} AS bit FROM inc CROSS JOIN js),
+         |hits AS (SELECT doc_id, s FROM pb JOIN bits USING (bit)
+         |         GROUP BY doc_id, s HAVING COUNT(*) = $bloomK),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM inc GROUP BY 1),
+         |mb AS (SELECT doc_id, COUNT(*) AS n_maybe FROM hits GROUP BY 1),
+         |ex AS (SELECT h.doc_id, COUNT(*) AS n_exact
+         |       FROM hits h JOIN corpus c ON c.s = h.s GROUP BY 1)
+         |SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_sh,
+         |       CAST(COALESCE(mb.n_maybe, 0) AS BIGINT) AS n_maybe,
+         |       CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact,
+         |       CAST(CASE WHEN COALESCE(mb.n_maybe, 0) * 2 >= t.n_sh
+         |                 THEN 1 ELSE 0 END AS INTEGER) AS screened
+         |FROM tot t LEFT JOIN mb USING (doc_id) LEFT JOIN ex USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    })
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b,
-      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p41)
+      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p41, p42)
 }

@@ -944,6 +944,38 @@ class PipelineSpec extends SparkSuite {
       "mean must sit inside the [min, max] projection band")
   }
 
+  test("p42 bloom screen matches a brute-force replay; pruned exact equals unpruned exact") {
+    val out = Pipeline.p42.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSeq
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    def bit(j: Int, sh: String): Long =
+      java.lang.Long.parseLong(md5hex(s"b$j:$sh").take(15), 16) % 2147483647L % 4096L
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val t = r.getString(1).split(" ").filter(_.nonEmpty)
+        (r.getLong(0), t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet)
+      }
+    val corpus = docs.filter(_._1 % 5 != 0).flatMap(_._2).toSet
+    val bloomBits = corpus.flatMap(sh => (0 until 3).map(bit(_, sh)))
+    val expected = docs.filter(_._1 % 5 == 0).filter(_._2.nonEmpty).sortBy(_._1)
+      .map { case (id, shs) =>
+        val maybe = shs.filter(sh => (0 until 3).forall(j => bloomBits(bit(j, sh))))
+        val exactPruned = maybe.count(corpus)          // the gate's path
+        val exactUnpruned = shs.count(corpus)          // the reference path
+        assert(exactPruned == exactUnpruned,
+          s"doc $id: bloom pruning must never drop a true member (no false negatives)")
+        (id, shs.size.toLong, maybe.size.toLong, exactPruned.toLong,
+          if (maybe.size * 2 >= shs.size) 1 else 0)
+      }.toSeq
+    assert(out == expected, "bloom screen must equal the single-node replay")
+    assert(out.forall { case (_, nSh, nMaybe, nExact, _) =>
+      nExact <= nMaybe && nMaybe <= nSh },
+      "membership laws: exact ⊆ maybe ⊆ all (overestimates only)")
+  }
+
   test("p41 CMS heavy hitters match a brute-force single-node sketch replay") {
     val out = Pipeline.p41.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq

@@ -455,6 +455,19 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("partial_"), "sketch cell counts need map-side combine")
   }
 
+  test("p42: bloom probes join the broadcast bit table; exact verify starts from the pruned side") {
+    val plan = finalPlan(graft.queries.Pipeline.p42.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "bit fan-out is a Generate over a literal array, never a cross join")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("bit")),
+      s"probes must join the broadcast (≤4096-row) bit table:\n${plan.take(1200)}")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("LeftSemi")),
+      s"the exact lookup must be a semi-join from the bloom-pruned candidates:\n${plan.take(1200)}")
+    assert(plan.contains("partial_"), "per-doc counts need map-side combine")
+  }
+
   test("p34b: bigram LM joins are dictionary equi-joins; doc sums are partial+final") {
     val plan = finalPlan(graft.queries.Pipeline.p34b.fn(spark, sf))
     assert(!plan.contains("CartesianProduct"), "only the 1-row stats frame may cross (broadcast)")
