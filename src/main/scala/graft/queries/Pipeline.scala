@@ -3045,8 +3045,95 @@ object Pipeline {
          |ORDER BY t.doc_id""".stripMargin
     })
 
+  // p43 — HyperLogLog FROM SCRATCH with hash-gated registers: q16_hll
+  // uses Spark's built-in approx_count_distinct and is band-checked
+  // by design (the sketch internals aren't portable); this gate
+  // rebuilds the sketch from first principles in portable integer
+  // arithmetic so the REGISTERS THEMSELVES go under the oracle hash —
+  // per (group, bucket) the max leading-zero rank of a 60-bit md5
+  // hash (bucket = h % 256, rank from length(bin(h >> 8)) — pure
+  // integer/string ops, identical in both engines), registers folded
+  // to the exact integer pair (v = empty registers, S = Σ 2^(53−M)
+  // scaled so the harmonic mean is EXACT in int64), and the estimate
+  // (bias-corrected raw, linear-counting branch below 2.5m — the
+  // Flajolet et al. small-range correction) computed as ONE
+  // identically-phrased double expression per engine. The exact
+  // distinct runs beside it, so the sketch's real error is part of
+  // the hash (the p41/p42 convention: approximation behavior
+  // mirrored, never hidden). Shape at 100 TB: the register agg is a
+  // groups×256-key partial agg — max() makes cells mergeable across
+  // batches/executors exactly like CMS addition, which is why this
+  // is THE distributed/streaming distinct structure; no distinct
+  // shuffle unless you also want the exact answer.
+  /** α₂₅₆ · m² · 2⁵³ — the HLL harmonic-mean numerator, computed once
+    * on the driver and inlined in e-notation (DOUBLE in both parsers). */
+  private val hllC: Double =
+    0.7213 / (1 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+  private def hllCLit: String = f"$hllC%.17e"
+
+  val p43 = QuerySpec(
+    "p43_hll_sketch",
+    (s, d) => {
+      val base = documents(s, d)
+        .withColumn("toks", expr(toks))
+        .select(col("lang"), explode(expr(TextFns.shinglesExpr("toks", 2))).as("big"))
+        .persist() // two consumers: register agg + exact distinct
+      val regs = base
+        .select(col("lang"),
+          expr("CAST(conv(substring(md5(big), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .select(col("lang"), expr("h % 256").as("bucket"),
+          expr("CASE WHEN shiftright(h, 8) = 0 THEN 53 ELSE 53 - length(bin(shiftright(h, 8))) END").as("rank"))
+        .groupBy(col("lang"), col("bucket")).agg(max(col("rank")).as("m_"))
+      val allb = base.select(col("lang")).distinct()
+        .select(col("lang"), explode(expr("sequence(0, 255)")).as("bucket"))
+      val sk = allb.join(regs, Seq("lang", "bucket"), "left")
+        .select(col("lang"), coalesce(col("m_"), lit(0)).as("m0"))
+        .groupBy(col("lang")).agg(
+          sum(when(col("m0") === 0, 1L).otherwise(0L)).as("v"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m0)")).as("s_scaled"))
+      val ex = base.groupBy(col("lang")).agg(countDistinct(col("big")).as("n_exact"))
+      // hllC is inlined in e-notation on BOTH sides: decimal-point
+      // literals are DECIMAL (not DOUBLE) in DuckDB, and pure-literal
+      // decimal arithmetic forks from Spark's at the 6th dp (measured)
+      sk.join(ex, "lang")
+        .withColumn("raw6", round(lit(hllC) / col("s_scaled"), 6))
+        .withColumn("est", when(col("raw6") <= 640.0 && col("v") > 0,
+          round(lit(256.0) * log(lit(256.0) / col("v")), 6)).otherwise(col("raw6")))
+        .select(col("lang"), col("n_exact"), col("v"), col("s_scaled"), col("est"),
+          round(abs(col("est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH d0 AS (SELECT lang, $duckToks AS toks FROM documents),
+            |base AS (SELECT lang, toks[i+1] || ' ' || toks[i+2] AS big
+            |         FROM d0, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i)),
+            |hs AS (SELECT lang, CAST('0x' || substr(md5(big), 1, 15) AS BIGINT) AS h FROM base),
+            |regs AS (SELECT lang, h % 256 AS bucket,
+            |                MAX(CASE WHEN (h >> 8) = 0 THEN 53
+            |                         ELSE 53 - length(bin(h >> 8)) END) AS m_
+            |         FROM hs GROUP BY 1, 2),
+            |allb AS (SELECT lang, unnest(range(256)) AS bucket
+            |         FROM (SELECT DISTINCT lang FROM base)),
+            |sk AS (SELECT lang,
+            |              CAST(SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v,
+            |              CAST(SUM(CAST(1 AS BIGINT) << (53 - m0)) AS BIGINT) AS s_scaled
+            |       FROM (SELECT a.lang, COALESCE(r.m_, 0) AS m0
+            |             FROM allb a LEFT JOIN regs r
+            |               ON r.lang = a.lang AND r.bucket = a.bucket)
+            |       GROUP BY 1),
+            |ex AS (SELECT lang, COUNT(DISTINCT big) AS n_exact FROM base GROUP BY 1),
+            |j AS (SELECT sk.lang, ex.n_exact, sk.v, sk.s_scaled,
+            |             ROUND($hllCLit / sk.s_scaled, 6) AS raw6
+            |      FROM sk JOIN ex ON ex.lang = sk.lang)
+            |SELECT lang, CAST(n_exact AS BIGINT) AS n_exact, v, s_scaled,
+            |       CASE WHEN raw6 <= 6.4e2 AND v > 0
+            |            THEN ROUND(2.56e2 * LN(2.56e2 / v), 6) ELSE raw6 END AS est,
+            |       ROUND(ABS((CASE WHEN raw6 <= 6.4e2 AND v > 0
+            |                       THEN ROUND(2.56e2 * LN(2.56e2 / v), 6) ELSE raw6 END) - n_exact)
+            |             / n_exact, 4) AS rel_err
+            |FROM j ORDER BY lang""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b,
-      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p41, p42)
+      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p41, p42, p43)
 }

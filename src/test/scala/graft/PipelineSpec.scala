@@ -976,6 +976,53 @@ class PipelineSpec extends SparkSuite {
       "membership laws: exact ⊆ maybe ⊆ all (overestimates only)")
   }
 
+  test("p43 HLL registers match a brute-force replay; registers merge by elementwise max") {
+    val out = Pipeline.p43.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    def h60(x: String): Long = java.lang.Long.parseLong(md5hex(x).take(15), 16)
+    def rank(h: Long): Int = { val rest = h >> 8; if (rest == 0) 53 else 53 - java.lang.Long.toBinaryString(rest).length }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byLang = Tables.documents(spark, sf).select(col("lang"), col("text")).collect()
+      .map { r =>
+        val t = r.getString(1).split(" ").filter(_.nonEmpty)
+        (r.getString(0), t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }.toSeq)
+      }.groupBy(_._1).view.mapValues(_.flatMap(_._2).toSeq).toMap
+    def registers(bigs: Seq[String]): Array[Int] = {
+      val m = Array.fill(256)(0)
+      bigs.foreach { b => val h = h60(b); val i = (h % 256).toInt
+        m(i) = math.max(m(i), rank(h)) }
+      m
+    }
+    val cConst = 0.7213 / (1 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+    val expected = byLang.toSeq.sortBy(_._1).map { case (lang, bigs) =>
+      val regs = registers(bigs)
+      val v = regs.count(_ == 0).toLong
+      val sS = regs.map(m0 => 1L << (53 - m0)).sum
+      val raw6 = r6(cConst / sS)
+      val est = if (raw6 <= 640.0 && v > 0) r6(256.0 * math.log(256.0 / v)) else raw6
+      val exact = bigs.distinct.size.toLong
+      (lang, exact, v, sS, est, r4(math.abs(est - exact) / exact))
+    }
+    assert(out == expected, "HLL sketch must equal the single-node replay")
+    // the distributed/streaming law: registers of a union are the
+    // elementwise max of the parts' registers (why the 256-key agg
+    // merges across batches/executors like CMS addition)
+    for ((lang, bigs) <- byLang) {
+      val (a, b) = bigs.splitAt(bigs.size / 2)
+      val merged = registers(a).zip(registers(b)).map { case (x, y) => math.max(x, y) }
+      assert(merged.toSeq == registers(bigs).toSeq,
+        s"$lang: split-then-max-merge must equal the whole-corpus registers")
+    }
+    // m=256 ⇒ σ ≈ 1.04/√256 = 6.5%; assert a loose 3σ band
+    assert(out.forall(_._6 <= 0.195), s"HLL error out of band: ${out.map(_._6)}")
+  }
+
   test("p41 CMS heavy hitters match a brute-force single-node sketch replay") {
     val out = Pipeline.p41.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq

@@ -468,6 +468,15 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("partial_"), "per-doc counts need map-side combine")
   }
 
+  test("p43: HLL registers build as a groups×256-key partial-max agg — no distinct shuffle for the sketch") {
+    val plan = finalPlan(graft.queries.Pipeline.p43.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_max"),
+      s"register maxima need map-side combine (the merge law):\n${plan.take(1000)}")
+    assert(plan.contains("partial_count(distinct"),
+      "the exact side runs beside the sketch with its own partial distinct")
+  }
+
   test("p34b: bigram LM joins are dictionary equi-joins; doc sums are partial+final") {
     val plan = finalPlan(graft.queries.Pipeline.p34b.fn(spark, sf))
     assert(!plan.contains("CartesianProduct"), "only the 1-row stats frame may cross (broadcast)")
