@@ -3132,8 +3132,98 @@ object Pipeline {
             |             / n_exact, 4) AS rel_err
             |FROM j ORDER BY lang""".stripMargin))
 
+  // p43b — HLL SET ALGEBRA (the sketch composition q16_hll can never
+  // offer): split the corpus into two halves (doc_id parity), sketch
+  // each half, UNION the sketches by elementwise register max (the
+  // p43 merge law as a query — at 100 TB this is how per-shard /
+  // per-day distinct sketches roll up WITHOUT re-scanning: the union
+  // estimate costs 256 integers per operand, not a corpus pass), and
+  // estimate the INTERSECTION by inclusion–exclusion over the three
+  // estimates. Exact counts run beside all four estimates, so the
+  // sketch algebra's real error is under the hash. Registers reach
+  // the driver as ≤256 bounded rows per set (the p20 driver-state
+  // pattern); every estimate is the p43 formula on exact int64
+  // (v, S) pairs; the inclusion–exclusion sum is one deterministic
+  // add/subtract of 6-dp doubles, identical in both engines.
+  val p43b = QuerySpec(
+    "p43b_hll_set_algebra",
+    (s, d) => {
+      import s.implicits._
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val base = documents(s, d)
+        .withColumn("toks", expr(toks))
+        .select(pmod(col("doc_id"), lit(2)).as("side"),
+          explode(expr(TextFns.shinglesExpr("toks", 2))).as("big"))
+        .persist() // consumers: per-side registers + exact distincts
+      val ranks = base
+        .select(col("side"),
+          expr("CAST(conv(substring(md5(big), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .select(col("side"), expr("h % 256").as("bucket"),
+          expr("CASE WHEN shiftright(h, 8) = 0 THEN 53 ELSE 53 - length(bin(shiftright(h, 8))) END").as("rank"))
+      def estOf(regRows: Array[(Int, Int)]): Double = {
+        val m = Array.fill(256)(0)
+        regRows.foreach { case (b, r) => m(b) = math.max(m(b), r) }
+        val v = m.count(_ == 0)
+        val sS = m.map(m0 => 1L << (53 - m0)).sum
+        val raw6 = r6(hllC / sS)
+        if (raw6 <= 640.0 && v > 0) r6(256.0 * math.log(256.0 / v)) else raw6
+      }
+      def regsWhere(cond: org.apache.spark.sql.Column): Array[(Int, Int)] =
+        ranks.filter(cond).groupBy(col("bucket")).agg(max(col("rank")).as("m_"))
+          .collect().map(r => (r.getLong(0).toInt, r.getInt(1)))
+      val regsA = regsWhere(col("side") === 0)
+      val regsB = regsWhere(col("side") === 1)
+      val (estA, estB) = (estOf(regsA), estOf(regsB))
+      // the merge law: union registers = elementwise max of the parts
+      val estU = estOf(regsA ++ regsB)
+      val estI = r6(estA + estB - estU)
+      val dx = base.distinct().persist()
+      val nA = dx.filter(col("side") === 0).count()
+      val nB = dx.filter(col("side") === 1).count()
+      val nU = dx.select(col("big")).distinct().count()
+      val nI = nA + nB - nU
+      dx.unpersist(); base.unpersist()
+      Seq((estA, estB, estU, estI, nA, nB, nU, nI))
+        .toDF("est_a", "est_b", "est_union", "est_inter",
+          "n_a", "n_b", "n_union", "n_inter")
+    },
+    Some {
+      def setCtes(tag: String, where: String) =
+        s"""regs_$tag AS (SELECT h % 256 AS bucket,
+           |                MAX(CASE WHEN (h >> 8) = 0 THEN 53
+           |                         ELSE 53 - length(bin(h >> 8)) END) AS m_
+           |         FROM hs WHERE $where GROUP BY 1),
+           |sk_$tag AS (SELECT CAST(SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v,
+           |                   CAST(SUM(CAST(1 AS BIGINT) << (53 - m0)) AS BIGINT) AS s_scaled
+           |            FROM (SELECT COALESCE(r.m_, 0) AS m0
+           |                  FROM (SELECT unnest(range(256)) AS bucket) a
+           |                  LEFT JOIN regs_$tag r ON r.bucket = a.bucket)),
+           |est_$tag AS (SELECT CASE WHEN ROUND($hllCLit / s_scaled, 6) <= 6.4e2 AND v > 0
+           |                         THEN ROUND(2.56e2 * LN(2.56e2 / v), 6)
+           |                         ELSE ROUND($hllCLit / s_scaled, 6) END AS est
+           |             FROM sk_$tag)""".stripMargin
+      s"""WITH d0 AS (SELECT doc_id % 2 AS side, $duckToks AS toks FROM documents),
+         |base AS (SELECT side, toks[i+1] || ' ' || toks[i+2] AS big
+         |         FROM d0, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i)),
+         |hs AS (SELECT side, CAST('0x' || substr(md5(big), 1, 15) AS BIGINT) AS h FROM base),
+         |${setCtes("a", "side = 0")},
+         |${setCtes("b", "side = 1")},
+         |${setCtes("u", "TRUE")},
+         |ex AS (SELECT
+         |         (SELECT COUNT(DISTINCT big) FROM base WHERE side = 0) AS n_a,
+         |         (SELECT COUNT(DISTINCT big) FROM base WHERE side = 1) AS n_b,
+         |         (SELECT COUNT(DISTINCT big) FROM base) AS n_union)
+         |SELECT a.est AS est_a, b.est AS est_b, u.est AS est_union,
+         |       ROUND(a.est + b.est - u.est, 6) AS est_inter,
+         |       CAST(ex.n_a AS BIGINT) AS n_a, CAST(ex.n_b AS BIGINT) AS n_b,
+         |       CAST(ex.n_union AS BIGINT) AS n_union,
+         |       CAST(ex.n_a + ex.n_b - ex.n_union AS BIGINT) AS n_inter
+         |FROM est_a a CROSS JOIN est_b b CROSS JOIN est_u u CROSS JOIN ex""".stripMargin
+    })
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b,
-      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p41, p42, p43)
+      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p41, p42, p43, p43b)
 }

@@ -1023,6 +1023,52 @@ class PipelineSpec extends SparkSuite {
     assert(out.forall(_._6 <= 0.195), s"HLL error out of band: ${out.map(_._6)}")
   }
 
+  test("p43b HLL set algebra matches a brute-force replay; union never exceeds the sum of parts") {
+    val out = Pipeline.p43b.fn(spark, sf).head()
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    def h60(x: String): Long = java.lang.Long.parseLong(md5hex(x).take(15), 16)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cConst = 0.7213 / (1 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+    def regs(bigs: Seq[String]): Array[Int] = {
+      val m = Array.fill(256)(0)
+      bigs.foreach { b =>
+        val h = h60(b); val rest = h >> 8
+        val rk = if (rest == 0) 53 else 53 - java.lang.Long.toBinaryString(rest).length
+        val i = (h % 256).toInt; m(i) = math.max(m(i), rk)
+      }
+      m
+    }
+    def est(m: Array[Int]): Double = {
+      val v = m.count(_ == 0)
+      val sS = m.map(m0 => 1L << (53 - m0)).sum
+      val raw6 = r6(cConst / sS)
+      if (raw6 <= 640.0 && v > 0) r6(256.0 * math.log(256.0 / v)) else raw6
+    }
+    val sides = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val t = r.getString(1).split(" ").filter(_.nonEmpty)
+        (r.getLong(0) % 2, t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }.toSeq)
+      }
+    val a = sides.filter(_._1 == 0).flatMap(_._2).toSeq
+    val b = sides.filter(_._1 == 1).flatMap(_._2).toSeq
+    val (ra, rb) = (regs(a), regs(b))
+    val merged = ra.zip(rb).map { case (x, y) => math.max(x, y) }
+    val (estA, estB, estU) = (est(ra), est(rb), est(merged))
+    assert(out.getDouble(0) == estA && out.getDouble(1) == estB &&
+      out.getDouble(2) == estU && out.getDouble(3) == r6(estA + estB - estU),
+      s"estimates must equal the single-node replay: $out")
+    assert(out.getLong(4) == a.distinct.size && out.getLong(5) == b.distinct.size &&
+      out.getLong(6) == (a ++ b).distinct.size,
+      "exact distincts must recount")
+    assert(out.getLong(7) == out.getLong(4) + out.getLong(5) - out.getLong(6))
+    // sketch-algebra sanity: union dominated by sum of parts, and at
+    // least as large as each part (register max can only grow)
+    assert(estU <= estA + estB && estU >= math.max(estA, estB) - 1e-9)
+  }
+
   test("p41 CMS heavy hitters match a brute-force single-node sketch replay") {
     val out = Pipeline.p41.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq

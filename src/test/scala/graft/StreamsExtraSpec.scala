@@ -1393,4 +1393,39 @@ class StreamsExtraSpec extends SparkSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming HLL: registers merge by max across micro-batches") {
+    // p43's merge law as streaming code: the register agg is a
+    // fixed-key MAX, so Spark's state store folds each micro-batch in
+    // and the streaming registers always equal the batch registers of
+    // the prefix — the distributed/streaming distinct structure
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def regs(df: org.apache.spark.sql.DataFrame) = df
+      .select(expr("CAST(conv(substring(md5(big), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .select(expr("h % 256").as("bucket"),
+        expr("CASE WHEN shiftright(h, 8) = 0 THEN 53 ELSE 53 - length(bin(shiftright(h, 8))) END").as("rank"))
+      .groupBy(col("bucket")).agg(max(col("rank")).as("m_"))
+    val batches: Seq[Seq[String]] = Seq(
+      Seq("a b", "b c", "c d", "d e"),
+      Seq("a b", "e f", "f g"),
+      Seq("g h", "b c", "h i", "i j"))
+    val input = MemoryStream[String]
+    val q = regs(input.toDF().toDF("big"))
+      .writeStream.format("memory").queryName("t_hll")
+      .outputMode(OutputMode.Complete()).start()
+    def got() = spark.table("t_hll").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    try {
+      var seen = Seq.empty[String]
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        val want = regs(seen.toDF("big")).collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toMap
+        assert(got() == want,
+          s"after ${seen.size} bigrams the streaming registers must equal the batch registers")
+      }
+    } finally q.stop()
+  }
 }
