@@ -2748,13 +2748,12 @@ object Pipeline {
   private val pcaIters = 3
   private val pcaDim = 64
 
-  /** Power-iteration trajectory over `(vec_id, embedding)`: the
-    * per-dim corpus means plus, per iteration, the unit direction
-    * (64 doubles, 6 dp) and the growth estimate λ. Driver state:
-    * dim doubles + n. */
-  private[graft] def pcaFit(embs: DataFrame, iters: Int): (Array[Double], Seq[(Array[Double], Double)]) = {
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def pcaR6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Mean pass + centered frame over `(vec_id, embedding)`: returns
+    * (persisted centered frame `(vec_id, ce)`, per-dim means, n). */
+  private[graft] def pcaCenter(embs: DataFrame): (DataFrame, Array[Double], Long) = {
     val mRows = embs.select(posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy(col("i"))
       .agg(round(sum(round(col("x").cast("double") * 1e6).cast("long")) /
@@ -2771,6 +2770,13 @@ object Pipeline {
       zip_with(col("embedding"), mLit,
         (x, mu) => round(x.cast("double") - mu, 6)).as("ce"))
       .persist() // scanned ×iters
+    (cen, m, n)
+  }
+
+  /** The power-iteration loop over a centered frame `(vec_id, ce)`:
+    * per iteration the unit direction (6 dp) and growth estimate λ.
+    * Driver state: dim doubles. */
+  private[graft] def pcaIterate(cen: DataFrame, n: Long, iters: Int): Seq[(Array[Double], Double)] = {
     var v = Array.fill(pcaDim)(0.125) // exact binary fraction, unit 64-dim
     val out = Seq.newBuilder[(Array[Double], Double)]
     for (_ <- 1 to iters) {
@@ -2785,15 +2791,25 @@ object Pipeline {
         .collect()
       val g = Array.ofDim[Long](pcaDim)
       gRows.foreach(r => g(r.getInt(0)) = r.getLong(1))
-      val u = g.map(gi => r6(gi / (n * 1e6)))
+      val u = g.map(gi => pcaR6(gi / (n * 1e6)))
       val s2 = u.map(ui => math.round(ui * ui * 1e12)).sum // exact e12 ints
-      val lam = r6(math.sqrt(s2 / 1e12))
+      val lam = pcaR6(math.sqrt(s2 / 1e12))
       require(lam > 0, "[graft] p40 power iteration collapsed to the zero vector")
-      v = u.map(ui => r6(ui / lam))
+      v = u.map(ui => pcaR6(ui / lam))
       out += ((v.clone(), lam))
     }
+    out.result()
+  }
+
+  /** Power-iteration trajectory over `(vec_id, embedding)`: the
+    * per-dim corpus means plus, per iteration, the unit direction
+    * (64 doubles, 6 dp) and the growth estimate λ. Driver state:
+    * dim doubles + n. */
+  private[graft] def pcaFit(embs: DataFrame, iters: Int): (Array[Double], Seq[(Array[Double], Double)]) = {
+    val (cen, m, n) = pcaCenter(embs)
+    val traj = pcaIterate(cen, n, iters)
     cen.unpersist()
-    (m, out.result())
+    (m, traj)
   }
 
   val p40 = QuerySpec(
@@ -2817,21 +2833,27 @@ object Pipeline {
          |ORDER BY iter, i""".stripMargin
     })
 
+  /** DuckDB rendering of [[pcaIterate]] over centered frame `$src`
+    * (columns vec_id, i, cv), CTE names prefixed with `$pfx`, starting
+    * from the shared `v0` constant direction. Ends in
+    * `${pfx}v$pcaIters(i, v)` + `${pfx}l$pcaIters(lam)`. */
+  private def duckPcaIterCtes(src: String, pfx: String): String =
+    (1 to pcaIters).map { t =>
+      val pv = if (t == 1) "v0" else s"${pfx}v${t - 1}"
+      s"""${pfx}d$t AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
+         |        FROM $src c JOIN $pv w ON w.i = c.i GROUP BY 1),
+         |${pfx}g$t AS (SELECT c.i, SUM(CAST(ROUND(c.cv * (d.ds / 1e6) * 1e6) AS BIGINT)) AS g
+         |        FROM $src c JOIN ${pfx}d$t d ON d.vec_id = c.vec_id GROUP BY 1),
+         |${pfx}u$t AS (SELECT i, ROUND(g / (n.n * 1e6), 6) AS u FROM ${pfx}g$t CROSS JOIN nn n),
+         |${pfx}l$t AS (SELECT ROUND(SQRT(CAST(SUM(CAST(ROUND(u*u*1e12) AS BIGINT)) AS BIGINT) / 1e12), 6) AS lam
+         |        FROM ${pfx}u$t),
+         |${pfx}v$t AS (SELECT i, ROUND(u / l.lam, 6) AS v FROM ${pfx}u$t CROSS JOIN ${pfx}l$t l)""".stripMargin
+    }.mkString(",\n")
+
   /** DuckDB rendering of [[pcaFit]]: center → $pcaIters unrolled power
     * iterations, ending in `v$pcaIters(i, v)` + `l$pcaIters(lam)` with
     * the centered frame `c(vec_id, i, cv)` still in scope. */
-  private def duckPcaPrefix: String = {
-    val iters = (1 to pcaIters).map { t =>
-      val pv = if (t == 1) "v0" else s"v${t - 1}"
-      s"""d$t AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
-         |        FROM c JOIN $pv w ON w.i = c.i GROUP BY 1),
-         |g$t AS (SELECT c.i, SUM(CAST(ROUND(c.cv * (d.ds / 1e6) * 1e6) AS BIGINT)) AS g
-         |        FROM c JOIN d$t d ON d.vec_id = c.vec_id GROUP BY 1),
-         |u$t AS (SELECT i, ROUND(g / (n.n * 1e6), 6) AS u FROM g$t CROSS JOIN nn n),
-         |l$t AS (SELECT ROUND(SQRT(CAST(SUM(CAST(ROUND(u*u*1e12) AS BIGINT)) AS BIGINT) / 1e12), 6) AS lam
-         |        FROM u$t),
-         |v$t AS (SELECT i, ROUND(u / l.lam, 6) AS v FROM u$t CROSS JOIN l$t l)""".stripMargin
-    }.mkString(",\n")
+  private def duckPcaPrefix: String =
     s"""f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
        |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
        |nn AS (SELECT COUNT(*) AS n FROM embeddings),
@@ -2841,8 +2863,7 @@ object Pipeline {
        |c AS (SELECT f.vec_id, f.i, ROUND(f.v - mu.m, 6) AS cv
        |      FROM f JOIN mu ON mu.i = f.i),
        |v0 AS (SELECT unnest(range($pcaDim)) AS i, 0.125 AS v),
-       |$iters""".stripMargin
-  }
+       |${duckPcaIterCtes("c", "")}""".stripMargin
 
   // p40b — projection under the TRAINED component (spectral
   // train→deploy, the p37b precedent): fit the dominant direction on
@@ -2885,6 +2906,63 @@ object Pipeline {
             |       ROUND(MAX(p.ds) / 1e6, 6) AS max_proj
             |FROM pr p JOIN embeddings e ON e.vec_id = p.vec_id
             |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // p40c — SECOND principal component via DEFLATION: the "top-R
+  // components = R sequential runs with deflation" claim (SURVEY/
+  // SCALE) as a gated query. After fitting v1, ONE map-only pass
+  // removes its span — ce' = round(ce − (ce·v1)·v1, 6), the per-row
+  // dot reusing the exact-integer fold — and the SAME power-iteration
+  // loop runs unchanged on the deflated frame to find v2. Driver
+  // state: 2×64 doubles. The output carries both components, both
+  // growth estimates, and the v1·v2 orthogonality as an exact e6
+  // integer (the deflation-quality witness — near 0 by construction),
+  // all under one hash with the oracle replaying center → iterate →
+  // deflate → iterate. At 100 TB: R components cost R× the iteration
+  // scans plus R map-only deflation passes — the same plan class as
+  // one component, nothing new shuffles.
+  val p40c = QuerySpec(
+    "p40c_pca_deflation",
+    (s, d) => {
+      import s.implicits._
+      val (cen, _, n) = pcaCenter(embeddings(s, d).select(col("vec_id"), col("embedding")))
+      val traj1 = pcaIterate(cen, n, pcaIters)
+      val (v1, lam1) = traj1.last
+      val v1Lit = array(v1.toIndexedSeq.map(lit): _*)
+      val cen2 = cen
+        .withColumn("ds", aggregate(zip_with(col("ce"), v1Lit,
+          (x, y) => round(x * y * 1e6).cast("long")), lit(0L), (a, x) => a + x))
+        .select(col("vec_id"),
+          zip_with(col("ce"), v1Lit,
+            (x, y) => round(x - (col("ds") / 1e6) * y, 6)).as("ce"))
+        .persist() // scanned ×iters by the second chain
+      cen2.count() // materialize before dropping the parent cache
+      cen.unpersist()
+      val traj2 = pcaIterate(cen2, n, pcaIters)
+      cen2.unpersist()
+      val (v2, lam2) = traj2.last
+      val ortho = v1.zip(v2).map { case (a, b) =>
+        BigDecimal(a * b * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }.sum
+      (v1.zipWithIndex.map { case (x, i) => (1, i, x, lam1, ortho) } ++
+        v2.zipWithIndex.map { case (x, i) => (2, i, x, lam2, ortho) }).toSeq
+        .toDF("comp", "i", "v", "lam", "ortho_e6")
+        .orderBy(col("comp"), col("i"))
+    },
+    Some(s"""WITH $duckPcaPrefix,
+            |dd AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
+            |       FROM c JOIN v$pcaIters w ON w.i = c.i GROUP BY 1),
+            |c2 AS MATERIALIZED (SELECT c.vec_id, c.i, ROUND(c.cv - (d.ds / 1e6) * w.v, 6) AS cv
+            |       FROM c JOIN dd d ON d.vec_id = c.vec_id JOIN v$pcaIters w ON w.i = c.i),
+            |${duckPcaIterCtes("c2", "b")},
+            |ortho AS (SELECT CAST(SUM(CAST(ROUND(a.v * b.v * 1e6) AS BIGINT)) AS BIGINT) AS ortho_e6
+            |          FROM v$pcaIters a JOIN bv$pcaIters b ON b.i = a.i)
+            |SELECT CAST(1 AS INTEGER) AS comp, CAST(v$pcaIters.i AS INTEGER) AS i, v$pcaIters.v,
+            |       l$pcaIters.lam, o.ortho_e6
+            |FROM v$pcaIters CROSS JOIN l$pcaIters CROSS JOIN ortho o
+            |UNION ALL
+            |SELECT CAST(2 AS INTEGER), CAST(bv$pcaIters.i AS INTEGER), bv$pcaIters.v,
+            |       bl$pcaIters.lam, o.ortho_e6
+            |FROM bv$pcaIters CROSS JOIN bl$pcaIters CROSS JOIN ortho o
+            |ORDER BY comp, i""".stripMargin))
 
   // p41 — COUNT-MIN SKETCH heavy hitters (bigram boilerplate mining):
   // the third sketch family after HLL (q16_hll) and approx quantiles
@@ -3225,5 +3303,5 @@ object Pipeline {
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b,
-      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p41, p42, p43, p43b)
+      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b)
 }

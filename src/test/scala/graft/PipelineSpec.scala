@@ -1069,6 +1069,49 @@ class PipelineSpec extends SparkSuite {
     assert(estU <= estA + estB && estU >= math.max(estA, estB) - 1e-9)
   }
 
+  test("p40c deflation matches a brute-force replay; second component is orthogonal and smaller") {
+    val out = Pipeline.p40c.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toSeq
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rL(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val embs = Tables.embeddings(spark, sf).orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = embs.length
+    val dim = 64
+    val m = Array.tabulate(dim)(i => r6(embs.map(e => rL(e(i) * 1e6)).sum / (n * 1e6)))
+    def iterate(cen: Array[Array[Double]]): (Array[Double], Double) = {
+      var v = Array.fill(dim)(0.125)
+      var lamOut = 0.0
+      for (_ <- 1 to 3) {
+        val ds = cen.map(c => (0 until dim).map(i => rL(c(i) * v(i) * 1e6)).sum)
+        val g = Array.tabulate(dim)(i =>
+          cen.zip(ds).map { case (c, d) => rL(c(i) * (d / 1e6) * 1e6) }.sum)
+        val u = g.map(gi => r6(gi / (n * 1e6)))
+        val lam = r6(math.sqrt(u.map(ui => rL(ui * ui * 1e12)).sum / 1e12))
+        v = u.map(ui => r6(ui / lam)); lamOut = lam
+      }
+      (v, lamOut)
+    }
+    val cen = embs.map(e => Array.tabulate(dim)(i => r6(e(i) - m(i))))
+    val (v1, lam1) = iterate(cen)
+    val cen2 = cen.map { c =>
+      val ds = (0 until dim).map(i => rL(c(i) * v1(i) * 1e6)).sum
+      Array.tabulate(dim)(i => r6(c(i) - (ds / 1e6) * v1(i)))
+    }
+    val (v2, lam2) = iterate(cen2)
+    val ortho = v1.zip(v2).map { case (a, b) => rL(a * b * 1e6) }.sum
+    val expected =
+      (v1.zipWithIndex.map { case (x, i) => (1, i, x, lam1, ortho) } ++
+        v2.zipWithIndex.map { case (x, i) => (2, i, x, lam2, ortho) }).toSeq
+    assert(out == expected, "deflated trajectory must equal the single-node replay")
+    // spectral laws: the second component explains no more variance
+    // than the first, and deflation leaves it (near-)orthogonal
+    assert(lam2 < lam1, s"second growth estimate must be smaller: $lam2 vs $lam1")
+    assert(math.abs(ortho) <= 1000, s"v1·v2 must be ~0 (got ${ortho / 1e6})")
+  }
+
   test("p41 CMS heavy hitters match a brute-force single-node sketch replay") {
     val out = Pipeline.p41.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
