@@ -3084,12 +3084,15 @@ object Pipeline {
         .filter(col("nbits") === bloomK)
         .select(col("doc_id"), col("sh"))
       val tot = inc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val nMaybe = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_maybe"))
       // exact lookup ONLY on the bloom-pruned survivors — no false
-      // negatives means this equals the unpruned exact count
-      val nExact = hits.join(corpus, Seq("sh"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
-      tot.join(nMaybe, Seq("doc_id"), "left").join(nExact, Seq("doc_id"), "left")
+      // negatives means this equals the unpruned exact count; the
+      // membership flag rides a left join so ONE doc-keyed agg counts
+      // both maybe and exact (one scan of the candidate set, not two)
+      val nMb = hits
+        .join(corpus.withColumn("in_corpus", lit(1L)), Seq("sh"), "left")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_maybe"),
+          sum(coalesce(col("in_corpus"), lit(0L))).as("n_exact"))
+      tot.join(nMb, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_sh"),
           coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
           coalesce(col("n_exact"), lit(0L)).as("n_exact"),

@@ -463,8 +463,8 @@ class PlanSpec extends SparkSuite {
       l.contains("BroadcastHashJoin") && l.contains("bit")),
       s"probes must join the broadcast (≤4096-row) bit table:\n${plan.take(1200)}")
     assert(plan.linesIterator.exists(l =>
-      l.contains("LeftSemi")),
-      s"the exact lookup must be a semi-join from the bloom-pruned candidates:\n${plan.take(1200)}")
+      l.contains("LeftOuter") && l.contains("sh#")),
+      s"the exact lookup must probe the dictionary FROM the bloom-pruned candidates (left join, one pass counts maybe+exact):\n${plan.take(1200)}")
     assert(plan.contains("partial_"), "per-doc counts need map-side combine")
   }
 
