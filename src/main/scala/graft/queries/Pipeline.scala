@@ -3303,8 +3303,83 @@ object Pipeline {
          |FROM est_a a CROSS JOIN est_b b CROSS JOIN est_u u CROSS JOIN ex""".stripMargin
     })
 
+  // p44 — LEAKAGE-PROOF train/val split: the step after dedup that
+  // real training pipelines get wrong — a doc-keyed random split puts
+  // near-duplicate pairs on BOTH sides of the train/val boundary
+  // (evaluation leakage). The fix: split by DUP-CLUSTER, not by doc —
+  // every doc inherits its connected-component representative (p13's
+  // clusters; singletons are their own rep) and the 80/20 assignment
+  // hashes the REP (p17's deterministic md5-bucket discipline), so a
+  // whole near-dup cluster lands on one side by construction. The
+  // gate outputs the per-split doc/cluster counts AND two leakage
+  // witnesses under the same hash: n_leak_cluster (verified near-dup
+  // pairs straddling the cluster-keyed split — ZERO by construction,
+  // the invariant as data) and n_leak_naive (the same count under the
+  // doc-keyed split a naive pipeline uses — nonzero on this fixture,
+  // the bug made visible). Scale shape: CC is p13's O(log diameter)
+  // loop, assignment is a broadcast-free map over the component
+  // table, the leak joins start from the O(pairs) side.
+  val p44 = QuerySpec(
+    "p44_leakage_safe_split",
+    (s, d) => {
+      val pairList = minhashPairs(s, d).select(col("da"), col("db")).persist()
+      val comps = graft.ops.Dedup.connectedComponents(pairList, "da", "db")
+      val asg = documents(s, d).select(col("doc_id"))
+        .join(comps.withColumnRenamed("member", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
+        .withColumn("split",
+          when(expr(s"${TextFns.md5IntScalarExpr("CAST(rep AS STRING)")} % 10") < 8,
+            "train").otherwise("val"))
+        .withColumn("naive_split",
+          when(expr(s"${TextFns.md5IntScalarExpr("CAST(doc_id AS STRING)")} % 10") < 8,
+            "train").otherwise("val"))
+        .persist()
+      val stats = asg.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("rep")).as("n_clusters"))
+      val sa = asg.select(col("doc_id").as("da"),
+        col("split").as("sa"), col("naive_split").as("nsa"))
+      val sb = asg.select(col("doc_id").as("db"),
+        col("split").as("sb"), col("naive_split").as("nsb"))
+      val leak = pairList.join(sa, "da").join(sb, "db")
+        .agg(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_leak_cluster"),
+          sum(when(col("nsa") =!= col("nsb"), 1L).otherwise(0L)).as("n_leak_naive"))
+      stats.crossJoin(broadcast(leak))
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          col("n_leak_cluster"), col("n_leak_naive"))
+        .orderBy(col("split"))
+    },
+    Some {
+      val repB = s"CAST('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15) AS BIGINT) % ${TextFns.minhashP} % 10"
+      val docB = s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % ${TextFns.minhashP} % 10"
+      s"""WITH RECURSIVE $duckPairCtes,
+         |edges AS (SELECT da AS v, db AS w FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |walk(v, lbl) AS (
+         |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+         |  UNION
+         |  SELECT e.v, wk.lbl FROM edges e JOIN walk wk ON wk.v = e.w),
+         |comps AS (SELECT v AS doc_id, MIN(lbl) AS rep FROM walk GROUP BY v),
+         |asg AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+         |        FROM (SELECT doc_id FROM documents) d
+         |        LEFT JOIN comps c ON c.doc_id = d.doc_id),
+         |asg2 AS (SELECT doc_id, rep,
+         |           CASE WHEN $repB < 8 THEN 'train' ELSE 'val' END AS split,
+         |           CASE WHEN $docB < 8 THEN 'train' ELSE 'val' END AS naive_split
+         |         FROM asg),
+         |stats AS (SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT rep) AS n_clusters
+         |          FROM asg2 GROUP BY 1),
+         |leak AS (SELECT
+         |    CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS n_leak_cluster,
+         |    CAST(SUM(CASE WHEN a.naive_split <> b.naive_split THEN 1 ELSE 0 END) AS BIGINT) AS n_leak_naive
+         |  FROM pairs p JOIN asg2 a ON a.doc_id = p.da JOIN asg2 b ON b.doc_id = p.db)
+         |SELECT s.split, CAST(s.n_docs AS BIGINT) AS n_docs,
+         |       CAST(s.n_clusters AS BIGINT) AS n_clusters,
+         |       l.n_leak_cluster, l.n_leak_naive
+         |FROM stats s CROSS JOIN leak l ORDER BY s.split""".stripMargin
+    })
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b,
-      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b)
+      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b, p44)
 }

@@ -1112,6 +1112,46 @@ class PipelineSpec extends SparkSuite {
     assert(math.abs(ortho) <= 1000, s"v1·v2 must be ~0 (got ${ortho / 1e6})")
   }
 
+  test("p44 cluster-keyed split matches a union-find replay and never leaks a near-dup pair") {
+    val out = Pipeline.p44.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val pairs = Pipeline.minhashPairs(spark, sf).select(col("da"), col("db")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val docs = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSeq
+    // union-find with min-id representatives (what connectedComponents yields)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    pairs.foreach { case (a, b) => union(a, b) }
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    def bucket(x: Long): Long =
+      java.lang.Long.parseLong(md5hex(x.toString).take(15), 16) % 2147483647L % 10L
+    def splitOf(key: Long) = if (bucket(key) < 8) "train" else "val"
+    val asg = docs.map(id => (id, find(id))).toMap
+    val stats = docs.groupBy(id => splitOf(asg(id))).toSeq.sortBy(_._1)
+      .map { case (sp, ids) =>
+        (sp, ids.size.toLong, ids.map(asg).distinct.size.toLong) }
+    val leakCluster = pairs.count { case (a, b) => splitOf(asg(a)) != splitOf(asg(b)) }.toLong
+    val leakNaive = pairs.count { case (a, b) => splitOf(a) != splitOf(b) }.toLong
+    val expected = stats.map { case (sp, nd, nc) => (sp, nd, nc, leakCluster, leakNaive) }
+    assert(out == expected, s"split must equal the union-find replay:\n got $out\nwant $expected")
+    assert(leakCluster == 0, "cluster-keyed split can never separate a near-dup pair")
+    assert(out.map(_._2).sum == docs.size, "every doc lands in exactly one split")
+    // docs sharing a cluster share a split — the invariant behind the zero
+    docs.groupBy(asg).values.foreach { ids =>
+      assert(ids.map(id => splitOf(asg(id))).distinct.size == 1) }
+  }
+
   test("p41 CMS heavy hitters match a brute-force single-node sketch replay") {
     val out = Pipeline.p41.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
