@@ -3378,8 +3378,61 @@ object Pipeline {
          |FROM stats s CROSS JOIN leak l ORDER BY s.split""".stripMargin
     })
 
+  // p45 — CORPUS HEALTH REPORT (the daily rollup a data engineer
+  // actually watches): per language, document counts, the rule-based
+  // quality pass rate (p2/p37's SHARED lrFeatures label — one source,
+  // no drift), the verified near-dup incidence (p6's SHARED pair
+  // pipeline), and mean document length — five families under ONE hash,
+  // the p35 composition discipline extended across ingredient
+  // OBJECTS: the Spark side and the oracle both reuse the exact
+  // shared fragments (lrFeatures/duckLrFeatCtes, minhashPairs/
+  // duckPairCtes), so the report can't drift from the operators it
+  // summarizes. Everything is integer counts except two rounded
+  // divisions of exact integers. Scale: the rollup adds one
+  // lang-keyed partial agg on top of its ingredients; dup ids are
+  // O(pairs); nothing new shuffles.
+  val p45 = QuerySpec(
+    "p45_corpus_report",
+    (s, d) => {
+      val base = documents(s, d)
+        .withColumn("toks", expr(toks))
+        .select(col("doc_id"), col("lang"), size(col("toks")).as("n_tok"))
+      val quality = lrFeatures(documents(s, d))
+        .select(col("doc_id"), col("y"))
+      val dup = minhashPairs(s, d)
+        .select(explode(array(col("da"), col("db"))).as("doc_id"))
+        .distinct()
+        .withColumn("is_dup", lit(1L))
+      base
+        .join(quality, Seq("doc_id"), "left")
+        .join(dup, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("y"), lit(0.0))).cast("long").as("n_quality"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("dup_docs"),
+          round(sum(coalesce(col("is_dup"), lit(0L))) / count(lit(1)), 6).as("dup_rate"),
+          round(sum(col("n_tok")) / count(lit(1)), 6).as("mean_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH $duckLrFeatCtes,
+            |$duckPairCtes,
+            |rep_base AS (SELECT doc_id, lang, len($duckToks) AS n_tok FROM documents),
+            |dup AS (SELECT DISTINCT doc_id FROM
+            |          (SELECT da AS doc_id FROM pairs UNION ALL SELECT db FROM pairs)),
+            |joined AS (SELECT b.lang, b.n_tok, COALESCE(f.y, 0.0) AS y,
+            |                  CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+            |           FROM rep_base b
+            |           LEFT JOIN featr f ON f.doc_id = b.doc_id
+            |           LEFT JOIN dup u ON u.doc_id = b.doc_id)
+            |SELECT lang, COUNT(*) AS n_docs,
+            |       CAST(SUM(y) AS BIGINT) AS n_quality,
+            |       CAST(SUM(is_dup) AS BIGINT) AS dup_docs,
+            |       ROUND(CAST(SUM(is_dup) AS BIGINT) / COUNT(*), 6) AS dup_rate,
+            |       ROUND(CAST(SUM(n_tok) AS BIGINT) / COUNT(*), 6) AS mean_tokens
+            |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b,
-      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b, p44)
+      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b, p44, p45)
 }

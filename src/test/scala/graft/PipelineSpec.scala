@@ -1152,6 +1152,36 @@ class PipelineSpec extends SparkSuite {
       assert(ids.map(id => splitOf(asg(id))).distinct.size == 1) }
   }
 
+  test("p45 corpus report recounts from its ingredient operators") {
+    val out = Pipeline.p45.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // dup ids from the p6 gate itself — the report must agree with the
+    // operator it summarizes
+    val dupIds = Pipeline.p6.fn(spark, sf).select(col("da"), col("db")).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val en = Seq("the", "a", "of", "and", "to", "is")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("text"))
+      .collect().map { r =>
+        val t = r.getString(2).split(" ").filter(_.nonEmpty)
+        val quality = t.length >= 30 &&
+          t.distinct.length.toDouble / t.length >= 0.2 &&
+          t.count(en.contains).toDouble / t.length <= 0.5
+        (r.getString(1), r.getLong(0), t.length.toLong, quality)
+      }
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, xs) =>
+      val n = xs.length.toLong
+      val dup = xs.count(x => dupIds(x._2)).toLong
+      (lang, n, xs.count(_._4).toLong, dup,
+        r6(dup.toDouble / n), r6(xs.map(_._3).sum.toDouble / n))
+    }
+    assert(out == expected, s"report must recount from ingredients:\n got $out\nwant $expected")
+    assert(out.forall { case (_, n, q, d2, _, _) => q <= n && d2 <= n })
+    assert(out.map(_._2).sum == docs.length, "every doc reports in exactly one lang row")
+  }
+
   test("p41 CMS heavy hitters match a brute-force single-node sketch replay") {
     val out = Pipeline.p41.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
