@@ -3431,8 +3431,63 @@ object Pipeline {
             |       ROUND(CAST(SUM(n_tok) AS BIGINT) / COUNT(*), 6) AS mean_tokens
             |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // p46 — DETERMINISTIC-SAMPLE quantiles with auditable error: the
+  // sampling counterpart to q26b's t-digest (whose internals are
+  // engine-specific and therefore band-only). A 1/16 md5-bucket
+  // sample (p17's discipline — reproducible across runs AND engines,
+  // unlike rand()) pays 1/16th of the exact percentile's full-column
+  // sort, and because the sample is deterministic the estimate, the
+  // exact value, and their |error| all go under ONE oracle hash —
+  // the sketch's real accuracy is audited, not asserted. Exact
+  // percentile arithmetic is the q26 convention (Spark `percentile`
+  // ↔ DuckDB `quantile_cont`, identical linear interpolation). At
+  // 100 TB the exact side is the expensive global-sort path you run
+  // rarely; the sample side is the daily monitor; q26b's t-digest
+  // is the streaming/mergeable path — three quantile strategies,
+  // each with its check.
+  val p46 = QuerySpec(
+    "p46_quantile_sample",
+    (s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      val samp = o.filter(
+        expr(s"${TextFns.md5IntScalarExpr("CAST(o_orderkey AS STRING)")} % 16") === 0)
+      val sa = samp.agg(count(lit(1)).as("n_sample"),
+        expr("percentile(o_totalprice, 0.5)").as("s50"),
+        expr("percentile(o_totalprice, 0.9)").as("s90"),
+        expr("percentile(o_totalprice, 0.99)").as("s99"))
+      val xa = o.agg(count(lit(1)).as("n_total"),
+        expr("percentile(o_totalprice, 0.5)").as("x50"),
+        expr("percentile(o_totalprice, 0.9)").as("x90"),
+        expr("percentile(o_totalprice, 0.99)").as("x99"))
+      xa.crossJoin(broadcast(sa))
+        .select(col("n_total"), col("n_sample"),
+          col("s50"), col("x50"), round(abs(col("s50") - col("x50")), 6).as("e50"),
+          col("s90"), col("x90"), round(abs(col("s90") - col("x90")), 6).as("e90"),
+          col("s99"), col("x99"), round(abs(col("s99") - col("x99")), 6).as("e99"))
+    },
+    Some {
+      val bucket =
+        s"CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % ${TextFns.minhashP} % 16"
+      s"""WITH smp AS (SELECT o_totalprice FROM orders WHERE $bucket = 0),
+         |sa AS (SELECT COUNT(*) AS n_sample,
+         |              quantile_cont(o_totalprice, 0.5) AS s50,
+         |              quantile_cont(o_totalprice, 0.9) AS s90,
+         |              quantile_cont(o_totalprice, 0.99) AS s99
+         |       FROM smp),
+         |xa AS (SELECT COUNT(*) AS n_total,
+         |              quantile_cont(o_totalprice, 0.5) AS x50,
+         |              quantile_cont(o_totalprice, 0.9) AS x90,
+         |              quantile_cont(o_totalprice, 0.99) AS x99
+         |       FROM orders)
+         |SELECT n_total, n_sample,
+         |       s50, x50, ROUND(ABS(s50 - x50), 6) AS e50,
+         |       s90, x90, ROUND(ABS(s90 - x90), 6) AS e90,
+         |       s99, x99, ROUND(ABS(s99 - x99), 6) AS e99
+         |FROM xa CROSS JOIN sa""".stripMargin
+    })
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b,
-      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b, p44, p45)
+      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b, p44, p45, p46)
 }

@@ -1182,6 +1182,40 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_._2).sum == docs.length, "every doc reports in exactly one lang row")
   }
 
+  test("p46 sampled quantiles match a sorted-array replay; the sample is the declared 1/16") {
+    val r = Pipeline.p46.fn(spark, sf).head()
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    def inSample(k: Long): Boolean =
+      java.lang.Long.parseLong(md5hex(k.toString).take(15), 16) % 2147483647L % 16L == 0
+    val rows = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    def pct(vs: Array[Double], q: Double): Double = {
+      val v = vs.sorted
+      val pos = q * (v.length - 1)
+      val lo = pos.toInt
+      if (lo + 1 >= v.length) v(lo) else v(lo) + (pos - lo) * (v(lo + 1) - v(lo))
+    }
+    val all = rows.map(_._2)
+    val smp = rows.filter(t => inSample(t._1)).map(_._2)
+    assert(r.getLong(0) == all.length && r.getLong(1) == smp.length,
+      "sample membership must replay the md5 bucket filter")
+    // ±30% band on the 1/16 rate: deterministic, but the md5 buckets
+    // of a finite keyset aren't perfectly uniform
+    assert(math.abs(r.getLong(1).toDouble / all.length - 1.0 / 16) <= 0.3 / 16)
+    def close(a: Double, b: Double) = math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b))
+    for ((qi, si, xi) <- Seq((0.5, 2, 3), (0.9, 5, 6), (0.99, 8, 9))) {
+      assert(close(r.getDouble(si), pct(smp, qi)), s"sample p$qi must replay")
+      assert(close(r.getDouble(xi), pct(all, qi)), s"exact p$qi must replay")
+    }
+    // the audited-error law: reported errors are |sample − exact|
+    assert(r.getDouble(4) ==
+      BigDecimal(math.abs(r.getDouble(2) - r.getDouble(3)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("p41 CMS heavy hitters match a brute-force single-node sketch replay") {
     val out = Pipeline.p41.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
