@@ -278,5 +278,53 @@ object Advanced {
            |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, MAX(ts) AS last_ts
            |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
 
-  val all: Seq[QuerySpec] = Seq(q14, q15, q15b, q16, q16h, q17, q18, q19, q20, q21)
+  // Q50 — SCD2 (type-2 dimension) HISTORY from the CDC replay: the
+  // warehouse-side complement to q19's last-image materialization —
+  // instead of folding to current state, every insert/update image
+  // becomes a history row with an LSN validity interval
+  // [valid_from, valid_to), valid_to = the NEXT event's LSN for that
+  // key (an update supersedes, a delete closes — deletes contribute
+  // their LSN via the lead window but emit no row), is_current = open
+  // interval. One key-partitioned window over the event log — the
+  // same partitioning q19's fold uses, so at scale the history build
+  // costs exactly one extra pass over the already-key-clustered
+  // stream. Oracle replays the identical DML log as a VALUES relation
+  // (the q19 convention — one generator, two renders, no drift).
+  val q50 = QuerySpec(
+    "q50_scd2_history",
+    (s, _) => {
+      val raw = s.read.schema(Envelope.schema).json(Fixture.materialize())
+      // pg LSN "hi/lo" → the true 64-bit position (hi·2³² + lo), so the
+      // validity bounds are numeric in both engines regardless of the
+      // source's hex-string padding
+      val lsnNum = expr("CAST(conv(concat(lpad(split(lsn, '/')[0], 8, '0'), " +
+        "lpad(split(lsn, '/')[1], 8, '0')), 16, 10) AS BIGINT)")
+      val proj = Envelope.project(raw)
+        .filter(col("tag").isin("insert", "update", "delete"))
+        .select(lsnNum.as("lsn_n"), col("tag"), col("id"),
+          col("firstName"), col("lastName"), col("dateOfBirth"), col("status"))
+      val w = Window.partitionBy(col("id")).orderBy(col("lsn_n"))
+      proj.withColumn("valid_to", lead(col("lsn_n"), 1).over(w))
+        .filter(col("tag") =!= "delete")
+        .select(col("id"), col("lsn_n").as("valid_from"), col("valid_to"),
+          col("firstName"), col("lastName"), col("dateOfBirth"), col("status"),
+          when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+        .orderBy(col("id"), col("valid_from"))
+    },
+    Some(s"""WITH ev(lsn, tag, id, first_name, last_name, date_of_birth, status_id) AS (VALUES
+            |${Fixture.valuesSql}),
+            |en AS (SELECT CAST('0x' || lpad(split_part(lsn, '/', 1), 8, '0')
+            |                    || lpad(split_part(lsn, '/', 2), 8, '0') AS BIGINT) AS lsn_n,
+            |              tag, id, first_name, last_name, date_of_birth, status_id
+            |       FROM ev WHERE tag IN ('insert', 'update', 'delete')),
+            |h AS (SELECT *, LEAD(lsn_n) OVER (PARTITION BY id ORDER BY lsn_n) AS valid_to
+            |      FROM en)
+            |SELECT CAST(id AS BIGINT) AS id, lsn_n AS valid_from, valid_to,
+            |       first_name AS "firstName", last_name AS "lastName",
+            |       CAST(date_of_birth AS DATE) AS "dateOfBirth",
+            |       CAST(status_id AS INTEGER) AS status,
+            |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+            |FROM h WHERE tag <> 'delete' ORDER BY id, valid_from""".stripMargin))
+
+  val all: Seq[QuerySpec] = Seq(q14, q15, q15b, q16, q16h, q17, q18, q19, q20, q21, q50)
 }

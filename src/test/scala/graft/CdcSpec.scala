@@ -301,4 +301,36 @@ class CdcSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("oldFirstName"), e.getMessage)
   }
+
+  test("q50 SCD2 intervals are non-overlapping and its current rows equal q19's fold") {
+    val hist = graft.queries.Advanced.q50.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        (r.getString(3), r.getString(4), String.valueOf(r.getDate(5)), r.getInt(6)),
+        r.getInt(7)))
+    // interval laws per key: strictly advancing, non-overlapping; a
+    // gap is legal only across a delete (close-then-reinsert)
+    hist.groupBy(_._1).values.foreach { rows0 =>
+      val rows = rows0.sortBy(_._2).toSeq
+      rows.sliding(2).foreach {
+        case Seq((_, _, to, _, _), (_, from2, _, _, _)) =>
+          assert(to.nonEmpty && to.get <= from2,
+            "every non-final image must be closed at or before its successor opens")
+        case _ =>
+      }
+      assert(rows.init.forall(_._3.nonEmpty), "only the final image may be open")
+      assert(rows.count(_._5 == 1) <= 1, "at most one current row per key")
+      rows.foreach { case (_, from, to, _, cur) =>
+        assert(to.forall(_ > from), "intervals are non-empty")
+        assert((cur == 1) == to.isEmpty, "is_current marks exactly the open interval")
+      }
+    }
+    // train of record: the open intervals ARE q19's last-image fold
+    val current = hist.filter(_._5 == 1).map(t => t._1 -> t._4).toMap
+    val fold = graft.queries.Advanced.q19.fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), String.valueOf(r.getDate(3)), r.getInt(4))).toMap
+    assert(current == fold,
+      "SCD2's open intervals must equal the last-image materialization")
+  }
 }
