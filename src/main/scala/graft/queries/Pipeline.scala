@@ -3486,8 +3486,60 @@ object Pipeline {
          |FROM xa CROSS JOIN sa""".stripMargin
     })
 
+  // p47 — the END-TO-END CURATION PIPELINE as one gate: what a
+  // training-data batch job actually SHIPS — near-dup survivors
+  // (p14's connected-component keeper pick) → rule-quality filter
+  // (p2/p37's shared label) → sequence packing into training-ready
+  // manifests (p21's cumulative-window packer) — three TRANSFORM
+  // stages composed under ONE hash, the step past p35/p45's report
+  // compositions: this is the output artifact, not the summary.
+  // Every stage reuses the exact shared fragment (minhashPairs/
+  // duckPairCtes, lrFeatures/duckLrFeatCtes, packManifest/the p21
+  // window SQL), so the pipeline cannot drift from its operators.
+  // Scale: each stage keeps its own proven shape (band equi-join CC,
+  // map-only scoring, lang-keyed pack window — p21b's sharded window
+  // is the skew dial when needed); the filters between stages only
+  // SHRINK the data, so the composition is never worse than its
+  // parts.
+  val p47 = QuerySpec(
+    "p47_curation_pipeline",
+    (s, d) => {
+      val pairList = minhashPairs(s, d).select(col("da"), col("db")).persist()
+      val comps = graft.ops.Dedup.connectedComponents(pairList, "da", "db")
+      pairList.unpersist() // comps is checkpoint-backed
+      val removed = comps.filter(col("member") =!= col("cluster_rep"))
+        .select(col("member").as("doc_id"))
+      val surv = documents(s, d).join(removed, Seq("doc_id"), "left_anti")
+      val qualIds = lrFeatures(surv).filter(col("y") === 1.0).select(col("doc_id"))
+      val kept = surv.join(qualIds, Seq("doc_id"), "left_semi")
+      packManifest(kept, packBudget)
+    },
+    Some(s"""WITH RECURSIVE $duckLrFeatCtes,
+            |$duckPairCtes,
+            |edges AS (SELECT da AS v, db AS w FROM pairs
+            |          UNION ALL SELECT db, da FROM pairs),
+            |walk(v, lbl) AS (
+            |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+            |  UNION
+            |  SELECT e.v, wk.lbl FROM edges e JOIN walk wk ON wk.v = e.w),
+            |comp AS (SELECT v, MIN(lbl) AS rep FROM walk GROUP BY v),
+            |removed AS (SELECT v FROM comp WHERE v <> rep),
+            |kept AS (SELECT f.doc_id FROM featr f
+            |         WHERE f.y = 1.0 AND f.doc_id NOT IN (SELECT v FROM removed)),
+            |t AS (SELECT d.doc_id, d.lang, len($duckToks) AS n_tok
+            |      FROM documents d JOIN kept k ON k.doc_id = d.doc_id),
+            |c AS (SELECT doc_id, lang, n_tok,
+            |        SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t),
+            |p AS (SELECT lang, CAST(FLOOR((cum - n_tok) / $packBudget.0) AS BIGINT) AS pack_id,
+            |        doc_id, n_tok FROM c)
+            |SELECT lang, pack_id, COUNT(*) AS n_docs,
+            |       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+            |       CAST(SUM(CASE WHEN n_tok > $packBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+            |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin))
+
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b,
-      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b, p44, p45, p46)
+      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b, p44, p45, p46, p47)
 }

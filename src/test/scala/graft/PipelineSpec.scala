@@ -1216,6 +1216,51 @@ class PipelineSpec extends SparkSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("p47 curation pipeline matches a three-stage replay: survivors → quality → packs") {
+    val out = Pipeline.p47.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // stage 1: union-find survivors (cluster reps survive)
+    val pairs = Pipeline.minhashPairs(spark, sf).select(col("da"), col("db")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // stage 2: the rule label on survivors; stage 3: cumulative packs
+    val en = Seq("the", "a", "of", "and", "to", "is")
+    val kept = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map { r =>
+        val t = r.getString(2).split(" ").filter(_.nonEmpty)
+        (r.getLong(0), r.getString(1), t.length.toLong,
+          t.length >= 30 && t.distinct.length.toDouble / t.length >= 0.2 &&
+            t.count(en.contains).toDouble / t.length <= 0.5)
+      }
+      .filter { case (id, _, _, q) => find(id) == id && q }
+    val expected = kept.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (id, _, n, _) =>
+        val packId = cum / 2048; cum += n; (lang, packId, id, n)
+      }.groupBy(t => (t._1, t._2)).toSeq.sortBy(t => (t._1._1, t._1._2))
+        .map { case ((lg, pk), xs) =>
+          (lg, pk, xs.size.toLong, xs.map(_._4).sum,
+            xs.count(_._4 > 2048).toLong, xs.map(_._3).min, xs.map(_._3).max)
+        }
+    }
+    assert(out == expected, s"pipeline must equal the replay:\n got ${out.take(4)}…\nwant ${expected.take(4)}…")
+    // composition laws: nothing packed that a stage rejected
+    val keptIds = kept.map(_._1).toSet
+    assert(out.map(_._3).sum == keptIds.size, "every kept doc packs exactly once")
+    assert(pairs.forall { case (a, b) => !(keptIds(a) && keptIds(b)) },
+      "no verified near-dup pair survives with both endpoints packed")
+  }
+
   test("p41 CMS heavy hitters match a brute-force single-node sketch replay") {
     val out = Pipeline.p41.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
