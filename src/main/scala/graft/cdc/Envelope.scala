@@ -376,6 +376,35 @@ object Envelope {
       .drop("__rn", "lsn", "tag")
   }
 
+  /** The 64-bit numeric log position of a wire LSN — hi·2³² + lo, the
+    * value Postgres' pg_lsn type compares by. Used wherever an LSN
+    * becomes an ARITHMETIC validity bound (q50's history intervals,
+    * the streaming SCD2 state) rather than an opaque ordering key. */
+  def lsnNumeric(c: Column): Column =
+    conv(concat(
+      lpad(split(c, "/").getItem(0), 8, "0"),
+      lpad(split(c, "/").getItem(1), 8, "0")), 16, 10).cast(LongType)
+
+  /** SCD2 (type-2 dimension) history fold over numeric-LSN events
+    * `(keyCol, tag, valid_from, image…)`: every insert/update image
+    * becomes a history row valid `[valid_from, next event's LSN)`; a
+    * delete contributes its LSN through the lead window (closing the
+    * previous interval) and emits no row; the open interval is the
+    * current row. ONE key-partitioned window — the same partitioning
+    * [[lastImageByKey]] shuffles on, so the history build costs one
+    * extra pass over the already-key-clustered stream. Shared by the
+    * q50 batch replay and [[graft.streaming.Streams.materializeScd2]]
+    * (which re-folds only open intervals + fresh events per batch) so
+    * the two paths cannot drift. */
+  def scd2Fold(events: DataFrame, keyCol: String = "id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    events
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .filter(col("tag") =!= "delete")
+      .drop("tag")
+      .withColumn("is_current", when(col("valid_to").isNull, lit(1)).otherwise(lit(0)))
+  }
+
   /** §1.3 typed edge — the reference's `Student` io-ts codec
     * (`/root/reference/src/model/student.ts:3-9`) as a case class +
     * product Encoder. The engine core stays untyped DataFrame (full

@@ -294,21 +294,20 @@ object Advanced {
     "q50_scd2_history",
     (s, _) => {
       val raw = s.read.schema(Envelope.schema).json(Fixture.materialize())
-      // pg LSN "hi/lo" → the true 64-bit position (hi·2³² + lo), so the
-      // validity bounds are numeric in both engines regardless of the
-      // source's hex-string padding
-      val lsnNum = expr("CAST(conv(concat(lpad(split(lsn, '/')[0], 8, '0'), " +
-        "lpad(split(lsn, '/')[1], 8, '0')), 16, 10) AS BIGINT)")
+      // pg LSN "hi/lo" → the true 64-bit position (Envelope.lsnNumeric),
+      // so the validity bounds are numeric in both engines regardless
+      // of the source's hex-string padding; the fold itself is the
+      // SHARED Envelope.scd2Fold — the streaming materializer
+      // (Streams.materializeScd2) re-folds the same function per batch,
+      // so batch replay and incremental history cannot drift
       val proj = Envelope.project(raw)
         .filter(col("tag").isin("insert", "update", "delete"))
-        .select(lsnNum.as("lsn_n"), col("tag"), col("id"),
-          col("firstName"), col("lastName"), col("dateOfBirth"), col("status"))
-      val w = Window.partitionBy(col("id")).orderBy(col("lsn_n"))
-      proj.withColumn("valid_to", lead(col("lsn_n"), 1).over(w))
-        .filter(col("tag") =!= "delete")
-        .select(col("id"), col("lsn_n").as("valid_from"), col("valid_to"),
+        .select(Envelope.lsnNumeric(col("lsn")).as("valid_from"), col("tag"),
+          col("id"), col("firstName"), col("lastName"), col("dateOfBirth"), col("status"))
+      Envelope.scd2Fold(proj)
+        .select(col("id"), col("valid_from"), col("valid_to"),
           col("firstName"), col("lastName"), col("dateOfBirth"), col("status"),
-          when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+          col("is_current"))
         .orderBy(col("id"), col("valid_from"))
     },
     Some(s"""WITH ev(lsn, tag, id, first_name, last_name, date_of_birth, status_id) AS (VALUES

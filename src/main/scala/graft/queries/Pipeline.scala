@@ -2063,69 +2063,102 @@ object Pipeline {
   // encode is a map-only kernel projection; candidates come from a
   // list equi-join against broadcast probes (never all-pairs); the
   // rescore pool is a fixed constant per query.
+  /** The shared p36/p48 retrieval stack: trained-IVF list routing →
+    * PQ-ADC scan of ONLY the probed lists' members → exact rescore of
+    * the survivor pool. `allow` is an optional `vec_id` allow-list (the
+    * p48 attribute filter): with `postFilter = false` it semi-joins the
+    * LIST MEMBERSHIP table before the probe join, so disallowed vectors
+    * never reach the ADC scan and the pqPool budget is spent entirely
+    * on vectors that can actually be returned (pre-filtering, the
+    * production shape); with `postFilter = true` it is applied to the
+    * already-selected pool instead (the naive post-filter whose recall
+    * loss the spec pins — kept private, only the spec drives it). */
+  private[graft] def annFullStack(s: SparkSession, d: String,
+      allow: Option[DataFrame] = None, postFilter: Boolean = false): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      expr(VectorFns.fastNormExpr("embedding")).as("nrm"))
+      .persist() // reused: training scans (×iters), list build, PQ encode, rescore
+    val e0 = e.select(col("vec_id"), col("embedding"))
+    // forceKernel: same rationale as p22 — strategies are bit-identical
+    // (fuzz-pinned) and the kernel avoids the per-iteration janino
+    // compile of a K·dim expanded projection
+    val model = graft.ops.KMeans.fit(e0, "vec_id", "embedding", kmK, kmIters,
+      forceKernel = true)
+    val lists = graft.ops.KMeans.assign(e0, "embedding", model, forceKernel = true)
+      .select(col("vec_id"), col("cluster").as("list_id"))
+      .persist() // the argmax projection evaluates once
+    // the p48 pre-filter: prune the membership table itself, BEFORE
+    // probes select candidates — the allow-list is dimension-sized
+    // (metadata, not vectors), so it broadcasts into a semi join
+    val members = allow match {
+      case Some(a) if !postFilter =>
+        lists.join(broadcast(a), Seq("vec_id"), "left_semi")
+      case _ => lists
+    }
+    // PQ encode of the corpus (p24's kernel + reconstruction literals)
+    val cb = pqCodebook(e)
+    val fnName = graft.expressions.VectorExpressions.registerPqEncode(s, cb)
+    def reconSub(m: Int): org.apache.spark.sql.Column =
+      element_at(
+        array((0 until pqK).map(j => array((0 until pqSub).map(t => lit(cb(m)(j)(t))): _*)): _*),
+        col("codes").getItem(m) + lit(1))
+    val enc = try {
+      e.withColumn("codes", expr(s"$fnName(embedding)"))
+        .withColumn("rv", flatten(array((0 until pqM).map(reconSub): _*)))
+        .withColumn("rnrm", sqrt(expr("aggregate(zip_with(rv, rv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+    } finally graft.expressions.VectorExpressions.dropTempFunction(s, fnName)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    // probe ranking against the TRAINED centroids (p22's convention:
+    // trainer's own cosineTo, 6-dp round, cluster-index tiebreak)
+    val scoreArr = array(model.centroids.zipWithIndex.map { case (c, j) =>
+      struct(graft.ops.KMeans.cosineTo("qe", "qn", c).as("ccos"), lit(j).as("cent_id"))
+    }: _*)
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("list_id"))
+    val probes = q.select(col("qid"), explode(scoreArr).as("sc"))
+      .select(col("qid"), col("sc.cent_id").as("list_id"), col("sc.ccos").as("ccos"))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= ivfProbe)
+      .select(col("qid"), col("list_id"))
+    val cand = members.join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+    // ADC over list members only: exact query float vs reconstructed codes
+    val dotA = "aggregate(zip_with(qe, rv, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
+    val scored = cand
+      .join(enc, "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("acos_", round(expr(dotA) / (col("qn") * col("rnrm")), 6))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("acos_").desc, col("vec_id"))
+    val pool0 = scored.withColumn("arn", row_number().over(wA)).filter(col("arn") <= pqPool)
+    val pool = allow match {
+      case Some(a) if postFilter => pool0.join(broadcast(a), Seq("vec_id"), "left_semi")
+      case _ => pool0
+    }
+    val exact = pool.withColumn("cos",
+      round(expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")), 6))
+    val wT = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    exact.withColumn("rn", row_number().over(wT)).filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cos").as("cosine"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val p36 = QuerySpec(
     "p36_ann_full_stack",
-    (s, d) => {
-      graft.expressions.VectorExpressions.register(s)
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-        expr(VectorFns.fastNormExpr("embedding")).as("nrm"))
-        .persist() // reused: training scans (×iters), list build, PQ encode, rescore
-      val e0 = e.select(col("vec_id"), col("embedding"))
-      // forceKernel: same rationale as p22 — strategies are bit-identical
-      // (fuzz-pinned) and the kernel avoids the per-iteration janino
-      // compile of a K·dim expanded projection
-      val model = graft.ops.KMeans.fit(e0, "vec_id", "embedding", kmK, kmIters,
-        forceKernel = true)
-      val lists = graft.ops.KMeans.assign(e0, "embedding", model, forceKernel = true)
-        .select(col("vec_id"), col("cluster").as("list_id"))
-        .persist() // the argmax projection evaluates once
-      // PQ encode of the corpus (p24's kernel + reconstruction literals)
-      val cb = pqCodebook(e)
-      val fnName = graft.expressions.VectorExpressions.registerPqEncode(s, cb)
-      def reconSub(m: Int): org.apache.spark.sql.Column =
-        element_at(
-          array((0 until pqK).map(j => array((0 until pqSub).map(t => lit(cb(m)(j)(t))): _*)): _*),
-          col("codes").getItem(m) + lit(1))
-      val enc = try {
-        e.withColumn("codes", expr(s"$fnName(embedding)"))
-          .withColumn("rv", flatten(array((0 until pqM).map(reconSub): _*)))
-          .withColumn("rnrm", sqrt(expr("aggregate(zip_with(rv, rv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
-      } finally graft.expressions.VectorExpressions.dropTempFunction(s, fnName)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-      // probe ranking against the TRAINED centroids (p22's convention:
-      // trainer's own cosineTo, 6-dp round, cluster-index tiebreak)
-      val scoreArr = array(model.centroids.zipWithIndex.map { case (c, j) =>
-        struct(graft.ops.KMeans.cosineTo("qe", "qn", c).as("ccos"), lit(j).as("cent_id"))
-      }: _*)
-      val wProbe = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("list_id"))
-      val probes = q.select(col("qid"), explode(scoreArr).as("sc"))
-        .select(col("qid"), col("sc.cent_id").as("list_id"), col("sc.ccos").as("ccos"))
-        .withColumn("crn", row_number().over(wProbe))
-        .filter(col("crn") <= ivfProbe)
-        .select(col("qid"), col("list_id"))
-      val cand = lists.join(broadcast(probes), "list_id")
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id")).distinct()
-      // ADC over list members only: exact query float vs reconstructed codes
-      val dotA = "aggregate(zip_with(qe, rv, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
-      val scored = cand
-        .join(enc, "vec_id")
-        .join(broadcast(q), "qid")
-        .withColumn("acos_", round(expr(dotA) / (col("qn") * col("rnrm")), 6))
-      val wA = Window.partitionBy(col("qid")).orderBy(col("acos_").desc, col("vec_id"))
-      val pool = scored.withColumn("arn", row_number().over(wA)).filter(col("arn") <= pqPool)
-      val exact = pool.withColumn("cos",
-        round(expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")), 6))
-      val wT = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      exact.withColumn("rn", row_number().over(wT)).filter(col("rn") <= 3)
-        .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cos").as("cosine"))
-        .orderBy(col("qid"), col("rn"))
-    },
+    (s, d) => annFullStack(s, d),
     // oracle = p22's trajectory + routing CTEs composed with p24's PQ
     // CTEs (pqseeds/cb renamed to avoid the k-means `seeds` clash), ADC
     // restricted to the routed candidates, then the exact rescore
-    Some(s"""${duckKmeansPrefix(kmK)},
+    Some(duckAnnStackSql("", "")))
+
+  /** DuckDB rendering of [[annFullStack]] (train → route → PQ-ADC →
+    * exact rescore). `allowCte`/`allowJoin` inject the p48 allow-list
+    * into the candidate CTE — empty strings render the unfiltered p36
+    * oracle, so both gates replay the IDENTICAL trajectory and differ
+    * only where the engines differ: the candidate screen. */
+  private def duckAnnStackSql(allowCte: String, allowJoin: String): String =
+    s"""${duckKmeansPrefix(kmK)},
             |cnF AS (SELECT cent_id, SQRT(SUM(v*v)) AS cnrm FROM c$kmIters GROUP BY 1),
             |scF AS (SELECT f.vec_id, c.cent_id, SUM(f.v * c.v) AS dot
             |        FROM f JOIN c$kmIters c ON c.i = f.i GROUP BY 1, 2),
@@ -2137,8 +2170,8 @@ object Pipeline {
             |asgF AS (SELECT vec_id, cent_id AS list_id FROM rkF WHERE crn = 1),
             |probe AS (SELECT vec_id AS qid, cent_id AS list_id FROM rkF
             |          WHERE vec_id < 5 AND crn <= $ivfProbe),
-            |cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid
-            |         FROM probe p JOIN asgF a ON a.list_id = p.list_id AND a.vec_id <> p.qid),
+            |${allowCte}cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid
+            |         FROM probe p JOIN asgF a ON a.list_id = p.list_id AND a.vec_id <> p.qid$allowJoin),
             |pqseeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
             |            FROM embeddings ORDER BY vec_id LIMIT $pqK),
             |cb AS (SELECT s.j, CAST(FLOOR(f.i / $pqSub) AS BIGINT) AS m, f.i % $pqSub AS t,
@@ -2176,7 +2209,34 @@ object Pipeline {
             |rr AS (SELECT qid, cid, cos, ROW_NUMBER() OVER
             |         (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) AS rn2 FROM pc)
             |SELECT qid, CAST(rn2 AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
-            |FROM rr WHERE rn2 <= 3 ORDER BY qid, rn""".stripMargin))
+            |FROM rr WHERE rn2 <= 3 ORDER BY qid, rn""".stripMargin
+
+  // p48 — ATTRIBUTE-FILTERED ANN search (the retrieval shape production
+  // vector stores actually serve: "top-k nearest WHERE lang = 'en'").
+  // The allow-list comes from a METADATA table (`documents`, joined on
+  // vec_id = doc_id — the multimodal-row co-location, SURVEY §B.7) and
+  // is applied INSIDE the probed IVF lists, before the PQ-ADC scan:
+  // the membership table is semi-joined against the broadcast
+  // allow-list, so disallowed vectors never consume ADC bandwidth and
+  // the fixed pqPool rescore budget is spent entirely on returnable
+  // candidates. Post-filtering instead (filter the final pool) loses
+  // recall whenever disallowed vectors crowd the pool — pinned as a
+  // live comparison in PipelineSpec, and the naive variant is only
+  // reachable through the spec's `postFilter` switch. Scale shape: the
+  // allow-list is attribute-dimension-sized (ids only, no vectors) →
+  // broadcast semi join; everything else inherits p36's proven plan —
+  // candidates from the list equi-join (never all-pairs), M-byte codes
+  // until the pool cut, driver state bounded by K·dim. The oracle
+  // replays the identical trajectory with the allow screen as one
+  // extra equi-join in the candidate CTE.
+  val p48 = QuerySpec(
+    "p48_ann_filtered",
+    (s, d) => annFullStack(s, d,
+      allow = Some(documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id")))),
+    Some(duckAnnStackSql(
+      "allow AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),\n",
+      " JOIN allow w ON w.vec_id = a.vec_id")))
 
   // p37 — distributed CLASSIFIER TRAINING (logistic regression via
   // batch gradient descent): the missing half of the fastText-style
@@ -2586,6 +2646,128 @@ object Pipeline {
             |       ROUND(EXP(ROUND(-(CAST(SUM(lp_e6) AS DOUBLE) / 1e6) / COUNT(*), 6)), 2) AS ppl
             |FROM allx GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // p34c — STUPID-BACKOFF TRIGRAM LM (the Brants et al. 2007 "Large
+  // Language Models in Machine Translation" scorer — what CCNet-class
+  // pipelines actually approximate when KenLM is too heavy): score
+  // S(w|w₋₂w₋₁) = c₃/c₂(ctx) if the trigram was seen, else
+  // α·c₂/c₁(w₋₁), else α²·S₁(w), α = 0.4, with the unigram floor
+  // add-1 smoothed so out-of-vocabulary tokens stay finite. Unlike
+  // p34/p34b (LM trained on the scored corpus itself, so every n-gram
+  // is in-dictionary and backoff would be dead code), the dictionaries
+  // here are TRAINED ON HALF the corpus (even doc_ids) and ALL docs
+  // are scored — held-out docs exercise every backoff level, and the
+  // gate carries per-doc backoff-level counts as the witness. Shape:
+  // three dictionary aggs (uni/bi/tri, map-side partial, vocab-sized);
+  // the position frame LEFT-joins tri/bi/bi-context on n-gram string
+  // keys as plain shuffle equi-joins (the p34b rule — n-gram dicts
+  // don't survive broadcast at vocabⁿ) while the two unigram lookups
+  // broadcast; ONE doc-keyed agg sums e6-integer log-scores (p34's
+  // determinism discipline — ln of identical double divisions, summed
+  // as exact integers, addition order free). At 100 TB everything keys
+  // on n-gram strings — bucketable, skew-salted if a stopword n-gram
+  // dominates; nothing is all-pairs.
+  val p34c = QuerySpec(
+    "p34c_backoff_trigram",
+    (s, d) => {
+      val base = documents(s, d).filter(col("lang") === "en")
+        .withColumn("toks", expr(toks))
+        .select(col("doc_id"), col("toks"))
+        .persist() // reused: three dictionaries + the position frame
+      val train = base.filter(col("doc_id") % 2 === 0)
+      val uni = train.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val stats = uni.agg(sum(col("c")).as("nu"), count(lit(1)).as("v"))
+      val bi = train.select(explode(expr(TextFns.shinglesExpr("toks", 2))).as("big"))
+        .groupBy(col("big")).agg(count(lit(1)).as("c2"))
+      val tri = train.select(explode(expr(TextFns.shinglesExpr("toks", 3))).as("trg"))
+        .groupBy(col("trg")).agg(count(lit(1)).as("c3"))
+      val pos = base
+        .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("i", "w")))
+        .select(col("doc_id"), col("i"), col("w"),
+          when(col("i") >= 1, expr("toks[i-1]")).as("w1"),
+          when(col("i") >= 2, expr("toks[i-2]")).as("w2"))
+      val j = pos
+        .join(tri, col("i") >= 2 &&
+          tri("trg") === concat_ws(" ", col("w2"), col("w1"), col("w")), "left")
+        .join(bi.as("b"), col("i") >= 1 &&
+          col("b.big") === concat_ws(" ", col("w1"), col("w")), "left")
+        .join(bi.select(col("big").as("bctx"), col("c2").as("c2ctx")),
+          col("i") >= 2 && col("bctx") === concat_ws(" ", col("w2"), col("w1")), "left")
+        .join(broadcast(uni.select(col("tok").as("w1j"), col("c").as("c1ctx"))),
+          col("w1j") === col("w1"), "left")
+        .join(broadcast(uni.select(col("tok").as("wj"), col("c").as("c1w"))),
+          col("wj") === col("w"), "left")
+        .crossJoin(broadcast(stats))
+      val lnUni = log((coalesce(col("c1w"), lit(0L)) + 1.0) / (col("nu") + col("v")))
+      val lnA = log(expr("CAST(0.4 AS DOUBLE)"))
+      val lp = when(col("i") === 0, lnUni)
+        .when(col("i") === 1,
+          when(col("c2").isNotNull, log(col("c2") / col("c1ctx")))
+            .otherwise(lnA + lnUni))
+        .otherwise(
+          when(col("c3").isNotNull, log(col("c3") / col("c2ctx")))
+            .when(col("c2").isNotNull, lnA + log(col("c2") / col("c1ctx")))
+            .otherwise(lit(2) * lnA + lnUni))
+      j.select(col("doc_id"),
+          round(lp * 1e6).cast("long").as("lp_e6"),
+          when(col("i") >= 2 && col("c3").isNotNull, 1).otherwise(0).as("tri_hit"),
+          when(col("i") >= 2 && col("c3").isNull && col("c2").isNotNull, 1).otherwise(0).as("bi_back"),
+          when(col("i") >= 2 && col("c3").isNull && col("c2").isNull, 1).otherwise(0).as("uni_back"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("tri_hit")).cast("long").as("n_tri_hit"),
+          sum(col("bi_back")).cast("long").as("n_bi_back"),
+          sum(col("uni_back")).cast("long").as("n_uni_back"),
+          round(-(sum(col("lp_e6")).cast("double") / 1e6) /
+            count(lit(1)), 6).as("xent"))
+        .withColumn("ppl", round(exp(col("xent")), 2))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE lang = 'en'),
+            |tr AS (SELECT doc_id, toks FROM base WHERE doc_id % 2 = 0),
+            |uni AS (SELECT tok, COUNT(*) AS c
+            |        FROM (SELECT unnest(toks) AS tok FROM tr) GROUP BY 1),
+            |stats AS (SELECT CAST(SUM(c) AS BIGINT) AS nu, COUNT(*) AS v FROM uni),
+            |bi AS (SELECT big, COUNT(*) AS c2 FROM (
+            |         SELECT toks[i+1] || ' ' || toks[i+2] AS big
+            |         FROM tr, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i)) GROUP BY 1),
+            |tri AS (SELECT trg, COUNT(*) AS c3 FROM (
+            |         SELECT toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS trg
+            |         FROM tr, UNNEST(range(greatest(len(toks)-2, 0))) AS u(i)) GROUP BY 1),
+            |pos AS (SELECT doc_id, i, toks[i+1] AS w,
+            |               CASE WHEN i >= 1 THEN toks[i] END AS w1,
+            |               CASE WHEN i >= 2 THEN toks[i-1] END AS w2
+            |        FROM base, UNNEST(range(len(toks))) AS u(i)),
+            |j AS (SELECT p.doc_id, p.i, t.c3, b.c2, bc.c2 AS c2ctx, u1.c AS c1ctx, uw.c AS c1w
+            |      FROM pos p
+            |      LEFT JOIN tri t ON p.i >= 2 AND t.trg = p.w2 || ' ' || p.w1 || ' ' || p.w
+            |      LEFT JOIN bi b ON p.i >= 1 AND b.big = p.w1 || ' ' || p.w
+            |      LEFT JOIN bi bc ON p.i >= 2 AND bc.big = p.w2 || ' ' || p.w1
+            |      LEFT JOIN uni u1 ON u1.tok = p.w1
+            |      LEFT JOIN uni uw ON uw.tok = p.w),
+            |sc AS (SELECT doc_id,
+            |         CAST(ROUND((CASE
+            |           WHEN i = 0 THEN LN((COALESCE(c1w, 0) + 1.0) / (nu + v))
+            |           WHEN i = 1 THEN CASE
+            |             WHEN c2 IS NOT NULL THEN LN(c2 / c1ctx)
+            |             ELSE LN(CAST(0.4 AS DOUBLE)) + LN((COALESCE(c1w, 0) + 1.0) / (nu + v)) END
+            |           ELSE CASE
+            |             WHEN c3 IS NOT NULL THEN LN(c3 / c2ctx)
+            |             WHEN c2 IS NOT NULL THEN LN(CAST(0.4 AS DOUBLE)) + LN(c2 / c1ctx)
+            |             ELSE 2 * LN(CAST(0.4 AS DOUBLE)) + LN((COALESCE(c1w, 0) + 1.0) / (nu + v)) END
+            |         END) * 1e6) AS BIGINT) AS lp_e6,
+            |         CASE WHEN i >= 2 AND c3 IS NOT NULL THEN 1 ELSE 0 END AS tri_hit,
+            |         CASE WHEN i >= 2 AND c3 IS NULL AND c2 IS NOT NULL THEN 1 ELSE 0 END AS bi_back,
+            |         CASE WHEN i >= 2 AND c3 IS NULL AND c2 IS NULL THEN 1 ELSE 0 END AS uni_back
+            |       FROM j CROSS JOIN stats)
+            |SELECT doc_id, COUNT(*) AS n_tok,
+            |       CAST(SUM(tri_hit) AS BIGINT) AS n_tri_hit,
+            |       CAST(SUM(bi_back) AS BIGINT) AS n_bi_back,
+            |       CAST(SUM(uni_back) AS BIGINT) AS n_uni_back,
+            |       ROUND(-(CAST(SUM(lp_e6) AS DOUBLE) / 1e6) / COUNT(*), 6) AS xent,
+            |       ROUND(EXP(ROUND(-(CAST(SUM(lp_e6) AS DOUBLE) / 1e6) / COUNT(*), 6)), 2) AS ppl
+            |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // p39 — BPE TOKENIZER TRAINING (merge learning): the other half of
   // the tokenizer story (p1 counts with a BPE-ish regex; here the
   // merge table itself is LEARNED). The real-trainer shape
@@ -2963,6 +3145,114 @@ object Pipeline {
             |       bl$pcaIters.lam, o.ortho_e6
             |FROM bv$pcaIters CROSS JOIN bl$pcaIters CROSS JOIN ortho o
             |ORDER BY comp, i""".stripMargin))
+
+  // p40d — PCA WHITENING deploy gate (the embedding-conditioning step
+  // real ANN pipelines run before PQ: project onto the top components
+  // and scale each by 1/√λ so every retained axis has unit variance —
+  // OPQ/whitened-PQ's first half). Composes p40c's two-component
+  // deflation TRAINING with the p40b projection DEPLOY: both
+  // components fit on the cluster (v2 on the deflated frame), then ONE
+  // map-only pass projects every embedding onto v1 AND v2
+  // simultaneously (exact e6-integer dots) and ONE partial agg reduces
+  // six integer sums per component — raw variance ≈ λ (the power
+  // iteration's growth estimate IS v'Cv, the variance along v; the
+  // gate makes that claim checkable), whitened variance ≈ 1. All five
+  // derived doubles per component (λ, σ=√λ, mean, var_raw, var_white)
+  // come from exact integer sums via single deterministic
+  // divide-and-round steps mirrored token-for-token in the oracle,
+  // which replays center → iterate → deflate → iterate → project →
+  // rollup under one hash. At 100 TB: training is p40c's cost
+  // envelope; the deploy pass is map-only + a 1-row agg — whitening
+  // never shuffles the corpus.
+  val p40d = QuerySpec(
+    "p40d_pca_whitening",
+    (s, d) => {
+      import s.implicits._
+      val (cen, _, n) = pcaCenter(embeddings(s, d).select(col("vec_id"), col("embedding")))
+      val (v1, lam1) = pcaIterate(cen, n, pcaIters).last
+      val v1Lit = array(v1.toIndexedSeq.map(lit): _*)
+      val cen2 = cen
+        .withColumn("ds", aggregate(zip_with(col("ce"), v1Lit,
+          (x, y) => round(x * y * 1e6).cast("long")), lit(0L), (a, x) => a + x))
+        .select(col("vec_id"),
+          zip_with(col("ce"), v1Lit,
+            (x, y) => round(x - (col("ds") / 1e6) * y, 6)).as("ce"))
+        .persist() // scanned ×iters by the second chain
+      cen2.count() // materialize before the second chain re-reads cen
+      val (v2, lam2) = pcaIterate(cen2, n, pcaIters).last
+      cen2.unpersist()
+      // whitening scale per component: σ = round(√λ, 6) — driver
+      // literal, replayed by the oracle's ROUND(SQRT(lam), 6)
+      val sig1 = pcaR6(math.sqrt(lam1))
+      val sig2 = pcaR6(math.sqrt(lam2))
+      def dsOf(v: Array[Double]) =
+        aggregate(zip_with(col("ce"), array(v.toIndexedSeq.map(lit): _*),
+          (x, y) => round(x * y * 1e6).cast("long")), lit(0L), (a, x) => a + x)
+      // ONE corpus pass computes both projections; per-row whitened
+      // value w = round((ds/1e6)/σ, 6), then exact e6-integer sums
+      def sums(ds: org.apache.spark.sql.Column, sig: Double, sfx: String) = {
+        val t = ds / 1e6
+        val wv = round(t / lit(sig), 6)
+        Seq(sum(ds).as(s"sum$sfx"),
+          sum(round(t * t * 1e6).cast("long")).as(s"ssq$sfx"),
+          sum(round(wv * 1e6).cast("long")).as(s"wsum$sfx"),
+          sum(round(wv * wv * 1e6).cast("long")).as(s"wssq$sfx"))
+      }
+      val aggs = sums(col("ds1"), sig1, "1") ++ sums(col("ds2"), sig2, "2")
+      val r = cen.select(dsOf(v1).as("ds1"), dsOf(v2).as("ds2"))
+        .agg(aggs.head, aggs.tail: _*).head()
+      cen.unpersist()
+      def statsOf(off: Int): (Double, Double, Double) = {
+        val (sm, ssq, wsum, wssq) =
+          (r.getLong(off), r.getLong(off + 1), r.getLong(off + 2), r.getLong(off + 3))
+        val mean = pcaR6(sm / (n * 1e6))
+        val varRaw = pcaR6(ssq / (n * 1e6) - mean * mean)
+        val meanW = pcaR6(wsum / (n * 1e6))
+        val varWhite = pcaR6(wssq / (n * 1e6) - meanW * meanW)
+        (mean, varRaw, varWhite)
+      }
+      val (m1, vr1, vw1) = statsOf(0)
+      val (m2, vr2, vw2) = statsOf(4)
+      Seq((1, lam1, sig1, m1, vr1, vw1), (2, lam2, sig2, m2, vr2, vw2))
+        .toDF("comp", "lam", "sigma", "mean_proj", "var_raw", "var_white")
+        .orderBy(col("comp"))
+    },
+    Some(s"""WITH $duckPcaPrefix,
+            |dd AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
+            |       FROM c JOIN v$pcaIters w ON w.i = c.i GROUP BY 1),
+            |c2 AS MATERIALIZED (SELECT c.vec_id, c.i, ROUND(c.cv - (d.ds / 1e6) * w.v, 6) AS cv
+            |       FROM c JOIN dd d ON d.vec_id = c.vec_id JOIN v$pcaIters w ON w.i = c.i),
+            |${duckPcaIterCtes("c2", "b")},
+            |dd2 AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
+            |        FROM c JOIN bv$pcaIters w ON w.i = c.i GROUP BY 1),
+            |s1 AS (SELECT lam, ROUND(SQRT(lam), 6) AS sig FROM l$pcaIters),
+            |s2 AS (SELECT lam, ROUND(SQRT(lam), 6) AS sig FROM bl$pcaIters),
+            |st1 AS (SELECT CAST(SUM(ds) AS BIGINT) AS sm,
+            |          CAST(SUM(CAST(ROUND((ds/1e6)*(ds/1e6)*1e6) AS BIGINT)) AS BIGINT) AS ssq,
+            |          CAST(SUM(CAST(ROUND(ROUND((ds/1e6)/s.sig, 6)*1e6) AS BIGINT)) AS BIGINT) AS wsum,
+            |          CAST(SUM(CAST(ROUND(ROUND((ds/1e6)/s.sig, 6)*ROUND((ds/1e6)/s.sig, 6)*1e6) AS BIGINT)) AS BIGINT) AS wssq
+            |        FROM dd CROSS JOIN s1 s),
+            |st2 AS (SELECT CAST(SUM(ds) AS BIGINT) AS sm,
+            |          CAST(SUM(CAST(ROUND((ds/1e6)*(ds/1e6)*1e6) AS BIGINT)) AS BIGINT) AS ssq,
+            |          CAST(SUM(CAST(ROUND(ROUND((ds/1e6)/s.sig, 6)*1e6) AS BIGINT)) AS BIGINT) AS wsum,
+            |          CAST(SUM(CAST(ROUND(ROUND((ds/1e6)/s.sig, 6)*ROUND((ds/1e6)/s.sig, 6)*1e6) AS BIGINT)) AS BIGINT) AS wssq
+            |        FROM dd2 CROSS JOIN s2 s)
+            |SELECT CAST(1 AS INTEGER) AS comp, s1.lam, s1.sig AS sigma,
+            |       ROUND(st1.sm / (n.n * 1e6), 6) AS mean_proj,
+            |       ROUND(st1.ssq / (n.n * 1e6)
+            |             - ROUND(st1.sm / (n.n * 1e6), 6) * ROUND(st1.sm / (n.n * 1e6), 6), 6) AS var_raw,
+            |       ROUND(st1.wssq / (n.n * 1e6)
+            |             - ROUND(st1.wsum / (n.n * 1e6), 6) * ROUND(st1.wsum / (n.n * 1e6), 6), 6) AS var_white
+            |FROM st1 CROSS JOIN s1 CROSS JOIN nn n
+            |UNION ALL
+            |SELECT CAST(2 AS INTEGER), s2.lam, s2.sig,
+            |       ROUND(st2.sm / (n.n * 1e6), 6),
+            |       ROUND(st2.ssq / (n.n * 1e6)
+            |             - ROUND(st2.sm / (n.n * 1e6), 6) * ROUND(st2.sm / (n.n * 1e6), 6), 6),
+            |       ROUND(st2.wssq / (n.n * 1e6)
+            |             - ROUND(st2.wsum / (n.n * 1e6), 6) * ROUND(st2.wsum / (n.n * 1e6), 6), 6)
+            |FROM st2 CROSS JOIN s2 CROSS JOIN nn n
+            |ORDER BY comp""".stripMargin))
 
   // p41 — COUNT-MIN SKETCH heavy hitters (bigram boilerplate mining):
   // the third sketch family after HLL (q16_hll) and approx quantiles
@@ -3540,6 +3830,7 @@ object Pipeline {
 
   val all: Seq[QuerySpec] =
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
-      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b,
-      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b, p44, p45, p46, p47)
+      p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b, p34c,
+      p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b, p44, p45, p46, p47,
+      p40d, p48)
 }

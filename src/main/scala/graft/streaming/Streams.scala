@@ -613,6 +613,116 @@ object Streams {
     })
   }
 
+  /** Streaming SCD2 MATERIALIZATION — q50's type-2 history kept
+    * continuously current: envelope stream → per-batch incremental fold
+    * into a parquet HISTORY table (`id, valid_from, valid_to, image…,
+    * is_current`), the warehouse-side complement of [[materializeCdc]]'s
+    * last-image state. StreamsExtraSpec pins that after every
+    * micro-batch the table equals the q50 batch replay of the events
+    * seen so far — the same upgrade path q19 took to materializeCdc.
+    *
+    * Incrementality: CLOSED intervals are immutable — only each touched
+    * key's OPEN interval can change (an update supersedes it, a delete
+    * closes it). So a batch re-folds just `open intervals of touched
+    * keys ∪ fresh events` through the SHARED [[Envelope.scd2Fold]]
+    * (open rows re-enter as pseudo-events at their own valid_from;
+    * fresh events always sort after them — see the high-water screen),
+    * and everything else is carried through untouched. Per-batch cost:
+    * O(batch + touched keys' history), never O(state).
+    *
+    * Restart safety: the checkpoint replays an uncommitted batch; the
+    * HIGH-WATER screen (an event is fresh only if its LSN exceeds the
+    * key's max recorded valid_from/valid_to) drops every already-folded
+    * event, so the re-fold reproduces the state byte-for-byte —
+    * idempotent without version columns, because the history itself
+    * records each key's last applied LSN (a delete's LSN survives as
+    * the closed interval's valid_to). The same screen makes the
+    * operator ORDERED-TRANSPORT-ONLY: an event older than the key's
+    * high water is indistinguishable from a replay and is dropped —
+    * the in-order delivery a CDC transport guarantees per partition,
+    * [[materializeCdc]]'s `orderedTransport = true` contract.
+    *
+    * The write is the same rename-aside swap + [[recoverCdcState]]
+    * crash recovery as materializeCdc; at production state sizes the
+    * untouched-majority carry-through maps onto the bucket-partitioned
+    * layout exactly as there (touched buckets only), or onto a
+    * transactional table format's row-level MERGE. */
+  def materializeScd2(envelopes: DataFrame, checkpoint: String,
+      statePath: String): StreamingQuery = {
+    val boundTable = new java.util.concurrent.atomic.AtomicReference[String]()
+    runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
+      requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
+        checkpoint, s"parquet:$statePath:scd2")
+      val cached = batch.persist()
+      try {
+        val (tbl, n) = requireSingleTable(cached, "materializeScd2", "materializeCdcTables")
+        tbl.foreach(requireTableBinding(
+          batch.sparkSession.sparkContext.hadoopConfiguration, checkpoint, _,
+          "materializeCdcTables", boundTable))
+        if (n > 0L) applyBatchScd2(Envelope.project(cached), statePath, batchId)
+      } finally cached.unpersist()
+    })
+  }
+
+  /** One micro-batch folded into the SCD2 history parquet — see
+    * [[materializeScd2]] for the contract. */
+  private def applyBatchScd2(projected: DataFrame, statePath: String,
+      batchId: Long): Unit = {
+    val spark = projected.sparkSession
+    val events = projected
+      .filter(col("tag").isin("insert", "update", "delete"))
+      .withColumn("valid_from", Envelope.lsnNumeric(col("lsn")))
+      .drop("lsn")
+    val state = new org.apache.hadoop.fs.Path(statePath)
+    val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCdcState(fs, statePath)
+    var cachedMine: Option[DataFrame] = None
+    try {
+    val merged =
+      if (!fs.exists(state)) Envelope.scd2Fold(events)
+      else {
+        val base = spark.read.parquet(statePath)
+        // the touched-key set is batch-sized (ids only) → broadcast
+        // semi/anti splits; the state table is scanned, never shuffled
+        val keys = events.select(col("id")).distinct()
+        val mine = base.join(broadcast(keys), Seq("id"), "left_semi")
+          .persist() // read three ways: high-water, open, closed
+        cachedMine = Some(mine)
+        val untouched = base.join(broadcast(keys), Seq("id"), "left_anti")
+        // high-water mark per touched key: the max LSN the history has
+        // already absorbed (a delete's LSN lives on as a valid_to)
+        val hwm = mine.groupBy(col("id")).agg(
+          max(greatest(col("valid_from"),
+            coalesce(col("valid_to"), lit(Long.MinValue)))).as("__hwm"))
+        val fresh = events.join(broadcast(hwm), Seq("id"), "left")
+          .filter(col("__hwm").isNull || col("valid_from") > col("__hwm"))
+          .drop("__hwm")
+        // the open interval re-enters the fold as a pseudo-event at its
+        // own valid_from; every fresh event's LSN > hwm ≥ that, so the
+        // window re-closes it at the right bound (or a delete ends it)
+        val open = mine.filter(col("is_current") === 1)
+          .drop("valid_to", "is_current")
+          .withColumn("tag", lit("insert"))
+        val closed = mine.filter(col("is_current") === 0)
+        val refolded = Envelope.scd2Fold(open.unionByName(fresh, allowMissingColumns = true))
+        untouched.unionByName(closed)
+          .unionByName(refolded, allowMissingColumns = true)
+      }
+    // rename-aside swap (the materializeCdc discipline): state is moved,
+    // never deleted, before its replacement lands; recoverCdcState at
+    // the next batch start promotes whichever side a crash left behind
+    val tmp = new org.apache.hadoop.fs.Path(s"${statePath}__swap_$batchId")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val prev = new org.apache.hadoop.fs.Path(s"${statePath}__prev")
+    if (fs.exists(state)) {
+      if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
+      checkedFs(fs.rename(state, prev), s"rename $state -> $prev")
+    }
+    checkedFs(fs.rename(tmp, state), s"rename $tmp -> $state")
+    if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
+    } finally cachedMine.foreach(_.unpersist())
+  }
+
   /** One relation's reduced micro-batch merged into its parquet state —
     * the per-batch body shared by [[materializeCdc]] (one relation) and
     * [[materializeCdcTables]] (N demuxed relations, one call each).

@@ -1428,4 +1428,99 @@ class StreamsExtraSpec extends SparkSuite {
       }
     } finally q.stop()
   }
+
+  /** q50's batch SCD2 fold over every envelope line visible in `dir` —
+    * the gold the incremental materializer must equal at every point. */
+  private def batchScd2(dir: String): org.apache.spark.sql.DataFrame = {
+    val scdCols = Seq("id", "valid_from", "valid_to", "firstName",
+      "lastName", "dateOfBirth", "status", "is_current")
+    Envelope.scd2Fold(
+      Envelope.project(spark.read.schema(Envelope.schema).json(dir))
+        .filter(col("tag").isin("insert", "update", "delete"))
+        .withColumn("valid_from", Envelope.lsnNumeric(col("lsn")))
+        .drop("lsn"))
+      .select(scdCols.map(col): _*)
+  }
+
+  test("materializeScd2: streamed type-2 history equals the q50 batch fold after EVERY micro-batch") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_scd2_in")
+    val ckpt = Files.createTempDirectory("graft_scd2_ckpt").toString
+    val stateDir = Files.createTempDirectory("graft_scd2_state").toString
+    val state = stateDir + "/students_history"
+    val scdCols = Seq("id", "valid_from", "valid_to", "firstName",
+      "lastName", "dateOfBirth", "status", "is_current")
+    val lines = Fixture.jsonLines
+    val chunks = lines.grouped(math.max(1, lines.size / 4)).toVector
+    val t0 = System.currentTimeMillis() - 2000L * (chunks.size + 1)
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val f = dir.resolve(f"chunk_$i%04d.jsonl")
+      Files.write(f, chunk.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(t0 + i * 2000L)
+      Streams.materializeScd2(Streams.envelopeStream(spark, dir.toString), ckpt, state)
+        .awaitTermination()
+      quiesce()
+      val got = spark.read.parquet(state).select(scdCols.map(col): _*)
+      val expected = batchScd2(dir.toString)
+      assert(got.count() == expected.count(), s"row count after chunk $i")
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"after chunk $i the incremental history must equal the batch SCD2 replay")
+      // exactly one open interval per live key, closed intervals chain
+      val open = spark.read.parquet(state).filter(col("is_current") === 1)
+      assert(open.groupBy("id").count().filter(col("count") > 1).isEmpty,
+        "at most one open interval per key")
+    }
+    // restart on the same checkpoint with no new data: state unchanged
+    val before = spark.read.parquet(state).orderBy("id", "valid_from").collect().toSeq
+    Streams.materializeScd2(Streams.envelopeStream(spark, dir.toString), ckpt, state)
+      .awaitTermination()
+    quiesce()
+    val after = spark.read.parquet(state).orderBy("id", "valid_from").collect().toSeq
+    assert(after == before, "restart with no new data must not change the history")
+  }
+
+  test("materializeScd2: lost checkpoint commit after a completed swap — the replayed batch re-folds idempotently") {
+    import java.nio.file.Files
+    // The high-water screen is what makes replay exact: every event in
+    // the replayed batch has LSN ≤ its key's recorded valid_from/
+    // valid_to maximum, so the re-fold regenerates the open intervals
+    // unchanged instead of duplicating history rows.
+    val in = Fixture.materializeChunks(3)
+    val ckpt = Files.createTempDirectory("graft_scd2_lc_ckpt").toString
+    val stateDir = Files.createTempDirectory("graft_scd2_lc_state").toString
+    val state = stateDir + "/students_history"
+    Streams.materializeScd2(Streams.envelopeStream(spark, in), ckpt, state)
+      .awaitTermination()
+    var waited = 0
+    while (spark.streams.active.nonEmpty && waited < 10000) {
+      Thread.sleep(100); waited += 100
+    }
+    val expected = batchScd2(in)
+    val commitsDir = new java.io.File(ckpt, "commits")
+    def commits = commitsDir.list().toSeq.filterNot(_.startsWith(".")).sorted
+    val before = commits
+    assert(before.size >= 2, s"need multiple batches to lose one, got $before")
+    val newest = commitsDir.listFiles().filterNot(_.getName.startsWith("."))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete(), s"could not delete $newest")
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    Streams.materializeScd2(Streams.envelopeStream(spark, in), ckpt, state)
+      .awaitTermination()
+    assert(commits == before, "the replayed batch must re-commit")
+    val scdCols = Seq("id", "valid_from", "valid_to", "firstName",
+      "lastName", "dateOfBirth", "status", "is_current")
+    val got = spark.read.parquet(state).select(scdCols.map(col): _*)
+    assert(got.count() == expected.count(),
+      "replay must not duplicate history rows")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "replay onto the post-batch history must be idempotent")
+    assert(new java.io.File(stateDir).list().toSeq == Seq("students_history"),
+      "replay must leave no swap/prev artifacts")
+  }
 }
