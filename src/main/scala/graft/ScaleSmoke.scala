@@ -34,7 +34,7 @@ object ScaleSmoke {
     Set("dedup", "dedup_skew", "cdc", "cdc_throughput", "cdc_multi", "cdc_relcount",
       "cdc_soak", "cdc_bar", "cdc_partitioned", "ann", "kmeans_kernel",
       "pq_encode", "pack_skew", "semdedup", "incremental", "spanscrub",
-      "pca", "cms")
+      "pca", "cms", "hll", "bloom")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -128,6 +128,8 @@ object ScaleSmoke {
     if (want("spanscrub")) spanScrubCurve(spark)
     if (want("pca")) pcaCurve(spark, sfDir)
     if (want("cms")) cmsCurve(spark, sfDir)
+    if (want("hll")) hllCurve(spark, sfDir)
+    if (want("bloom")) bloomCurve(spark, sfDir)
     spark.stop()
   }
 
@@ -195,6 +197,89 @@ object ScaleSmoke {
         s""""cells":$nCells,"cell_bound":${depth * width},"build_sec":${fx(sec, 2)}}""")
     }
     inst0.unpersist()
+  }
+
+  /** p43 scale witness: the HLL register build vs corpus factor. Two
+    * claims made checkable: (1) the register agg's OUTPUT is bounded
+    * by langs×256 cells no matter the instance count (max() cells are
+    * mergeable — the distributed/streaming distinct structure), and
+    * (2) the sketch is DUPLICATE-INSENSITIVE — replicating every
+    * instance f× leaves each register's max rank, hence (v, S) and
+    * the estimate, bit-identical. Build wall-clock grows only through
+    * the scan. */
+  private def hllCurve(spark: SparkSession, sfDir: String): Unit = {
+    import graft.functions.TextFns
+    val inst0 = sources.Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(TextFns.tokensExpr("text")))
+      .select(col("lang"), explode(expr(TextFns.shinglesExpr("toks", 2))).as("big"))
+      .persist()
+    inst0.count()
+    def skOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lang"),
+        expr("CAST(conv(substring(md5(big), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .select(col("lang"), expr("h % 256").as("bucket"),
+        expr("CASE WHEN shiftright(h, 8) = 0 THEN 53 ELSE 53 - length(bin(shiftright(h, 8))) END").as("rank"))
+      .groupBy(col("lang"), col("bucket")).agg(max(col("rank")).as("m_"))
+    skOf(inst0).count() // warmup off-clock
+    val nLang = inst0.select(col("lang")).distinct().count()
+    var base: Map[(String, Long), Int] = Map.empty
+    for (f <- Seq(1, 5, 25)) {
+      val inst = (0 until f).map(_ => inst0).reduce(_ unionByName _)
+      val n = inst0.count() * f
+      val t0 = System.nanoTime()
+      val regs = skOf(inst).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(regs.size <= nLang * 256,
+        s"register cells must stay bounded by langs x 256, got ${regs.size}")
+      if (f == 1) base = regs
+      else require(regs == base,
+        s"HLL registers must be duplicate-insensitive: factor $f diverged from factor 1")
+      println(s"""{"metric":"hll_registers","factor":$f,"instances":$n,""" +
+        s""""cells":${regs.size},"cell_bound":${nLang * 256},"build_sec":${fx(sec, 2)}}""")
+    }
+    inst0.unpersist()
+  }
+
+  /** p42 scale witness: the bloom bit table vs DISTINCT-shingle factor
+    * (each factor adds f× suffix-fresh shingles, so the insert set
+    * really grows — replication would be absorbed by the distinct).
+    * The set-bit table is capped at m = ${queries.Pipeline.bloomM}
+    * rows NO MATTER the corpus (it saturates, it never grows past m),
+    * which is why it broadcasts into the map-side probe at any scale;
+    * build wall-clock grows only through the distinct+hash scan. */
+  private def bloomCurve(spark: SparkSession, sfDir: String): Unit = {
+    import graft.functions.TextFns
+    val m = queries.Pipeline.bloomM
+    val k = queries.Pipeline.bloomK
+    val sh0 = sources.Tables.documents(spark, sfDir)
+      .withColumn("toks", expr(TextFns.tokensExpr("text")))
+      .select(explode(array_distinct(expr(TextFns.shinglesExpr("toks")))).as("sh"))
+      .distinct().persist()
+    sh0.count()
+    def bitsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("sh"), explode(array((0 until k).map(lit): _*)).as("j"))
+      .select(expr(
+        s"${TextFns.md5IntScalarExpr("concat('b', CAST(j AS STRING), ':', sh)")} % $m").as("bit"))
+      .distinct()
+    bitsOf(sh0).count() // warmup off-clock
+    var prevBits = 0L
+    for (f <- Seq(1, 5, 25)) {
+      val sh = (0 until f).map(i =>
+        if (i == 0) sh0 else sh0.select(concat(col("sh"), lit(s"#$i")).as("sh")))
+        .reduce(_ unionByName _)
+      val n = sh0.count() * f
+      val t0 = System.nanoTime()
+      val nBits = bitsOf(sh).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(nBits <= m, s"set-bit table must stay capped at m=$m, got $nBits")
+      require(nBits >= prevBits, "set bits are monotone in the insert set")
+      prevBits = nBits
+      println(s"""{"metric":"bloom_bits","factor":$f,"distinct_shingles":$n,""" +
+        s""""set_bits":$nBits,"bit_cap":$m,"fill":${fx(nBits.toDouble / m, 3)},""" +
+        s""""build_sec":${fx(sec, 2)}}""")
+    }
+    sh0.unpersist()
   }
 
   /** Long-doc linearity witness for the p32 scrub mask (r17, closing

@@ -405,6 +405,21 @@ object Envelope {
       .withColumn("is_current", when(col("valid_to").isNull, lit(1)).otherwise(lit(0)))
   }
 
+  /** Point-in-time (time-travel) read over an SCD2 history — the query
+    * the type-2 table exists to answer: the table AS OF `lsn` is every
+    * interval containing it, `valid_from ≤ lsn < valid_to` (open
+    * intervals unbounded). Works identically on the q50 batch output
+    * and on [[graft.streaming.Streams.materializeScd2]]'s state table;
+    * CdcSpec pins asOf(max) == the q19 last-image fold and asOf(mid) ==
+    * the fold of the event prefix up to that LSN. A partition-pruned
+    * layout at scale: partition the history by is_current (the open
+    * slice serves "now" queries without touching closed history). */
+  def scd2AsOf(history: DataFrame, lsn: Long): DataFrame =
+    history
+      .filter(col("valid_from") <= lsn &&
+        (col("valid_to").isNull || col("valid_to") > lsn))
+      .drop("valid_from", "valid_to", "is_current")
+
   /** §1.3 typed edge — the reference's `Student` io-ts codec
     * (`/root/reference/src/model/student.ts:3-9`) as a case class +
     * product Encoder. The engine core stays untyped DataFrame (full

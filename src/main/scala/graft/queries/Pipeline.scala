@@ -1432,53 +1432,64 @@ object Pipeline {
   private val bm25K1 = 1.2
   private val bm25B = 0.75
 
+  /** p27's BM25 scoring over the en corpus — `(doc_id, bm25,
+    * n_terms_hit)`, unranked. Shared verbatim by the p27 gate (top-15
+    * cut) and p49's lexical arm, so hybrid fusion can't drift from
+    * the scorer it fuses. */
+  private[graft] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("lang") === "en")
+      .withColumn("toks", expr(toks))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("double").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = tf.join(broadcast(dft), "term").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(bm25K1 + 1.0)) /
+          (col("tf") + lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
+    val termSum = bm25Terms.map(t =>
+      coalesce(sum(when(col("term") === t, col("w"))), lit(0.0)))
+      .reduce(_ + _)
+    w.groupBy(col("doc_id"))
+      .agg(round(termSum, 6).as("bm25"), count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** DuckDB rendering of [[bm25Scores]], ending in
+    * `bm(doc_id, bm25, n_terms_hit)`. */
+  private def duckBm25Ctes: String = {
+    val inList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    val caseSum = bm25Terms.map(t =>
+      s"COALESCE(SUM(CASE WHEN term = '$t' THEN w END), 0.0)").mkString(" + ")
+    s"""base AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE lang = 'en'),
+       |d AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+       |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+       |post AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+       |tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+       |       FROM post WHERE term IN ($inList) GROUP BY 1, 2, 3),
+       |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       |w AS (SELECT tf.doc_id, tf.term,
+       |        LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |          (tf * ${bm25K1 + 1.0}) /
+       |          (tf + $bm25K1 * (1.0 - $bm25B + $bm25B * tf.dl / avgdl)) AS w
+       |      FROM tf JOIN dft ON dft.term = tf.term CROSS JOIN stats),
+       |bm AS (SELECT doc_id, ROUND($caseSum, 6) AS bm25, COUNT(*) AS n_terms_hit
+       |       FROM w GROUP BY doc_id)""".stripMargin
+  }
+
   val p27 = QuerySpec(
     "p27_bm25_rank",
-    (s, d) => {
-      val docs = documents(s, d).filter(col("lang") === "en")
-        .withColumn("toks", expr(toks))
-        .select(col("doc_id"), col("toks"), size(col("toks")).cast("double").as("dl"))
-      val stats = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      val tf = docs
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .filter(col("term").isin(bm25Terms: _*))
-        .groupBy(col("doc_id"), col("term"), col("dl"))
-        .agg(count(lit(1)).cast("double").as("tf"))
-      val dft = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-      val w = tf.join(broadcast(dft), "term").crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-        .withColumn("w",
-          col("idf") * (col("tf") * lit(bm25K1 + 1.0)) /
-            (col("tf") + lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * col("dl") / col("avgdl"))))
-      val termSum = bm25Terms.map(t =>
-        coalesce(sum(when(col("term") === t, col("w"))), lit(0.0)))
-        .reduce(_ + _)
-      w.groupBy(col("doc_id"))
-        .agg(round(termSum, 6).as("bm25"), count(lit(1)).as("n_terms_hit"))
-        .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(15)
-    },
-    Some {
-      val inList = bm25Terms.map(t => s"'$t'").mkString(", ")
-      val caseSum = bm25Terms.map(t =>
-        s"COALESCE(SUM(CASE WHEN term = '$t' THEN w END), 0.0)").mkString(" + ")
-      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE lang = 'en'),
-         |d AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM base),
-         |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
-         |post AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
-         |tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS DOUBLE) AS tf
-         |       FROM post WHERE term IN ($inList) GROUP BY 1, 2, 3),
-         |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-         |w AS (SELECT tf.doc_id, tf.term,
-         |        LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-         |          (tf * ${bm25K1 + 1.0}) /
-         |          (tf + $bm25K1 * (1.0 - $bm25B + $bm25B * tf.dl / avgdl)) AS w
-         |      FROM tf JOIN dft ON dft.term = tf.term CROSS JOIN stats)
-         |SELECT doc_id, ROUND($caseSum, 6) AS bm25, COUNT(*) AS n_terms_hit
-         |FROM w GROUP BY doc_id
-         |ORDER BY ROUND($caseSum, 6) DESC, doc_id LIMIT 15""".stripMargin
-    })
+    (s, d) => bm25Scores(s, d)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(15),
+    Some(s"""WITH $duckBm25Ctes
+            |SELECT doc_id, bm25, n_terms_hit FROM bm
+            |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin))
 
   // p28 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
   // deduplication — cluster the embedding corpus with the trained
@@ -2237,6 +2248,102 @@ object Pipeline {
     Some(duckAnnStackSql(
       "allow AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),\n",
       " JOIN allow w ON w.vec_id = a.vec_id")))
+
+  // p49 — HYBRID RETRIEVAL via RECIPROCAL RANK FUSION (Cormack et al.
+  // 2009 — the fusion every production RAG/search stack runs over its
+  // lexical and vector arms): BM25 ranks (p27's scorer, SHARED code)
+  // and cosine ranks (q18's convention, pseudo-query = vec 0, the
+  // candidate universe = the en documents — p48's metadata
+  // co-location) each cut to a top-`rrfPool`, then fuse by
+  // rrf = Σ 1/(k + rank), k = 60. RRF is the production choice
+  // precisely because it is SCALE-FREE: only ranks cross the fusion
+  // boundary, so the incomparable score spaces (BM25 sums vs cosines)
+  // never meet — which also makes the gate trivially deterministic:
+  // ranks are exact ints (6-dp-rounded scores, id tiebreaks), each
+  // fused term is one double division in fixed arm order, absent-arm
+  // ranks surface as 0 (never NULL — engines disagree on NULL int
+  // renderings). Shape at 100 TB: each arm is a DISTRIBUTED plan
+  // ending in TakeOrdered(pool) — p27's posting-sliver shuffle and
+  // q18's (or p36/p48's probed) scan — and the fusion runs on the
+  // DRIVER over the two pool-sized rank lists (≤ 2·pool ids of
+  // bounded state, the p20/p39 trainer discipline), which is where a
+  // production stack fuses too: in the serving layer, after each
+  // index returns its top-k. No corpus-sized data ever reaches the
+  // fusion; a global rank window would funnel rows through one task
+  // for nothing (PlanAuditSpec's ban). Oracle replays both arms and
+  // the fusion arithmetic under one hash.
+  private val rrfK = 60
+  private val rrfPool = 20
+  private val rrfQid = 0L
+
+  val p49 = QuerySpec(
+    "p49_hybrid_rrf",
+    (s, d) => {
+      import s.implicits._
+      graft.expressions.VectorExpressions.register(s)
+      // lexical arm: TakeOrdered(pool) over the shared BM25 scorer;
+      // collect preserves the sort, so list position IS the rank
+      val lexPool: Seq[Long] = bm25Scores(s, d)
+        .filter(col("doc_id") =!= rrfQid) // the pseudo-query doc sits out both arms
+        .orderBy(col("bm25").desc, col("doc_id")).limit(rrfPool)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val en = documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        expr("sqrt(float_dot(embedding, embedding))").as("nrm"))
+      val q = e.filter(col("vec_id") === rrfQid)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val vecPool: Seq[Long] = e.join(broadcast(en), Seq("vec_id"), "left_semi")
+        .filter(col("vec_id") =!= rrfQid)
+        .crossJoin(broadcast(q))
+        .withColumn("cos",
+          round(expr("float_dot(embedding, qe)") / (col("nrm") * col("qn")), 6))
+        .orderBy(col("cos").desc, col("vec_id")).limit(rrfPool)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      val rl = lexPool.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val rv = vecPool.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (rl.keySet ++ rv.keySet).toSeq.map { id =>
+        val a = rl.getOrElse(id, 0)
+        val b = rv.getOrElse(id, 0)
+        (id, a, b, r6((if (a > 0) 1.0 / (rrfK + a) else 0.0) +
+          (if (b > 0) 1.0 / (rrfK + b) else 0.0)))
+      }.sortBy { case (id, _, _, sc) => (-sc, id) }.take(10)
+        .toDF("doc_id", "r_lex", "r_vec", "rrf")
+        .orderBy(col("rrf").desc, col("doc_id"))
+    },
+    Some(s"""WITH $duckBm25Ctes,
+            |lext AS (SELECT doc_id, bm25 FROM bm WHERE doc_id <> $rrfQid
+            |         ORDER BY bm25 DESC, doc_id LIMIT $rrfPool),
+            |lexr AS (SELECT doc_id,
+            |           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex
+            |         FROM lext),
+            |f AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+            |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+            |n AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM f GROUP BY 1),
+            |env AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+            |p AS (SELECT b.vec_id, SUM(a.v * b.v) AS dot
+            |      FROM f a JOIN f b ON a.i = b.i AND a.vec_id = $rrfQid AND b.vec_id <> $rrfQid
+            |           JOIN env e ON e.vec_id = b.vec_id
+            |      GROUP BY 1),
+            |c AS (SELECT p.vec_id, ROUND(p.dot / (nq.nrm * nb.nrm), 6) AS cos
+            |      FROM p JOIN n nq ON nq.vec_id = $rrfQid JOIN n nb ON nb.vec_id = p.vec_id),
+            |vect AS (SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT $rrfPool),
+            |vecr AS (SELECT vec_id AS doc_id,
+            |           CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS r_vec
+            |         FROM vect),
+            |fus AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+            |               CAST(COALESCE(l.r_lex, 0) AS INTEGER) AS r_lex,
+            |               CAST(COALESCE(v.r_vec, 0) AS INTEGER) AS r_vec,
+            |               ROUND(
+            |                 (CASE WHEN l.r_lex IS NOT NULL
+            |                       THEN CAST(1 AS DOUBLE) / ($rrfK + l.r_lex) ELSE 0.0 END) +
+            |                 (CASE WHEN v.r_vec IS NOT NULL
+            |                       THEN CAST(1 AS DOUBLE) / ($rrfK + v.r_vec) ELSE 0.0 END), 6) AS rrf
+            |        FROM lexr l FULL OUTER JOIN vecr v ON v.doc_id = l.doc_id)
+            |SELECT doc_id, r_lex, r_vec, rrf FROM fus
+            |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
 
   // p37 — distributed CLASSIFIER TRAINING (logistic regression via
   // batch gradient descent): the missing half of the fastText-style
@@ -3348,8 +3455,8 @@ object Pipeline {
   // bloom join is this same screen as a join strategy; this gate is
   // the engine-level membership sketch with its false-positive
   // behavior under hash.
-  private val bloomM = 4096
-  private val bloomK = 3
+  private[graft] val bloomM = 4096
+  private[graft] val bloomK = 3
 
   val p42 = QuerySpec(
     "p42_bloom_decontaminate",
@@ -3832,5 +3939,5 @@ object Pipeline {
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b, p34c,
       p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b, p44, p45, p46, p47,
-      p40d, p48)
+      p40d, p48, p49)
 }

@@ -333,4 +333,35 @@ class CdcSpec extends SparkSuite {
     assert(current == fold,
       "SCD2's open intervals must equal the last-image materialization")
   }
+
+  test("scd2AsOf time-travel: asOf(max) equals the q19 fold, asOf(mid) equals the prefix replay, asOf(pre-history) is empty") {
+    import org.apache.spark.sql.functions.col
+    val hist = graft.queries.Advanced.q50.fn(spark, sf)
+    def imageMap(df: org.apache.spark.sql.DataFrame): Map[Long, (String, String, String, Int)] =
+      df.select(col("id"), col("firstName"), col("lastName"),
+          col("dateOfBirth"), col("status")).collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), r.getString(2), String.valueOf(r.getDate(3)), r.getInt(4))).toMap
+    // the raw numeric-LSN event log, for picking cut points and the
+    // prefix-replay reference
+    val ev = Envelope.project(
+        spark.read.schema(Envelope.schema).json(Fixture.materialize()))
+      .filter(col("tag").isin("insert", "update", "delete"))
+      .withColumn("lsn_n", Envelope.lsnNumeric(col("lsn")))
+      .persist()
+    val lsns = ev.select(col("lsn_n")).collect().map(_.getLong(0)).sorted
+    // asOf at (and past) the last event == the last-image fold
+    assert(imageMap(Envelope.scd2AsOf(hist, lsns.last)) ==
+      imageMap(Envelope.lastImageByKey(ev.drop("lsn_n"))),
+      "asOf(max LSN) must equal the full last-image fold")
+    // asOf at a mid-log cut == the fold of exactly the prefix
+    val mid = lsns(lsns.length / 2)
+    assert(imageMap(Envelope.scd2AsOf(hist, mid)) ==
+      imageMap(Envelope.lastImageByKey(ev.filter(col("lsn_n") <= mid).drop("lsn_n"))),
+      "asOf(mid LSN) must replay exactly the event prefix")
+    // before the first event there is no table
+    assert(Envelope.scd2AsOf(hist, lsns.head - 1).isEmpty,
+      "asOf before history begins must be empty")
+    ev.unpersist()
+  }
 }

@@ -681,6 +681,76 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("p48 filtered ANN: hits are allowed; PRE-filter recall >= POST-filter recall against the exact filtered truth") {
+    val allowDf = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val allowed = allowDf.collect().map(_.getLong(0)).toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val pre = hits(Pipeline.p48.fn(spark, sf))
+    assert(pre.values.map(_.size).sum == 15, "pre-filter must fill all 5 x top-3")
+    assert(pre.values.flatten.forall(allowed), "every pre-filter hit must satisfy the attribute predicate")
+    val post = hits(Pipeline.annFullStack(spark, sf,
+      allow = Some(allowDf), postFilter = true))
+    assert(post.values.flatten.forall(allowed), "every post-filter hit must satisfy the attribute predicate")
+    // exact filtered truth: top-3 cosine among the ALLOWED members of
+    // each query's probed lists (re-derive lists/probes with the same
+    // trainer — the p36 spec's discipline)
+    graft.expressions.VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val model = graft.ops.KMeans.fit(e, "vec_id", "embedding", 8, 3, forceKernel = true)
+    val lists = graft.ops.KMeans.assign(e, "embedding", model, forceKernel = true)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val truth: Map[Long, Set[Long]] = (0L until 5L).map { qid =>
+      val q = vecs(qid)
+      val probed = model.centroids.zipWithIndex
+        .map { case (c, j) => (r6(cos(q, c)), j) }
+        .sortBy { case (s, j) => (-s, j) }.take(4).map(_._2).toSet
+      val top = vecs.keys.toSeq
+        .filter(cid => cid != qid && allowed(cid) && probed(lists(cid)))
+        .map(cid => (r6(cos(q, vecs(cid))), cid))
+        .sortBy { case (s, cid) => (-s, cid) }.take(3).map(_._2).toSet
+      qid -> top
+    }.toMap
+    def recall(h: Map[Long, Set[Long]]): Double =
+      (0L until 5L).map(q => h.getOrElse(q, Set.empty).intersect(truth(q)).size).sum / 15.0
+    val (rPre, rPost) = (recall(pre), recall(post))
+    assert(rPre >= rPost,
+      s"pre-filtering must not lose recall vs post-filtering (pre=$rPre post=$rPost)")
+    assert(rPre >= 0.8, s"pre-filter recall vs the exact filtered truth collapsed: $rPre")
+  }
+
+  test("p49 hybrid RRF: fused scores recompute from the ranks and order the cut") {
+    val out = Pipeline.p49.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(out.length == 10, "fusion must fill the top-10 cut")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { case (id, rl, rv, rrf) =>
+      assert(rl > 0 || rv > 0, s"doc $id must be ranked by at least one arm")
+      val want = r6((if (rl > 0) 1.0 / (60 + rl) else 0.0) +
+        (if (rv > 0) 1.0 / (60 + rv) else 0.0))
+      assert(math.abs(rrf - want) <= 1e-9, s"doc $id rrf must recompute from its ranks")
+    }
+    val scores = out.map(_._4)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "the cut must be ordered by fused score")
+    // the fusion law itself (arm overlap beats either single arm at the
+    // same ranks) on the formula, since the synthetic corpus's arms
+    // happen to be disjoint: rank r in BOTH arms > rank r in one
+    assert(1.0 / 61 + 1.0 / 61 > 1.0 / 61 && 1.0 / 61 + 1.0 / 80 > 1.0 / 61)
+  }
+
   test("p37 training converges: the distilled model agrees with the rule labels") {
     val traj = Pipeline.p37.fn(spark, sf).collect()
       .map(r => r.getInt(0) -> (1 to 5).map(r.getDouble).toArray).toMap

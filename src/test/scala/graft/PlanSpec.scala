@@ -363,6 +363,31 @@ class PlanSpec extends SparkSuite {
       s"the corpus side must be scanned as PQ codes via the kernel expression:\n${plan.take(1200)}")
   }
 
+  test("p48: the allow-list pre-filters INSIDE the probed lists — broadcast semi join below the ADC pool cut") {
+    val plan = finalPlan(graft.queries.Pipeline.p48.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "filtered candidates must still come from the trained-list equi-join, never a cross product")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi") && l.contains("vec_id")),
+      s"the attribute allow-list must land as a broadcast LEFT SEMI join on vec_id:\n${plan.take(1500)}")
+    assert(plan.contains("pq_encode"),
+      "the corpus side must still be scanned as PQ codes via the kernel expression")
+    // the lang predicate reaches the documents parquet scan
+    assert(plan.contains("EqualTo(lang,en)"),
+      s"the metadata filter must push to the documents scan:\n${plan.take(1500)}")
+    // PRE-filter placement: in the executed-plan tree children print
+    // below their parents, so the semi join (candidate generation)
+    // must appear AFTER the pool cut's window/sort on the ADC score —
+    // i.e. the allow screen feeds the ADC scan, it doesn't trim its
+    // output
+    val lines = plan.linesIterator.toVector
+    val poolIdx = lines.indexWhere(l => l.contains("acos_"))
+    val semiIdx = lines.indexWhere(l => l.contains("LeftSemi"))
+    assert(poolIdx >= 0 && semiIdx > poolIdx,
+      s"the semi join must sit BELOW the ADC pool cut (pre-filter), " +
+        s"found pool@$poolIdx semi@$semiIdx:\n${plan.take(2000)}")
+  }
+
   test("p37: one GD gradient pass is a map-only scan + partial-aggregated 5-number reduce") {
     import org.apache.spark.sql.functions.{round => rnd, sum, exp}
     val feats = graft.queries.Pipeline.lrFeatures(graft.sources.Tables.documents(spark, sf))
