@@ -648,47 +648,68 @@ object Streams {
     * layout exactly as there (touched buckets only), or onto a
     * transactional table format's row-level MERGE. */
   def materializeScd2(envelopes: DataFrame, checkpoint: String,
-      statePath: String): StreamingQuery = {
+      statePath: String, statePartitions: Int = 0): StreamingQuery = {
     val boundTable = new java.util.concurrent.atomic.AtomicReference[String]()
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
-        checkpoint, s"parquet:$statePath:scd2")
+        checkpoint, s"parquet:$statePath:scd2${partitionTag(statePartitions)}")
       val cached = batch.persist()
       try {
         val (tbl, n) = requireSingleTable(cached, "materializeScd2", "materializeCdcTables")
         tbl.foreach(requireTableBinding(
           batch.sparkSession.sparkContext.hadoopConfiguration, checkpoint, _,
           "materializeCdcTables", boundTable))
-        if (n > 0L) applyBatchScd2(Envelope.project(cached), statePath, batchId)
+        if (n > 0L)
+          applyBatchScd2(Envelope.project(cached), statePath, batchId, statePartitions)
       } finally cached.unpersist()
     })
   }
 
   /** One micro-batch folded into the SCD2 history parquet — see
-    * [[materializeScd2]] for the contract. */
+    * [[materializeScd2]] for the contract.
+    *
+    * `statePartitions > 0` gives the history the SAME bucket layout as
+    * [[materializeCdc]]'s state (`graft_bucket = pmod(xxhash64(id), n)`,
+    * count pinned by the sink binding): the steady-state batch then
+    * READS only the buckets its keys hash into (partition-pruned scan)
+    * and dynamic-partition-overwrites only those buckets — per-batch
+    * cost O(touched buckets), not O(state). SCD2 makes this layout
+    * especially safe: rows are never removed (a delete CLOSES an
+    * interval, it doesn't drop the row), so a touched bucket can never
+    * empty out from under the dynamic overwrite. First write, layout
+    * migration, and additive-drift batches (a widened envelope) fall
+    * back to one full rename-aside rewrite, after which batches are
+    * incremental again — exactly the materializeCdc classification. */
   private def applyBatchScd2(projected: DataFrame, statePath: String,
-      batchId: Long): Unit = {
+      batchId: Long, statePartitions: Int = 0): Unit = {
     val spark = projected.sparkSession
     val events = projected
       .filter(col("tag").isin("insert", "update", "delete"))
       .withColumn("valid_from", Envelope.lsnNumeric(col("lsn")))
       .drop("lsn")
+    if (statePartitions > 0)
+      require(!events.columns.exists(_.equalsIgnoreCase(bucketCol)),
+        s"[graft] partitioned materializeScd2 reserves column '$bucketCol' — rename it in the source schema")
     val state = new org.apache.hadoop.fs.Path(statePath)
     val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCdcState(fs, statePath)
+    val stateExists = fs.exists(state)
+    // ONE read of the state per batch (shared file index — the
+    // applyBatchParquet rationale)
+    val onDisk = if (stateExists) Some(spark.read.parquet(statePath)) else None
+    val onDiskPartitioned = statePartitions > 0 &&
+      onDisk.exists(_.columns.contains(bucketCol))
+    // history schema this batch's events fold to (analysis only, no job)
+    val foldSchema = Envelope.scd2Fold(events.limit(0)).schema
+    val incremental = onDiskPartitioned &&
+      !needsWiden(org.apache.spark.sql.types.StructType(
+        onDisk.get.schema.filterNot(_.name == bucketCol)), foldSchema)
     var cachedMine: Option[DataFrame] = None
     try {
-    val merged =
-      if (!fs.exists(state)) Envelope.scd2Fold(events)
-      else {
-        val base = spark.read.parquet(statePath)
-        // the touched-key set is batch-sized (ids only) → broadcast
-        // semi/anti splits; the state table is scanned, never shuffled
-        val keys = events.select(col("id")).distinct()
-        val mine = base.join(broadcast(keys), Seq("id"), "left_semi")
-          .persist() // read three ways: high-water, open, closed
-        cachedMine = Some(mine)
-        val untouched = base.join(broadcast(keys), Seq("id"), "left_anti")
+      /** The per-key incremental re-fold: open intervals of `mine` ∪
+        * fresh events (screened by the per-key high-water mark) through
+        * the SHARED fold; closed intervals carry through. */
+      def refold(mine: DataFrame): DataFrame = {
         // high-water mark per touched key: the max LSN the history has
         // already absorbed (a delete's LSN lives on as a valid_to)
         val hwm = mine.groupBy(col("id")).agg(
@@ -704,22 +725,69 @@ object Streams {
           .drop("valid_to", "is_current")
           .withColumn("tag", lit("insert"))
         val closed = mine.filter(col("is_current") === 0)
-        val refolded = Envelope.scd2Fold(open.unionByName(fresh, allowMissingColumns = true))
-        untouched.unionByName(closed)
-          .unionByName(refolded, allowMissingColumns = true)
+        closed.unionByName(
+          Envelope.scd2Fold(open.unionByName(fresh, allowMissingColumns = true)),
+          allowMissingColumns = true)
       }
-    // rename-aside swap (the materializeCdc discipline): state is moved,
-    // never deleted, before its replacement lands; recoverCdcState at
-    // the next batch start promotes whichever side a crash left behind
-    val tmp = new org.apache.hadoop.fs.Path(s"${statePath}__swap_$batchId")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val prev = new org.apache.hadoop.fs.Path(s"${statePath}__prev")
-    if (fs.exists(state)) {
-      if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
-      checkedFs(fs.rename(state, prev), s"rename $state -> $prev")
-    }
-    checkedFs(fs.rename(tmp, state), s"rename $tmp -> $state")
-    if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
+      if (incremental) {
+        // batch-sized collect, bounded by statePartitions (the CDC
+        // touched-bucket discipline)
+        val touched = events.select(bucketExpr("id", statePartitions).as(bucketCol))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val baseT = onDisk.get.filter(col(bucketCol).isin(touched: _*)).drop(bucketCol)
+        val keys = events.select(col("id")).distinct()
+        val mine = baseT.join(broadcast(keys), Seq("id"), "left_semi")
+          .persist() // read three ways: high-water, open, closed
+        cachedMine = Some(mine)
+        // keys sharing a touched bucket but absent from the batch must
+        // be REWRITTEN with it (the overwrite replaces whole buckets)
+        val others = baseT.join(broadcast(keys), Seq("id"), "left_anti")
+        val content = others.unionByName(refold(mine), allowMissingColumns = true)
+          .withColumn(bucketCol, bucketExpr("id", statePartitions))
+        // one file per bucket + dynamic overwrite of ONLY the touched
+        // dirs; crash before the checkpoint commit replays the batch,
+        // and the high-water screen makes the re-fold a no-op
+        content.repartition(col(bucketCol))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(bucketCol)
+          .parquet(statePath)
+      } else {
+        val merged =
+          if (!stateExists) Envelope.scd2Fold(events)
+          else {
+            // full path: unpartitioned steady state, one-shot layout
+            // migration, or a drift batch (every bucket must widen
+            // coherently). The touched-key split still bounds the
+            // RE-FOLD to the batch's keys; only the write is whole.
+            val base = onDisk.get.drop(bucketCol)
+            val keys = events.select(col("id")).distinct()
+            val mine = base.join(broadcast(keys), Seq("id"), "left_semi")
+              .persist()
+            cachedMine = Some(mine)
+            val untouched = base.join(broadcast(keys), Seq("id"), "left_anti")
+            untouched.unionByName(refold(mine), allowMissingColumns = true)
+          }
+        val out =
+          if (statePartitions > 0)
+            merged.withColumn(bucketCol, bucketExpr("id", statePartitions))
+              .repartition(col(bucketCol))
+          else merged
+        // rename-aside swap (the materializeCdc discipline): state is
+        // moved, never deleted, before its replacement lands;
+        // recoverCdcState at the next batch start promotes whichever
+        // side a crash left behind
+        val tmp = new org.apache.hadoop.fs.Path(s"${statePath}__swap_$batchId")
+        val w = out.write.mode("overwrite")
+        (if (statePartitions > 0) w.partitionBy(bucketCol) else w).parquet(tmp.toString)
+        val prev = new org.apache.hadoop.fs.Path(s"${statePath}__prev")
+        if (fs.exists(state)) {
+          if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
+          checkedFs(fs.rename(state, prev), s"rename $state -> $prev")
+        }
+        checkedFs(fs.rename(tmp, state), s"rename $tmp -> $state")
+        if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
+      }
     } finally cachedMine.foreach(_.unpersist())
   }
 

@@ -233,4 +233,77 @@ class PartitionedStateSpec extends SparkSuite {
     assert(canon(spark.read.parquet(state)) == legacy,
       "migration + idempotent re-merge must preserve state content")
   }
+
+  test("partitioned SCD2 history equals the unpartitioned layout and the batch fold") {
+    val in = Fixture.materializeChunks(6)
+    val stA = tmp("graft_ps_scd_a") + "/history"
+    Streams.materializeScd2(Streams.envelopeStream(spark, in),
+      tmp("graft_ps_scd_cka"), stA).awaitTermination()
+    quiesce()
+    val stB = tmp("graft_ps_scd_b") + "/history"
+    Streams.materializeScd2(Streams.envelopeStream(spark, in),
+      tmp("graft_ps_scd_ckb"), stB, statePartitions = 8).awaitTermination()
+    quiesce()
+    assert(new java.io.File(stB).list().exists(_.startsWith("graft_bucket=")),
+      "partitioned SCD2 run must lay out bucket dirs")
+    assert(canon(spark.read.parquet(stB)) == canon(spark.read.parquet(stA)),
+      "partitioning must not change the history content")
+    // and both equal the q50-style batch fold of the whole log
+    val expected = Envelope.scd2Fold(
+      Envelope.project(spark.read.schema(Envelope.schema).json(in))
+        .filter(col("tag").isin("insert", "update", "delete"))
+        .withColumn("valid_from", Envelope.lsnNumeric(col("lsn")))
+        .drop("lsn"))
+    assert(canon(spark.read.parquet(stB)) == canon(expected),
+      "partitioned incremental history must equal the batch SCD2 replay")
+  }
+
+  test("an SCD2 batch rewrites ONLY the buckets it touches") {
+    val dir = Files.createTempDirectory("graft_ps_scd_inc")
+    var mtime = System.currentTimeMillis() - 120000L
+    var chunkNo = 0
+    def deliver(lines: String*): Unit = {
+      val f = dir.resolve(f"chunk_$chunkNo%04d.jsonl")
+      Files.write(f, lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(mtime)
+      mtime += 2000L; chunkNo += 1
+    }
+    def ins(lsn: String, id: Long) =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "students", "new": {"id": $id, "first_name": "fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 1}}"""
+    def upd(lsn: String, id: Long) =
+      s"""{"lsn": "$lsn", "tag": "update", "table": "students", "new": {"id": $id, "first_name": "UPD$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 2}}"""
+    val ckpt = tmp("graft_ps_scd_ckinc")
+    val state = tmp("graft_ps_scd_stinc") + "/history"
+    deliver((1L to 24L).map(i => ins(f"0/${i * 16}%08X", i)): _*)
+    Streams.materializeScd2(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+      statePartitions = 8).awaitTermination()
+    quiesce()
+    def inventory(): Map[String, Map[String, (Long, Long)]] =
+      new java.io.File(state).listFiles().filter(_.getName.startsWith("graft_bucket="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> (f.length(), f.lastModified())).toMap).toMap
+    val before = inventory()
+    assert(before.size > 1, s"24 keys over 8 buckets should occupy >1 bucket, got ${before.size}")
+    val touchedBucket = "graft_bucket=" + spark.read.parquet(state)
+      .filter(col("id") === 1L).select(col("graft_bucket")).head().get(0)
+    deliver(upd(f"0/${25L * 16}%08X", 1L))
+    Streams.materializeScd2(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+      statePartitions = 8).awaitTermination()
+    quiesce()
+    val after = inventory()
+    assert(after(touchedBucket) != before(touchedBucket),
+      "the touched bucket must be rewritten")
+    (before.keySet - touchedBucket).foreach(bucket =>
+      assert(after(bucket) == before(bucket),
+        s"untouched bucket $bucket was rewritten — the partitioned layout lost its point"))
+    // the update SUPERSEDED the open interval: key 1 now has a closed
+    // row ending at the update's LSN and a new open row with the image
+    val k1 = spark.read.parquet(state).filter(col("id") === 1L)
+      .select(col("valid_from"), col("valid_to"), col("firstName"), col("is_current"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getString(2), r.getInt(3))).sortBy(_._1)
+    assert(k1.length == 2 && k1(0)._2.contains(k1(1)._1) && k1(0)._4 == 0,
+      s"the superseded interval must close where the update opens: ${k1.toSeq}")
+    assert(k1(1)._3 == "UPD1" && k1(1)._4 == 1, s"open row must carry the new image: ${k1.toSeq}")
+  }
 }
