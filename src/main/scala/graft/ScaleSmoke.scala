@@ -34,7 +34,7 @@ object ScaleSmoke {
     Set("dedup", "dedup_skew", "cdc", "cdc_throughput", "cdc_multi", "cdc_relcount",
       "cdc_soak", "cdc_bar", "cdc_partitioned", "ann", "kmeans_kernel",
       "pq_encode", "pack_skew", "semdedup", "incremental", "spanscrub",
-      "pca", "cms", "hll", "bloom")
+      "pca", "cms", "hll", "bloom", "scd2")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -119,6 +119,7 @@ object ScaleSmoke {
     if (want("cdc_soak")) cdcSoak(spark)
     if (want("cdc_bar")) cdcBar(spark)
     if (want("cdc_partitioned")) cdcPartitioned(spark)
+    if (want("scd2")) scd2StateCurve(spark)
     if (want("ann")) annCurve(spark, sfDir)
     if (want("kmeans_kernel")) kmeansKernelCurve(spark, sfDir)
     if (want("pq_encode")) pqEncodeCurve(spark, sfDir)
@@ -442,6 +443,72 @@ object ScaleSmoke {
     *    the flat-latency path, and the curve should show it staying
     *    flat while the swap grows linearly.
     */
+  /** materializeScd2 state-growth curve — the cdc_partitioned protocol
+    * re-run against the SCD2 history sink: update-heavy micro-batches
+    * (6 × 1000 rows over 50 distinct keys, strictly increasing LSNs)
+    * against pre-grown histories of 4M/16M/64M open intervals,
+    * UNPARTITIONED (rename-aside full rewrite, O(state) writes) vs
+    * bucket-partitioned (seeded already-partitioned, n capped at 1024
+    * — every batch steady-state incremental, O(touched buckets)).
+    * Expectation mirrors the CDC crossover: legacy flat-ish below
+    * ~25M rows (write parallelism hides the linear term), then linear;
+    * bucketed flat throughout. Batch 0 excluded (stream start).
+    * SCD2-specific twist: every update CLOSES an interval and OPENS a
+    * new one, so touched buckets GROW each batch — the layout must
+    * absorb history growth, not just image churn. */
+  private def scd2StateCurve(spark: SparkSession): Unit =
+    for (scale <- Seq(1, 4, 16); nBuckets <- Seq(0, math.min(256 * scale, 1024))) {
+      withBatchDurations(spark) { (batchMs, quiesce) =>
+        val stateRows = 4000000L * scale
+        val nBatches = 6
+        val rowsPerBatch = 1000
+        val distinctKeys = 50
+        def seed = spark.range(stateRows).select(
+          col("id"),
+          concat(lit("fn"), col("id")).as("firstName"),
+          concat(lit("ln"), col("id")).as("lastName"),
+          lit("1990-01-01").cast("date").as("dateOfBirth"),
+          lit(1).as("status"),
+          col("id").as("valid_from"),
+          lit(null).cast("long").as("valid_to"),
+          lit(1).as("is_current"))
+        val root = java.nio.file.Files.createTempDirectory("graft_scdscale_state").toString
+        val state = s"$root/history"
+        if (nBuckets > 0)
+          seed.withColumn("graft_bucket", streaming.Streams.bucketExpr("id", nBuckets))
+            .repartition(col("graft_bucket"))
+            .write.mode("overwrite").partitionBy("graft_bucket").parquet(state)
+        else seed.write.mode("overwrite").parquet(state)
+        val dir = java.nio.file.Files.createTempDirectory("graft_scdscale_in")
+        val t0 = System.currentTimeMillis() - 2000L * (nBatches + 1)
+        var lsnSeq = stateRows + 16L // past every seeded valid_from (the high-water screen)
+        for (b <- 0 until nBatches) {
+          val sb = new StringBuilder(rowsPerBatch * 140)
+          for (i <- 0 until rowsPerBatch) {
+            val id = i % distinctKeys
+            val lsn = f"${lsnSeq >> 32}%X/${lsnSeq & 0xFFFFFFFFL}%08X"; lsnSeq += 16L
+            sb.append(s"""{"lsn": "$lsn", "tag": "update", "table": "students", "new": {"id": $id, "first_name": "b${b}fn$id", "last_name": "ln$id", "date_of_birth": "1990-01-01", "status_id": 2}}""")
+            sb.append('\n')
+          }
+          val f = dir.resolve(f"chunk_$b%04d.jsonl")
+          java.nio.file.Files.write(f, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          f.toFile.setLastModified(t0 + b * 2000L)
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_scdscale_ckpt").toString
+        val q = streaming.Streams.materializeScd2(
+          streaming.Streams.envelopeStream(spark, dir.toString), ckpt, state,
+          statePartitions = nBuckets)
+        val runId = q.runId
+        q.awaitTermination(); quiesce()
+        val ms = batchMs(runId)
+        val steady = ms.drop(1)
+        val meanMs = if (steady.nonEmpty) steady.sum.toDouble / steady.size else Double.NaN
+        println(s"""{"metric":"scd2_state_scale","state_rows":$stateRows,"buckets":$nBuckets,""" +
+          s""""distinct_keys":$distinctKeys,"rows_per_batch":$rowsPerBatch,""" +
+          s""""batch_ms":[${ms.mkString(",")}],"steady_mean_ms":${fx(meanMs, 0)}}""")
+      }
+    }
+
   private def cdcStateCurve(spark: SparkSession): Unit =
     withBatchDurations(spark) { (batchMs, quiesce) =>
       def seed(n: Long) = spark.range(n).select(

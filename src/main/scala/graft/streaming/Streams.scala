@@ -1019,7 +1019,7 @@ object Streams {
     * uniform. Part of the on-disk contract once a partitioned state
     * exists — the sink binding pins the COUNT so a restart can't
     * silently re-route keys across buckets. */
-  private def bucketExpr(keyCol: String, statePartitions: Int): org.apache.spark.sql.Column =
+  private[graft] def bucketExpr(keyCol: String, statePartitions: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col(keyCol)), lit(statePartitions.toLong)).cast("int")
 
   /** Would writing `want` over a base of schema `have` require widening
