@@ -730,6 +730,42 @@ class PipelineSpec extends SparkSuite {
     assert(rPre >= 0.8, s"pre-filter recall vs the exact filtered truth collapsed: $rPre")
   }
 
+  test("p34c backoff laws: every i>=2 position hits exactly one level; held-out docs back off, train docs never do; held-out xent is worse") {
+    val out = Pipeline.p34c.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, nTok, tri, bi, uni, _) =>
+      assert(tri + bi + uni == math.max(nTok - 2, 0L),
+        s"doc $id: positions i>=2 must each hit exactly one scoring level")
+    }
+    val (train, held) = out.partition(_._1 % 2 == 0)
+    assert(train.forall(d => d._4 == 0 && d._5 == 0),
+      "train docs' own n-grams are all in-dictionary — backoff must never fire")
+    assert(held.map(d => d._4 + d._5).sum > 0,
+      "held-out docs must exercise the backoff levels (else the CASE is dead code)")
+    def meanXent(ds: Array[(Long, Long, Long, Long, Long, Double)]): Double =
+      ds.map(_._6).sum / ds.length
+    assert(meanXent(held) > meanXent(train),
+      "held-out cross-entropy must exceed train cross-entropy under a train-half LM")
+  }
+
+  test("p40d whitening: raw variance tracks lambda and whitened variance pins near 1") {
+    val out = Pipeline.p40d.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(4), r.getDouble(5)))
+    assert(out.map(_._1).toSeq == Seq(1, 2), "one row per component")
+    out.foreach { case (comp, lam, sigma, varRaw, varWhite) =>
+      assert(math.abs(sigma - math.sqrt(lam)) < 1e-5, s"comp $comp sigma must be sqrt(lambda)")
+      // the power iteration's growth estimate IS v'Cv (the variance
+      // along v) up to rounding and the deflated-frame approximation
+      assert(math.abs(varRaw - lam) / lam < 0.1,
+        s"comp $comp raw variance $varRaw must track lambda $lam")
+      assert(math.abs(varWhite - 1.0) < 0.1,
+        s"comp $comp whitened variance must pin near 1, got $varWhite")
+    }
+    val Seq(l1, l2) = out.map(_._2).toSeq
+    assert(l1 > l2, "component order: lambda1 > lambda2")
+  }
+
   test("p49 hybrid RRF: fused scores recompute from the ranks and order the cut") {
     val out = Pipeline.p49.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
