@@ -681,7 +681,7 @@ object Streams {
     * back to one full rename-aside rewrite, after which batches are
     * incremental again — exactly the materializeCdc classification. */
   private def applyBatchScd2(projected: DataFrame, statePath: String,
-      batchId: Long, statePartitions: Int = 0): Unit = {
+      batchId: Long, statePartitions: Int = 0, keyCol: String = "id"): Unit = {
     val spark = projected.sparkSession
     val events = projected
       .filter(col("tag").isin("insert", "update", "delete"))
@@ -700,7 +700,7 @@ object Streams {
     val onDiskPartitioned = statePartitions > 0 &&
       onDisk.exists(_.columns.contains(bucketCol))
     // history schema this batch's events fold to (analysis only, no job)
-    val foldSchema = Envelope.scd2Fold(events.limit(0)).schema
+    val foldSchema = Envelope.scd2Fold(events.limit(0), keyCol).schema
     val incremental = onDiskPartitioned &&
       !needsWiden(org.apache.spark.sql.types.StructType(
         onDisk.get.schema.filterNot(_.name == bucketCol)), foldSchema)
@@ -712,10 +712,10 @@ object Streams {
       def refold(mine: DataFrame): DataFrame = {
         // high-water mark per touched key: the max LSN the history has
         // already absorbed (a delete's LSN lives on as a valid_to)
-        val hwm = mine.groupBy(col("id")).agg(
+        val hwm = mine.groupBy(col(keyCol)).agg(
           max(greatest(col("valid_from"),
             coalesce(col("valid_to"), lit(Long.MinValue)))).as("__hwm"))
-        val fresh = events.join(broadcast(hwm), Seq("id"), "left")
+        val fresh = events.join(broadcast(hwm), Seq(keyCol), "left")
           .filter(col("__hwm").isNull || col("valid_from") > col("__hwm"))
           .drop("__hwm")
         // the open interval re-enters the fold as a pseudo-event at its
@@ -726,24 +726,24 @@ object Streams {
           .withColumn("tag", lit("insert"))
         val closed = mine.filter(col("is_current") === 0)
         closed.unionByName(
-          Envelope.scd2Fold(open.unionByName(fresh, allowMissingColumns = true)),
+          Envelope.scd2Fold(open.unionByName(fresh, allowMissingColumns = true), keyCol),
           allowMissingColumns = true)
       }
       if (incremental) {
         // batch-sized collect, bounded by statePartitions (the CDC
         // touched-bucket discipline)
-        val touched = events.select(bucketExpr("id", statePartitions).as(bucketCol))
+        val touched = events.select(bucketExpr(keyCol, statePartitions).as(bucketCol))
           .distinct().collect().map(_.getInt(0)).toSeq
         val baseT = onDisk.get.filter(col(bucketCol).isin(touched: _*)).drop(bucketCol)
-        val keys = events.select(col("id")).distinct()
-        val mine = baseT.join(broadcast(keys), Seq("id"), "left_semi")
+        val keys = events.select(col(keyCol)).distinct()
+        val mine = baseT.join(broadcast(keys), Seq(keyCol), "left_semi")
           .persist() // read three ways: high-water, open, closed
         cachedMine = Some(mine)
         // keys sharing a touched bucket but absent from the batch must
         // be REWRITTEN with it (the overwrite replaces whole buckets)
-        val others = baseT.join(broadcast(keys), Seq("id"), "left_anti")
+        val others = baseT.join(broadcast(keys), Seq(keyCol), "left_anti")
         val content = others.unionByName(refold(mine), allowMissingColumns = true)
-          .withColumn(bucketCol, bucketExpr("id", statePartitions))
+          .withColumn(bucketCol, bucketExpr(keyCol, statePartitions))
         // one file per bucket + dynamic overwrite of ONLY the touched
         // dirs; crash before the checkpoint commit replays the batch,
         // and the high-water screen makes the re-fold a no-op
@@ -754,23 +754,23 @@ object Streams {
           .parquet(statePath)
       } else {
         val merged =
-          if (!stateExists) Envelope.scd2Fold(events)
+          if (!stateExists) Envelope.scd2Fold(events, keyCol)
           else {
             // full path: unpartitioned steady state, one-shot layout
             // migration, or a drift batch (every bucket must widen
             // coherently). The touched-key split still bounds the
             // RE-FOLD to the batch's keys; only the write is whole.
             val base = onDisk.get.drop(bucketCol)
-            val keys = events.select(col("id")).distinct()
-            val mine = base.join(broadcast(keys), Seq("id"), "left_semi")
+            val keys = events.select(col(keyCol)).distinct()
+            val mine = base.join(broadcast(keys), Seq(keyCol), "left_semi")
               .persist()
             cachedMine = Some(mine)
-            val untouched = base.join(broadcast(keys), Seq("id"), "left_anti")
+            val untouched = base.join(broadcast(keys), Seq(keyCol), "left_anti")
             untouched.unionByName(refold(mine), allowMissingColumns = true)
           }
         val out =
           if (statePartitions > 0)
-            merged.withColumn(bucketCol, bucketExpr("id", statePartitions))
+            merged.withColumn(bucketCol, bucketExpr(keyCol, statePartitions))
               .repartition(col(bucketCol))
           else merged
         // rename-aside swap (the materializeCdc discipline): state is
@@ -1096,6 +1096,42 @@ object Streams {
             s"$stateRoot/${rel.name}", batchId, rel.outName(rel.key),
             orderedTransport, casTombstoneRetention, knownNonEmpty = true,
             statePartitions = statePartitions)
+        }
+      } finally cached.unpersist()
+    })
+  }
+
+  /** Multi-table SCD2 materialization — [[materializeScd2]] demuxed per
+    * registered relation exactly as [[materializeCdcTables]] demuxes the
+    * last-image state: one stream, one checkpoint, N relations each
+    * folding into its own type-2 history at `stateRoot/<relation>`
+    * under its own key. The census/quiet-skip, stray-table refusal,
+    * name-collision guard, optional concurrent applies, and bucket
+    * layout all carry over; each relation's history equals what a
+    * dedicated single-relation stream over its events alone would
+    * produce (MultiTableCdcSpec pins this against the batch fold). */
+  def materializeScd2Tables(envelopes: DataFrame, checkpoint: String,
+      stateRoot: String, relations: Seq[Envelope.Relation],
+      maxConcurrentRelations: Int = 1,
+      statePartitions: Int = 0): StreamingQuery = {
+    for (a <- relations.map(_.name); b <- relations.map(_.name) if a != b)
+      require(b != s"${a}__prev" &&
+          !(b.startsWith(s"${a}__swap_") && b.stripPrefix(s"${a}__swap_").matches("\\d+")),
+        s"[graft] relation name '$b' collides with relation '$a''s state-swap bookkeeping " +
+          s"(<state>__prev / <state>__swap_<batchId>) — '$a''s crash recovery would sweep " +
+          s"'$b''s state dir; rename one of them")
+    runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
+      requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
+        checkpoint, s"parquet-multi:$stateRoot:scd2${partitionTag(statePartitions)}")
+      val cached = batch.persist()
+      try {
+        val census = tableCensus(cached, relations.map(_.name))
+        applyRelations(relations.filter(r => census.getOrElse(r.name, 0L) > 0L),
+          maxConcurrentRelations) { rel =>
+          applyBatchScd2(
+            Envelope.projectRelation(cached.filter(col("table") === rel.name), rel),
+            s"$stateRoot/${rel.name}", batchId, statePartitions,
+            keyCol = rel.outName(rel.key))
         }
       } finally cached.unpersist()
     })

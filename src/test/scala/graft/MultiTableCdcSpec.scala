@@ -883,4 +883,46 @@ class MultiTableCdcSpec extends SparkSuite {
       lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     f.toString
   }
+
+  test("materializeScd2Tables: one mixed stream lands one consistent SCD2 history per relation") {
+    val in = Fixture.materializeMultiTableChunks(5)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mtscd_ckpt").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_mtscd_state").toString
+    Streams.materializeScd2Tables(
+      Streams.envelopeStream(spark, in, schema = union), ckpt, root, relations)
+      .awaitTermination()
+    quiesce()
+    // each relation's streamed history == the batch SCD2 fold of ITS
+    // events alone (the q50 parity convention, per relation)
+    val mixed = spark.read.schema(union).json(in)
+    def expected(rel: Envelope.Relation) = Envelope.scd2Fold(
+      Envelope.projectRelation(mixed.filter(col("table") === rel.name), rel)
+        .filter(col("tag").isin("insert", "update", "delete"))
+        .withColumn("valid_from", Envelope.lsnNumeric(col("lsn")))
+        .drop("lsn"),
+      rel.outName(rel.key))
+    relations.foreach { rel =>
+      val got = spark.read.parquet(s"$root/${rel.name}")
+      val want = expected(rel)
+      val cols = got.columns.sorted.map(col)
+      assert(got.count() == want.count(), s"${rel.name} history row count")
+      assert(got.select(cols: _*).exceptAll(want.select(cols: _*)).isEmpty &&
+        want.select(cols: _*).exceptAll(got.select(cols: _*)).isEmpty,
+        s"${rel.name} streamed history must equal its single-relation batch fold")
+    }
+    // no cross-contamination: each history carries exactly its own
+    // image columns + the interval bookkeeping
+    assert(spark.read.parquet(s"$root/status").columns.toSet ==
+      Set("id", "value", "valid_from", "valid_to", "is_current"))
+    assert(spark.read.parquet(s"$root/students").columns.toSet ==
+      Set("id", "firstName", "lastName", "dateOfBirth", "status",
+        "valid_from", "valid_to", "is_current"))
+    // the open intervals are each relation's last-image fold
+    assert(collectStudents(spark.read.parquet(s"$root/students")
+        .filter(col("is_current") === 1)) == studentsFinal,
+      "students open intervals must equal the students-only sequential fold")
+    assert(collectStatus(spark.read.parquet(s"$root/status")
+        .filter(col("is_current") === 1)) == statusFinal,
+      "status open intervals must equal the status-only sequential fold")
+  }
 }
