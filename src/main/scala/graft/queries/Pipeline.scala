@@ -3037,8 +3037,12 @@ object Pipeline {
   private val pcaIters = 3
   private val pcaDim = 64
 
+  // + 0.0 erases IEEE negative zero (−0.0 + 0.0 = +0.0) so a tiny
+  // negative sum that rounds to zero can never fork the hash against
+  // an engine whose ROUND preserves the sign bit (DuckDB does; the
+  // oracles apply the same + 0.0 on their rounded output doubles).
   private def pcaR6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
 
   /** Mean pass + centered frame over `(vec_id, embedding)`: returns
     * (persisted centered frame `(vec_id, ce)`, per-dim means, n). */
@@ -3114,8 +3118,11 @@ object Pipeline {
         .orderBy(col("iter"), col("i"))
     },
     Some {
+      // v + 0.0: DuckDB's ROUND keeps the sign bit, so a component that
+      // rounds to zero from below prints -0.0; Spark's BigDecimal path
+      // never does — normalize (see pcaR6).
       val out = (1 to pcaIters).map(t =>
-        s"SELECT CAST($t AS INTEGER) AS iter, CAST(v$t.i AS INTEGER) AS i, v$t.v, l$t.lam FROM v$t CROSS JOIN l$t")
+        s"SELECT CAST($t AS INTEGER) AS iter, CAST(v$t.i AS INTEGER) AS i, v$t.v + 0.0 AS v, l$t.lam FROM v$t CROSS JOIN l$t")
         .mkString("\nUNION ALL\n")
       s"""WITH $duckPcaPrefix
          |$out
@@ -3181,18 +3188,18 @@ object Pipeline {
             vLit, (x, y) => round(x * y * 1e6).cast("long")), lit(0L), (a, b) => a + b))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vec"),
-          round(sum(col("ds")).cast("double") / (count(lit(1)) * 1e6), 6).as("mean_proj"),
-          round(min(col("ds")) / 1e6, 6).as("min_proj"),
-          round(max(col("ds")) / 1e6, 6).as("max_proj"))
+          (round(sum(col("ds")).cast("double") / (count(lit(1)) * 1e6), 6) + lit(0.0)).as("mean_proj"),
+          (round(min(col("ds")) / 1e6, 6) + lit(0.0)).as("min_proj"),
+          (round(max(col("ds")) / 1e6, 6) + lit(0.0)).as("max_proj"))
         .orderBy(col("label"))
     },
     Some(s"""WITH $duckPcaPrefix,
             |pr AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
             |       FROM c JOIN v$pcaIters w ON w.i = c.i GROUP BY 1)
             |SELECT e.label, COUNT(*) AS n_vec,
-            |       ROUND(CAST(SUM(p.ds) AS BIGINT) / (COUNT(*) * 1e6), 6) AS mean_proj,
-            |       ROUND(MIN(p.ds) / 1e6, 6) AS min_proj,
-            |       ROUND(MAX(p.ds) / 1e6, 6) AS max_proj
+            |       ROUND(CAST(SUM(p.ds) AS BIGINT) / (COUNT(*) * 1e6), 6) + 0.0 AS mean_proj,
+            |       ROUND(MIN(p.ds) / 1e6, 6) + 0.0 AS min_proj,
+            |       ROUND(MAX(p.ds) / 1e6, 6) + 0.0 AS max_proj
             |FROM pr p JOIN embeddings e ON e.vec_id = p.vec_id
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
@@ -3244,11 +3251,11 @@ object Pipeline {
             |${duckPcaIterCtes("c2", "b")},
             |ortho AS (SELECT CAST(SUM(CAST(ROUND(a.v * b.v * 1e6) AS BIGINT)) AS BIGINT) AS ortho_e6
             |          FROM v$pcaIters a JOIN bv$pcaIters b ON b.i = a.i)
-            |SELECT CAST(1 AS INTEGER) AS comp, CAST(v$pcaIters.i AS INTEGER) AS i, v$pcaIters.v,
+            |SELECT CAST(1 AS INTEGER) AS comp, CAST(v$pcaIters.i AS INTEGER) AS i, v$pcaIters.v + 0.0 AS v,
             |       l$pcaIters.lam, o.ortho_e6
             |FROM v$pcaIters CROSS JOIN l$pcaIters CROSS JOIN ortho o
             |UNION ALL
-            |SELECT CAST(2 AS INTEGER), CAST(bv$pcaIters.i AS INTEGER), bv$pcaIters.v,
+            |SELECT CAST(2 AS INTEGER), CAST(bv$pcaIters.i AS INTEGER), bv$pcaIters.v + 0.0,
             |       bl$pcaIters.lam, o.ortho_e6
             |FROM bv$pcaIters CROSS JOIN bl$pcaIters CROSS JOIN ortho o
             |ORDER BY comp, i""".stripMargin))
@@ -3345,19 +3352,19 @@ object Pipeline {
             |          CAST(SUM(CAST(ROUND(ROUND((ds/1e6)/s.sig, 6)*ROUND((ds/1e6)/s.sig, 6)*1e6) AS BIGINT)) AS BIGINT) AS wssq
             |        FROM dd2 CROSS JOIN s2 s)
             |SELECT CAST(1 AS INTEGER) AS comp, s1.lam, s1.sig AS sigma,
-            |       ROUND(st1.sm / (n.n * 1e6), 6) AS mean_proj,
+            |       ROUND(st1.sm / (n.n * 1e6), 6) + 0.0 AS mean_proj,
             |       ROUND(st1.ssq / (n.n * 1e6)
-            |             - ROUND(st1.sm / (n.n * 1e6), 6) * ROUND(st1.sm / (n.n * 1e6), 6), 6) AS var_raw,
+            |             - ROUND(st1.sm / (n.n * 1e6), 6) * ROUND(st1.sm / (n.n * 1e6), 6), 6) + 0.0 AS var_raw,
             |       ROUND(st1.wssq / (n.n * 1e6)
-            |             - ROUND(st1.wsum / (n.n * 1e6), 6) * ROUND(st1.wsum / (n.n * 1e6), 6), 6) AS var_white
+            |             - ROUND(st1.wsum / (n.n * 1e6), 6) * ROUND(st1.wsum / (n.n * 1e6), 6), 6) + 0.0 AS var_white
             |FROM st1 CROSS JOIN s1 CROSS JOIN nn n
             |UNION ALL
             |SELECT CAST(2 AS INTEGER), s2.lam, s2.sig,
-            |       ROUND(st2.sm / (n.n * 1e6), 6),
+            |       ROUND(st2.sm / (n.n * 1e6), 6) + 0.0,
             |       ROUND(st2.ssq / (n.n * 1e6)
-            |             - ROUND(st2.sm / (n.n * 1e6), 6) * ROUND(st2.sm / (n.n * 1e6), 6), 6),
+            |             - ROUND(st2.sm / (n.n * 1e6), 6) * ROUND(st2.sm / (n.n * 1e6), 6), 6) + 0.0,
             |       ROUND(st2.wssq / (n.n * 1e6)
-            |             - ROUND(st2.wsum / (n.n * 1e6), 6) * ROUND(st2.wsum / (n.n * 1e6), 6), 6)
+            |             - ROUND(st2.wsum / (n.n * 1e6), 6) * ROUND(st2.wsum / (n.n * 1e6), 6), 6) + 0.0
             |FROM st2 CROSS JOIN s2 CROSS JOIN nn n
             |ORDER BY comp""".stripMargin))
 
