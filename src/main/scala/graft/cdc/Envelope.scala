@@ -379,11 +379,18 @@ object Envelope {
   /** The 64-bit numeric log position of a wire LSN — hi·2³² + lo, the
     * value Postgres' pg_lsn type compares by. Used wherever an LSN
     * becomes an ARITHMETIC validity bound (q50's history intervals,
-    * the streaming SCD2 state) rather than an opaque ordering key. */
+    * the streaming SCD2 state) rather than an opaque ordering key.
+    *
+    * Bound: the result is a SIGNED long, so ordering is correct up to
+    * hi < 0x80000000 (~9.2 EB of WAL — beyond any real server's
+    * lifetime write volume). Past that, hi·2³² is computed via
+    * shiftleft so the value wraps DETERMINISTICALLY to negative
+    * rather than the old conv(16-hex)→cast path's silent NULL (which
+    * would have corrupted valid_from/valid_to instead of merely
+    * inverting the epoch ordering). */
   def lsnNumeric(c: Column): Column =
-    conv(concat(
-      lpad(split(c, "/").getItem(0), 8, "0"),
-      lpad(split(c, "/").getItem(1), 8, "0")), 16, 10).cast(LongType)
+    shiftleft(conv(split(c, "/").getItem(0), 16, 10).cast(LongType), 32) +
+      conv(split(c, "/").getItem(1), 16, 10).cast(LongType)
 
   /** SCD2 (type-2 dimension) history fold over numeric-LSN events
     * `(keyCol, tag, valid_from, image…)`: every insert/update image

@@ -541,7 +541,7 @@ object Pipeline {
   // nprobe, LSH with band count — both shapes are list-equi-joins that
   // scale without an all-pairs product.
   private val ivfK = 16
-  private val ivfProbe = 4
+  private[graft] val ivfProbe = 4
 
   val p12 = QuerySpec(
     "p12_ann_ivf",
@@ -800,8 +800,8 @@ object Pipeline {
   // member counts. The oracle walks the IDENTICAL trajectory in SQL:
   // both sides round every cosine AND every updated centroid
   // coordinate to 6 dp, so float addition order can't fork the paths.
-  private val kmK = 8
-  private val kmIters = 3
+  private[graft] val kmK = 8
+  private[graft] val kmIters = 3
 
   /** DuckDB CTE chain for one k-means iteration t (0-based): rank by
     * rounded cosine (cent_id tiebreak), assign, mean-update rounded to
@@ -2779,7 +2779,11 @@ object Pipeline {
       val base = documents(s, d).filter(col("lang") === "en")
         .withColumn("toks", expr(toks))
         .select(col("doc_id"), col("toks"))
-        .persist() // reused: three dictionaries + the position frame
+        .persist() // reused: three dictionaries + the position frame.
+        // Deliberately NOT unpersisted here: the returned frame is
+        // lazy, so the cache must outlive this builder; Verify/Bench
+        // clearCache() after consuming each query (house style for
+        // every persist inside a QuerySpec lambda).
       val train = base.filter(col("doc_id") % 2 === 0)
       val uni = train.select(explode(col("toks")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))

@@ -655,10 +655,10 @@ object Streams {
         checkpoint, s"parquet:$statePath:scd2${partitionTag(statePartitions)}")
       val cached = batch.persist()
       try {
-        val (tbl, n) = requireSingleTable(cached, "materializeScd2", "materializeCdcTables")
+        val (tbl, n) = requireSingleTable(cached, "materializeScd2", "materializeScd2Tables")
         tbl.foreach(requireTableBinding(
           batch.sparkSession.sparkContext.hadoopConfiguration, checkpoint, _,
-          "materializeCdcTables", boundTable))
+          "materializeScd2Tables", boundTable))
         if (n > 0L)
           applyBatchScd2(Envelope.project(cached), statePath, batchId, statePartitions)
       } finally cached.unpersist()

@@ -412,7 +412,8 @@ class PipelineSpec extends SparkSuite {
     // cluster with plain Scala cosine + the lowest-id-dominates rule
     graft.expressions.VectorExpressions.register(spark)
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
-    val model = graft.ops.KMeans.fit(e, "vec_id", "embedding", 8, 3, forceKernel = true)
+    val model = graft.ops.KMeans.fit(e, "vec_id", "embedding",
+      Pipeline.kmK, Pipeline.kmIters, forceKernel = true)
     val asg = graft.ops.KMeans.assign(e, "embedding", model, forceKernel = true)
       .select(col("vec_id"), col("embedding"), col("cluster")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, model.seedIds(r.getInt(2))))
@@ -647,7 +648,8 @@ class PipelineSpec extends SparkSuite {
     // query probed (re-derive lists + probes with the same trainer)
     graft.expressions.VectorExpressions.register(spark)
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
-    val model = graft.ops.KMeans.fit(e, "vec_id", "embedding", 8, 3, forceKernel = true)
+    val model = graft.ops.KMeans.fit(e, "vec_id", "embedding",
+      Pipeline.kmK, Pipeline.kmIters, forceKernel = true)
     val lists = graft.ops.KMeans.assign(e, "embedding", model, forceKernel = true)
       .select(col("vec_id"), col("cluster")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -662,7 +664,7 @@ class PipelineSpec extends SparkSuite {
       val ranked = model.centroids.zipWithIndex
         .map { case (c, j) =>
           (BigDecimal(cos(q, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, j) }
-        .sortBy { case (s, j) => (-s, j) }.take(4).map(_._2).toSet
+        .sortBy { case (s, j) => (-s, j) }.take(Pipeline.ivfProbe).map(_._2).toSet
       qid -> ranked
     }.toMap
     out.foreach { case (qid, _, cid, gCos) =>
@@ -699,7 +701,8 @@ class PipelineSpec extends SparkSuite {
     // trainer — the p36 spec's discipline)
     graft.expressions.VectorExpressions.register(spark)
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
-    val model = graft.ops.KMeans.fit(e, "vec_id", "embedding", 8, 3, forceKernel = true)
+    val model = graft.ops.KMeans.fit(e, "vec_id", "embedding",
+      Pipeline.kmK, Pipeline.kmIters, forceKernel = true)
     val lists = graft.ops.KMeans.assign(e, "embedding", model, forceKernel = true)
       .select(col("vec_id"), col("cluster")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -715,7 +718,7 @@ class PipelineSpec extends SparkSuite {
       val q = vecs(qid)
       val probed = model.centroids.zipWithIndex
         .map { case (c, j) => (r6(cos(q, c)), j) }
-        .sortBy { case (s, j) => (-s, j) }.take(4).map(_._2).toSet
+        .sortBy { case (s, j) => (-s, j) }.take(Pipeline.ivfProbe).map(_._2).toSet
       val top = vecs.keys.toSeq
         .filter(cid => cid != qid && allowed(cid) && probed(lists(cid)))
         .map(cid => (r6(cos(q, vecs(cid))), cid))
