@@ -197,9 +197,9 @@ object Relational {
   // Scale shape (VERDICT r1 #3): a bare `Window.orderBy` serializes the
   // whole relation through ONE task, so both frames run two-phase with
   // every window PARTITIONED by year:
-  //  - running total = per-year cumulative sum + a broadcast join of the
-  //    cumulative totals of all PRIOR years (#years rows, computed by a
-  //    tiny theta join — no global window anywhere);
+  //  - running total = per-year cumulative sum + a per-year cumulative
+  //    OFFSET of all prior years (#years values, bounded driver state —
+  //    the p20/p39 trainer discipline; no global window anywhere);
   //  - 7-row moving frame = each year's partition is augmented with the
   //    last 6 rows of the previous year (the frame's maximum reach-back),
   //    so the windowed sum/count see exactly the rows the global frame
@@ -207,49 +207,64 @@ object Relational {
   //    whenever each partition holds >= 6 rows — true by construction for
   //    year partitions of daily rows; a sparser dataset would pick a
   //    coarser partition key the same way.
+  // The offsets and the next-present-year successor map both derive from
+  // ONE #years-row collect (originally two theta-join branches + a final
+  // broadcast join — correct, but 6 extra jobs on a latency-bound chain;
+  // the r19 re-measure found the job count, not the data, dominating).
+  // They re-enter the plan as foldable map literals, so the whole query
+  // is: daily agg → helper-tail window → union → ONE WindowExec → sort.
   // Decimal exactness is preserved: every interior sum is decimal, the
-  // one double cast stays at the edge, so the result is bit-identical to
-  // the single-window form (and the oracle keeps the global-window SQL).
+  // driver accumulates offsets in exact BigDecimal addition (order-free),
+  // the one double cast stays at the edge, so the result is bit-identical
+  // to the single-window form (and the oracle keeps the global-window
+  // SQL).
   val q9 = QuerySpec(
     "q9_window_frames",
     (s, d) => {
-      // three consumers below (year totals, helper tails, frame input)
-      // — persist or the orders scan+agg reruns per branch
+      // two consumers below (helper tails, frame input) — persist or the
+      // orders scan+agg reruns per branch
       val daily = orders(s, d)
         .groupBy(col("o_orderdate").cast("date").as("d"))
         .agg(sum(col("o_totalprice").cast(dec4)).as("total"))
         .withColumn("yr", year(col("d")))
         .persist()
-      // cumulative offset of strictly-prior years — #years rows via a
-      // tiny theta join, broadcast back at the end
-      val yearTotals = daily.groupBy(col("yr")).agg(sum(col("total")).as("yr_total"))
-      val a = yearTotals.select(col("yr"))
-      val b = yearTotals.select(col("yr").as("yr2"), col("yr_total"))
-      val offsets = a.join(b, col("yr2") < col("yr"))
-        .groupBy(col("yr")).agg(sum(col("yr_total")).as("offset"))
-      // replicate each year's last 6 rows into the NEXT PRESENT year's
-      // partition as frame-only helper rows (the 7-row frame's maximum
-      // reach-back). "Next present" — not yr+1 — because a year absent
-      // from the data (sparse datasets, tiny SFs) would otherwise orphan
-      // the helpers in an empty partition while the year that actually
+      // #years driver rows: per-year totals in year order
+      val yt = daily.groupBy(col("yr")).agg(sum(col("total")).as("yr_total"))
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1)).sortBy(_._1)
+      // cumulative offset of strictly-prior years (exact decimal adds)
+      var acc = java.math.BigDecimal.ZERO
+      val offsetOf: Seq[(Int, java.math.BigDecimal)] = yt.toSeq.map { case (y, t) =>
+        val o = acc; acc = acc.add(t); y -> o
+      }
+      val offsetCol = element_at(
+        map(offsetOf.flatMap { case (y, o) =>
+          Seq(lit(y), lit(o).cast("decimal(28,4)")) }: _*), col("yr"))
+      // next PRESENT year per year — not yr+1: a year absent from the
+      // data (sparse datasets, tiny SFs) would otherwise orphan the
+      // helpers in an empty partition while the year that actually
       // follows starts its frames 6 rows short of the oracle's global
-      // frame. The successor map is #years rows via a tiny theta join,
-      // broadcast into the helper branch. Helpers sort before all real
-      // rows of their partition (their dates are smaller), so one
-      // windowed cumsum over the augmented partition serves BOTH outputs:
+      // frame. The last year has no successor and contributes no
+      // helpers — exactly right, nothing reaches back into it.
+      val succOf: Seq[(Int, Int)] =
+        yt.map(_._1).sliding(2).collect { case Array(p, n) => p -> n }.toSeq
+      val succCol =
+        if (succOf.isEmpty) lit(null).cast("int")
+        else element_at(
+          map(succOf.flatMap { case (p, n) => Seq(lit(p), lit(n)) }: _*), col("yr"))
+      // replicate each year's last 6 rows into the successor year's
+      // partition as frame-only helper rows (the 7-row frame's maximum
+      // reach-back). Helpers sort before all real rows of their
+      // partition (their dates are smaller), so one windowed cumsum
+      // over the augmented partition serves BOTH outputs:
       //   running_in_year = cum - (cumulative helper sum, which at any
       //                            real row equals the full helper sum)
       //   moving frame    = plain -6..0 frame over augmented rows
       // — all four aggregates share one (partition, order) spec, i.e.
       // ONE WindowExec and one exchange.
-      val succ = a.join(b.select(col("yr2")), col("yr2") > col("yr"))
-        .groupBy(col("yr")).agg(min(col("yr2")).as("part_yr"))
       val wYearDesc = Window.partitionBy(col("yr")).orderBy(col("d").desc)
-      // inner join: the last year has no successor, so it contributes no
-      // helpers — exactly right, nothing reaches back into it from above
       val helpers = daily.withColumn("rdesc", row_number().over(wYearDesc))
         .filter(col("rdesc") <= 6).drop("rdesc")
-        .join(broadcast(succ), Seq("yr"))
+        .withColumn("part_yr", succCol).filter(col("part_yr").isNotNull)
         .withColumn("helper", lit(true))
       val aug = daily.withColumn("part_yr", col("yr")).withColumn("helper", lit(false))
         .unionByName(helpers)
@@ -262,12 +277,11 @@ object Relational {
         .withColumn("cum_aug", sum(col("total")).over(wCum))
         .withColumn("helper_sum", sum(when(col("helper"), col("total"))).over(wCum))
         .filter(!col("helper"))
-        .join(broadcast(offsets), Seq("yr"), "left_outer")
         .select(
           col("d"),
           col("total").cast("double").as("day_total"),
           (col("cum_aug") - coalesce(col("helper_sum"), lit(0).cast(dec4))
-            + coalesce(col("offset"), lit(0).cast(dec4))).cast("double").as("running_total"),
+            + coalesce(offsetCol, lit(0).cast(dec4))).cast("double").as("running_total"),
           (col("mv_sum").cast("double") / col("mv_cnt")).as("moving_avg"))
         .orderBy(col("d"))
     },
