@@ -232,11 +232,16 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
     Array.tabulate(m, k)((mm, j) => 0.5 * codebook(mm)(j).map(x => x * x).sum)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
-    case dt => TypeCheckResult.TypeCheckFailure(s"pq_encode expects array<float>, got $dt")
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"pq_encode expects array<float|double>, got $dt")
   }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
+
+  // float32 corpus vectors (p24/p36/p48) widen to double exactly; the
+  // whitened-space path (p50) feeds 6-dp doubles directly
+  @transient private lazy val isFloat: Boolean =
+    child.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
 
   /** Public so the generated code can call it (see [[BestCentroid.score]]). */
   def encode(input: Any): ArrayData = {
@@ -245,6 +250,7 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
       s"[graft] pq_encode: input vector has ${v.numElements()} elements but the " +
         s"codebook encodes $dim ($m subspaces × $sub) — dimension mismatch")
     val codes = new Array[Int](m)
+    val f = isFloat
     var mm = 0
     while (mm < m) {
       val base = mm * sub
@@ -255,7 +261,10 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
         val c = codebook(mm)(j)
         var dot = 0.0
         var t = 0
-        while (t < sub) { dot += v.getFloat(base + t).toDouble * c(t); t += 1 }
+        while (t < sub) {
+          val x = if (f) v.getFloat(base + t).toDouble else v.getDouble(base + t)
+          dot += x * c(t); t += 1
+        }
         val raw = dot - halfCc(mm)(j)
         val sc = if (raw.isNaN || raw.isInfinite) raw
           else BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -3048,6 +3048,17 @@ object Pipeline {
   private def pcaR6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
 
+  /** round(ce[i] − (ds/1e6)·v[i], 6) for every i as a LITERAL-EXPANDED
+    * array, bit-identical to the zip_with form. Not a higher-order
+    * function on purpose: a lambda that captures an outer row column
+    * (here `ds`) falls out of codegen and evaluates interpreted at
+    * ~1 ms/row (measured r19 — 2.0 s vs 0.19 s on the 2k-row fixture,
+    * the dominant cost of p40c/p40d/p50); 64 expanded element
+    * expressions stay inside whole-stage codegen. */
+  private def deflateArr(ds: org.apache.spark.sql.Column, v: Array[Double]): org.apache.spark.sql.Column =
+    array(v.indices.map(i =>
+      round(col("ce").getItem(i) - (ds / 1e6) * lit(v(i)), 6)): _*)
+
   /** Mean pass + centered frame over `(vec_id, embedding)`: returns
     * (persisted centered frame `(vec_id, ce)`, per-dim means, n). */
   private[graft] def pcaCenter(embs: DataFrame): (DataFrame, Array[Double], Long) = {
@@ -3231,9 +3242,7 @@ object Pipeline {
       val cen2 = cen
         .withColumn("ds", aggregate(zip_with(col("ce"), v1Lit,
           (x, y) => round(x * y * 1e6).cast("long")), lit(0L), (a, x) => a + x))
-        .select(col("vec_id"),
-          zip_with(col("ce"), v1Lit,
-            (x, y) => round(x - (col("ds") / 1e6) * y, 6)).as("ce"))
+        .select(col("vec_id"), deflateArr(col("ds"), v1).as("ce"))
         .persist() // scanned ×iters by the second chain
       cen2.count() // materialize before dropping the parent cache
       cen.unpersist()
@@ -3292,9 +3301,7 @@ object Pipeline {
       val cen2 = cen
         .withColumn("ds", aggregate(zip_with(col("ce"), v1Lit,
           (x, y) => round(x * y * 1e6).cast("long")), lit(0L), (a, x) => a + x))
-        .select(col("vec_id"),
-          zip_with(col("ce"), v1Lit,
-            (x, y) => round(x - (col("ds") / 1e6) * y, 6)).as("ce"))
+        .select(col("vec_id"), deflateArr(col("ds"), v1).as("ce"))
         .persist() // scanned ×iters by the second chain
       cen2.count() // materialize before the second chain re-reads cen
       val (v2, lam2) = pcaIterate(cen2, n, pcaIters).last
@@ -3371,6 +3378,176 @@ object Pipeline {
             |             - ROUND(st2.wsum / (n.n * 1e6), 6) * ROUND(st2.wsum / (n.n * 1e6), 6), 6) + 0.0
             |FROM st2 CROSS JOIN s2 CROSS JOIN nn n
             |ORDER BY comp""".stripMargin))
+
+  // p50 — WHITENED-PQ retrieval (the second half of what p40d
+  // started): p40c's two-component deflation TRAINS v1/v2/λ1/λ2 on
+  // the cluster, the whitening map is applied to the FULL 64-dim
+  // vector (not just its projection — w = ce + (1/σ1−1)(ce·v1)v1 +
+  // (1/σ2−1)(ce·v2)v2, i.e. the two dominant axes are rescaled to
+  // unit variance while the orthogonal complement passes through),
+  // and the WHITENED cosine is the SERVING metric — the
+  // whitening-as-postprocessing convention (Su et al. 2021,
+  // "Whitening Sentence Representations"; BERT-flow's goal):
+  // embeddings are conditioned once at index build and every
+  // similarity downstream lives in the conditioned space. p24's
+  // PQ-ADC machinery then runs entirely in that space — codebook,
+  // codes, reconstruction, ADC ranking, exact rescore — so the
+  // quantizer approximates the exact metric it serves (what OPQ's
+  // variance balancing is FOR: the dominant axes no longer dominate
+  // every subquantizer's error budget; PipelineSpec pins that the
+  // whitened stack's self-metric recall ≥ the raw stack's, measured
+  // against each stack's own brute-force truth). Determinism: the
+  // training trajectory is p40c's exact-e6-integer one; the scales
+  // g = round(1/round(√λ,6) − 1, 6) are driver literals the oracle
+  // recomputes from ITS OWN replayed λ; per-row dots ds are exact e6
+  // integers; each whitened coordinate is one left-associated double
+  // chain rounded to 6 dp, mirrored token-for-token. At 100 TB:
+  // training is p40c's cost envelope (R× map-only scans + 64-key
+  // aggs), whitening is ONE map-only pass with 2×64 doubles of
+  // driver state riding the plan as literals, and the retrieval
+  // inherits p24's proven shape — M-byte codes to the pool cut,
+  // fixed rescore budget, corpus never shuffles for queries.
+
+  /** Deflation-trained two-axis whitening of the embeddings table:
+    * `(vec_id, embedding = 64-dim whitened array<double> at 6 dp,
+    * wnrm)`, persisted. Shared by the p50 gate and its spec's
+    * brute-force truth so the serving metric cannot drift. */
+  private[graft] def whitenedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val raw = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (cen, _, n) = pcaCenter(raw)
+    val (v1, lam1) = pcaIterate(cen, n, pcaIters).last
+    def dsOf(v: Array[Double]) =
+      aggregate(zip_with(col("ce"), array(v.toIndexedSeq.map(lit): _*),
+        (x, y) => round(x * y * 1e6).cast("long")), lit(0L), (a, x) => a + x)
+    val cen2 = cen
+      .withColumn("ds", dsOf(v1))
+      .select(col("vec_id"), deflateArr(col("ds"), v1).as("ce"))
+      .persist() // scanned ×iters by the second chain
+    cen2.count()
+    val (v2, lam2) = pcaIterate(cen2, n, pcaIters).last
+    cen2.unpersist()
+    val sig1 = pcaR6(math.sqrt(lam1)); val g1 = pcaR6(1.0 / sig1 - 1.0)
+    val sig2 = pcaR6(math.sqrt(lam2)); val g2 = pcaR6(1.0 / sig2 - 1.0)
+    // g·v_i folded on the driver (exact IEEE product of the same
+    // doubles the oracle multiplies inside its wf CTE)
+    val gv1 = v1.map(x => g1 * x)
+    val gv2 = v2.map(x => g2 * x)
+    // ONE map-only whitening pass; each coordinate is the
+    // left-associated chain ce + t1·(g1·v1) + t2·(g2·v2), 6 dp —
+    // literal-expanded for the same codegen reason as deflateArr
+    val wht = cen
+      .withColumn("ds1", dsOf(v1))
+      .withColumn("ds2", dsOf(v2))
+      .select(col("vec_id"),
+        array(gv1.indices.map(i =>
+          round(col("ce").getItem(i)
+            + (col("ds1") / 1e6) * lit(gv1(i))
+            + (col("ds2") / 1e6) * lit(gv2(i)), 6)): _*).as("embedding"))
+      .withColumn("wnrm", sqrt(expr(
+        "aggregate(zip_with(embedding, embedding, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+      .persist() // scanned: codebook seeds, encode, query side, rescore
+    wht.count() // materialize before dropping the centered parent
+    cen.unpersist()
+    wht
+  }
+
+  val p50 = QuerySpec(
+    "p50_opq_whitened_pq",
+    (s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      val wht = whitenedEmbeddings(s, d)
+      // p24's PQ machinery, codebook and codes in WHITENED space
+      val cb = pqCodebook(wht)
+      val fnName = graft.expressions.VectorExpressions.registerPqEncode(s, cb)
+      def reconSub(m: Int): org.apache.spark.sql.Column =
+        element_at(
+          array((0 until pqK).map(j => array((0 until pqSub).map(t => lit(cb(m)(j)(t))): _*)): _*),
+          col("codes").getItem(m) + lit(1))
+      val enc = try {
+        wht.withColumn("codes", expr(s"$fnName(embedding)"))
+          .withColumn("rv", flatten(array((0 until pqM).map(reconSub): _*)))
+          .withColumn("rnrm", sqrt(expr("aggregate(zip_with(rv, rv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+      } finally graft.expressions.VectorExpressions.dropTempFunction(s, fnName)
+      val qs = wht.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("wnrm").as("qn"))
+      val dotA = "aggregate(zip_with(qe, rv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+      val scored = enc.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("acos_", round(expr(dotA) / (col("qn") * col("rnrm")), 6))
+      val wA = Window.partitionBy(col("qid")).orderBy(col("acos_").desc, col("vec_id"))
+      val pool = scored.withColumn("arn", row_number().over(wA)).filter(col("arn") <= pqPool)
+        .select(col("qid"), col("vec_id"))
+      // exact rescore in the SERVING metric — whitened cosine
+      val exact = pool
+        .join(wht.select(col("vec_id"), col("embedding").as("we"), col("wnrm").as("cn")), "vec_id")
+        .join(broadcast(qs), "qid")
+        .withColumn("cos",
+          round(expr("aggregate(zip_with(we, qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+            / (col("cn") * col("qn")), 6)
+            + lit(0.0)) // −0.0 guard, both engines (see pcaR6)
+      val wT = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      exact.withColumn("rn", row_number().over(wT)).filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cos").as("cosine"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(s"""WITH $duckPcaPrefix,
+            |dd AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
+            |       FROM c JOIN v$pcaIters w ON w.i = c.i GROUP BY 1),
+            |c2 AS MATERIALIZED (SELECT c.vec_id, c.i, ROUND(c.cv - (d.ds / 1e6) * w.v, 6) AS cv
+            |       FROM c JOIN dd d ON d.vec_id = c.vec_id JOIN v$pcaIters w ON w.i = c.i),
+            |${duckPcaIterCtes("c2", "b")},
+            |dd2 AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
+            |        FROM c JOIN bv$pcaIters w ON w.i = c.i GROUP BY 1),
+            |g AS (SELECT ROUND(CAST(1 AS DOUBLE) / ROUND(SQRT(l.lam), 6) - CAST(1 AS DOUBLE), 6) AS g1,
+            |             ROUND(CAST(1 AS DOUBLE) / ROUND(SQRT(b.lam), 6) - CAST(1 AS DOUBLE), 6) AS g2
+            |      FROM l$pcaIters l CROSS JOIN bl$pcaIters b),
+            |wf AS MATERIALIZED (SELECT c.vec_id, c.i,
+            |        ROUND(c.cv + (d1.ds / 1e6) * (g.g1 * v.v) + (d2.ds / 1e6) * (g.g2 * bv.v), 6) AS wv
+            |      FROM c JOIN dd d1 ON d1.vec_id = c.vec_id
+            |             JOIN dd2 d2 ON d2.vec_id = c.vec_id
+            |             JOIN v$pcaIters v ON v.i = c.i
+            |             JOIN bv$pcaIters bv ON bv.i = c.i
+            |             CROSS JOIN g),
+            |wn AS (SELECT vec_id, SQRT(SUM(wv*wv)) AS wnrm FROM wf GROUP BY 1),
+            |pqseeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+            |            FROM embeddings ORDER BY vec_id LIMIT $pqK),
+            |wcb AS (SELECT s.j, CAST(FLOOR(wf.i / $pqSub) AS BIGINT) AS m, wf.i % $pqSub AS t,
+            |               ROUND(wf.wv, 6) AS cv
+            |        FROM wf JOIN pqseeds s ON wf.vec_id = s.vec_id),
+            |wcc AS (SELECT m, j, SUM(cv*cv) AS cc FROM wcb GROUP BY 1, 2),
+            |wsc AS (SELECT wf.vec_id, wcb.m, wcb.j, SUM(wf.wv * wcb.cv) AS dot
+            |        FROM wf JOIN wcb ON wcb.m = CAST(FLOOR(wf.i / $pqSub) AS BIGINT)
+            |                        AND wcb.t = wf.i % $pqSub
+            |        GROUP BY 1, 2, 3),
+            |wrk AS (SELECT s.vec_id, s.m, s.j, ROW_NUMBER() OVER
+            |          (PARTITION BY s.vec_id, s.m
+            |           ORDER BY ROUND(s.dot - 0.5 * c.cc, 6) DESC, s.j) AS jr
+            |        FROM wsc s JOIN wcc c ON c.m = s.m AND c.j = s.j),
+            |wcode AS (SELECT vec_id, m, j FROM wrk WHERE jr = 1),
+            |wr AS (SELECT wcode.vec_id, wcb.m * $pqSub + wcb.t AS i, wcb.cv AS rv
+            |       FROM wcode JOIN wcb ON wcb.m = wcode.m AND wcb.j = wcode.j),
+            |wrn AS (SELECT vec_id, SQRT(SUM(rv*rv)) AS rnrm FROM wr GROUP BY 1),
+            |q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
+            |ad AS (SELECT q.qid, wr.vec_id AS cid, SUM(wq.wv * wr.rv) AS dot
+            |       FROM q JOIN wf wq ON wq.vec_id = q.qid
+            |              JOIN wr ON wr.i = wq.i AND wr.vec_id <> q.qid
+            |       GROUP BY 1, 2),
+            |ac AS (SELECT qid, cid, ad.dot / (nq.wnrm * nc.rnrm) AS acos_
+            |       FROM ad JOIN wn nq ON nq.vec_id = qid JOIN wrn nc ON nc.vec_id = cid),
+            |pool AS (SELECT qid, cid FROM (
+            |           SELECT qid, cid, ROW_NUMBER() OVER
+            |             (PARTITION BY qid ORDER BY ROUND(acos_, 6) DESC, cid) AS arn FROM ac)
+            |         WHERE arn <= $pqPool),
+            |pd AS (SELECT pool.qid, pool.cid, SUM(x.wv * y.wv) AS dot
+            |       FROM pool JOIN wf x ON x.vec_id = pool.qid
+            |                 JOIN wf y ON y.vec_id = pool.cid AND y.i = x.i
+            |       GROUP BY 1, 2),
+            |pc AS (SELECT qid, cid, dot / (na.wnrm * nb.wnrm) AS cos
+            |       FROM pd JOIN wn na ON na.vec_id = qid JOIN wn nb ON nb.vec_id = cid),
+            |rr AS (SELECT qid, cid, cos, ROW_NUMBER() OVER
+            |         (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) AS rn2 FROM pc)
+            |SELECT qid, CAST(rn2 AS INTEGER) AS rn, cid, ROUND(cos, 6) + 0.0 AS cosine
+            |FROM rr WHERE rn2 <= 3 ORDER BY qid, rn""".stripMargin))
 
   // p41 — COUNT-MIN SKETCH heavy hitters (bigram boilerplate mining):
   // the third sketch family after HLL (q16_hll) and approx quantiles
@@ -3950,5 +4127,5 @@ object Pipeline {
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b, p34c,
       p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b, p44, p45, p46, p47,
-      p40d, p48, p49)
+      p40d, p48, p49, p50)
 }

@@ -311,6 +311,68 @@ class PipelineSpec extends SparkSuite {
     assert(msgs.contains("dimension mismatch"), msgs)
   }
 
+  test("p50 PqEncode kernel matches the expanded strategy on array<double> input too") {
+    // the whitened-space path (p50) feeds 6-dp doubles to the kernel;
+    // pin the double branch against the type-agnostic expanded plan
+    graft.expressions.VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))").as("embedding"))
+    val cb = graft.queries.Pipeline.pqCodebook(e)
+    val fn = graft.expressions.VectorExpressions.registerPqEncode(spark, cb)
+    val rows = try {
+      e.withColumn("kc", expr(s"$fn(embedding)"))
+        .withColumn("xc", graft.queries.Pipeline.pqCodesExpanded(cb))
+        .collect()
+    } finally graft.expressions.VectorExpressions.dropTempFunction(spark, fn)
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](2) == r.getSeq[Int](3),
+        s"vec ${r.getLong(0)}: double-input kernel ${r.getSeq[Int](2)} != expanded ${r.getSeq[Int](3)}")
+    }
+  }
+
+  test("p50 whitened-PQ self-metric recall is >= raw-PQ's (p24) on the fixture") {
+    // the OPQ/variance-balancing claim the gate exists to check: each
+    // stack serves a metric (p50 whitened cosine, p24 raw cosine) and
+    // approximates it with the same 16-seed codebook + pool budget —
+    // conditioning must make the quantizer a BETTER approximation of
+    // its own metric, measured against each stack's brute-force truth
+    def hits(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val p50Hits = hits(graft.queries.Pipeline.p50.fn(spark, sf).collect())
+    val p24Hits = hits(graft.queries.Pipeline.p24.fn(spark, sf).collect())
+    assert(p50Hits.values.map(_.size).sum == 15, "5 queries x top-3")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def truthOf(vecs: Map[Long, Array[Double]]): Map[Long, Set[Long]] =
+      (0L until 5L).map { qid =>
+        val q = vecs(qid)
+        qid -> vecs.keys.toSeq.filter(_ != qid)
+          .map(cid => (r6(cos(q, vecs(cid))), cid))
+          .sortBy { case (s, cid) => (-s, cid) }.take(3).map(_._2).toSet
+      }.toMap
+    val rawVecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // the SHARED whitening (same helper the gate runs) is the serving
+    // space — its brute force is p50's truth
+    val whtVecs = graft.queries.Pipeline.whitenedEmbeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def recall(h: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double =
+      (0L until 5L).map(q => h.getOrElse(q, Set.empty).intersect(truth(q)).size).sum / 15.0
+    val r50 = recall(p50Hits, truthOf(whtVecs))
+    val r24 = recall(p24Hits, truthOf(rawVecs))
+    assert(r50 >= r24,
+      s"whitened-PQ must approximate its own metric at least as well as raw-PQ does (p50=$r50 p24=$r24)")
+    assert(r50 >= 0.8, s"whitened-PQ self-metric recall collapsed: $r50")
+  }
+
   test("p26 domain mix hits its target weights deterministically and conserves tokens") {
     val out = graft.queries.Pipeline.p26.fn(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
