@@ -535,6 +535,96 @@ object Jdbc {
     }
   }
 
+  /** SCD2 (type-2) history apply for ORDERED transports — the JDBC
+    * landing of [[graft.streaming.Streams.materializeScd2]]'s
+    * contract: per key, every event PAST the key's stored high-water
+    * mark (max valid_from/valid_to already in the table — a delete's
+    * LSN lives on as a valid_to, exactly as in the parquet state)
+    * first CLOSES the key's open interval (`UPDATE … SET valid_to,
+    * is_current = 0 WHERE is_current = 1`) and then, unless it is a
+    * delete, INSERTS the new open row. Closed history rows are
+    * append-only — only the open row ever updates, the warehouse-
+    * friendly write shape.
+    *
+    * Replay is a no-op row-for-row: a replayed event's valid_from is
+    * ≤ the key's high water and is screened out, so at-least-once
+    * delivery + this apply = exactly-once-equivalent history, the
+    * [[applyChanges]] contract. Atomicity is per partition; the input
+    * must be repartitioned by key and sorted by (key, valid_from) so
+    * one key's events apply in LSN order inside one transaction
+    * ([[graft.streaming.Streams.materializeScd2Jdbc]] guarantees
+    * both). At scale each hwm probe and close is a per-key point
+    * lookup — production indexes (key) or (key, is_current). */
+  def applyScd2(events: DataFrame, url: String, table: String,
+      keyCol: String, tagCol: String, props: Map[String, String] = Map.empty): Unit = {
+    val schema = events.schema
+    def idxOf(name: String, what: String): Int = schema.fieldIndex(
+      schema.fields.map(_.name).find(_.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"[graft] $what '$name' not in ${schema.fieldNames.mkString(",")}")))
+    val keyIdx = idxOf(keyCol, "key")
+    val tagIdx = idxOf(tagCol, "tag")
+    val vfIdx = idxOf("valid_from", "valid_from")
+    val keyName = schema.fields(keyIdx).name
+    val keyType = schema.fields(keyIdx).dataType
+    val payload = schema.fields.filterNot(_.name.equalsIgnoreCase(tagCol))
+    val insertSql = s"INSERT INTO $table (" +
+      (payload.map(f => quoted(f.name)) ++ Seq(quoted("valid_to"), quoted("is_current")))
+        .mkString(", ") +
+      s") VALUES (${payload.map(_ => "?").mkString(", ")}, NULL, 1)"
+    val closeSql = s"UPDATE $table SET ${quoted("valid_to")} = ?, ${quoted("is_current")} = 0 " +
+      s"WHERE ${quoted(keyName)} = ? AND ${quoted("is_current")} = 1"
+    val hwmSql = s"SELECT MAX(${quoted("valid_from")}), MAX(${quoted("valid_to")}) " +
+      s"FROM $table WHERE ${quoted(keyName)} = ?"
+    val slots = payload.zipWithIndex.map { case (f, i) =>
+      (f.dataType, schema.fieldIndex(f.name), i + 1)
+    }
+    events.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val c = connect(url, props)
+        try {
+          c.setAutoCommit(false)
+          val hwmSt = c.prepareStatement(hwmSql)
+          val close = c.prepareStatement(closeSql)
+          val ins = c.prepareStatement(insertSql)
+          try {
+            var curKey: Any = null
+            var haveKey = false
+            var hwm = Long.MinValue
+            it.foreach { row =>
+              val k = row.get(keyIdx)
+              if (!haveKey || k != curKey) {
+                curKey = k; haveKey = true
+                setParam(hwmSt, 1, keyType, row, keyIdx)
+                val rs = hwmSt.executeQuery()
+                hwm = Long.MinValue
+                if (rs.next()) {
+                  val a = rs.getLong(1); if (!rs.wasNull() && a > hwm) hwm = a
+                  val b = rs.getLong(2); if (!rs.wasNull() && b > hwm) hwm = b
+                }
+                rs.close()
+              }
+              val vf = row.getLong(vfIdx)
+              if (vf > hwm) { // the high-water replay screen
+                hwm = vf
+                close.setLong(1, vf)
+                setParam(close, 2, keyType, row, keyIdx)
+                close.executeUpdate()
+                if (row.getString(tagIdx) != "delete") {
+                  slots.foreach { case (dt, srcIdx, pos) => setParam(ins, pos, dt, row, srcIdx) }
+                  ins.executeUpdate()
+                }
+              }
+            }
+            c.commit()
+          } finally { hwmSt.close(); close.close(); ins.close() }
+        } catch {
+          case t: Throwable => try c.rollback() catch { case _: Throwable => }; throw t
+        } finally c.close()
+      }
+    }
+  }
+
   /** Version-guarded (CAS) apply for OUT-OF-ORDER transports — the
     * JDBC rendering of [[graft.ops.Merge.upsertVersioned]]'s contract:
     * a row wins only with a strictly higher `versionCol`, equal or

@@ -637,10 +637,24 @@ object Streams {
     * idempotent without version columns, because the history itself
     * records each key's last applied LSN (a delete's LSN survives as
     * the closed interval's valid_to). The same screen makes the
-    * operator ORDERED-TRANSPORT-ONLY: an event older than the key's
-    * high water is indistinguishable from a replay and is dropped —
-    * the in-order delivery a CDC transport guarantees per partition,
-    * [[materializeCdc]]'s `orderedTransport = true` contract.
+    * DEFAULT contract ORDERED-TRANSPORT-ONLY: an event older than the
+    * key's high water is indistinguishable from a replay and is
+    * dropped — the in-order delivery a CDC transport guarantees per
+    * partition, [[materializeCdc]]'s `orderedTransport = true`
+    * contract.
+    *
+    * `orderedTransport = false` (the at-least-once/out-of-order
+    * transports materializeCdc already serves) switches the re-fold to
+    * a whole-key rebuild: each touched key's history rows re-enter the
+    * SHARED fold as pseudo-events at their valid_from (absorbed
+    * deletes resurface as tombstones at the valid_to no row re-opens),
+    * unioned with the batch's genuinely-new events — late events slot
+    * into the middle of the history and the interval set converges to
+    * the q50 batch fold REGARDLESS of delivery order, while an LSN the
+    * history already absorbed is screened as a replay. Same O(touched
+    * keys' history) cost class as the ordered path (the touched-key
+    * split already rebuilds whole keys); duplicates inside one batch
+    * collapse by (key, LSN) since distinct events never share an LSN.
     *
     * The write is the same rename-aside swap + [[recoverCdcState]]
     * crash recovery as materializeCdc; at production state sizes the
@@ -648,11 +662,17 @@ object Streams {
     * layout exactly as there (touched buckets only), or onto a
     * transactional table format's row-level MERGE. */
   def materializeScd2(envelopes: DataFrame, checkpoint: String,
-      statePath: String, statePartitions: Int = 0): StreamingQuery = {
+      statePath: String, statePartitions: Int = 0,
+      orderedTransport: Boolean = true): StreamingQuery = {
     val boundTable = new java.util.concurrent.atomic.AtomicReference[String]()
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
+      // the transport mode is part of the sink identity: an unordered
+      // state carries zero-width tombstones the ordered fold would
+      // neither read nor regenerate — switching modes on a live
+      // checkpoint must refuse, not silently corrupt
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
-        checkpoint, s"parquet:$statePath:scd2${partitionTag(statePartitions)}")
+        checkpoint, s"parquet:$statePath:scd2${partitionTag(statePartitions)}" +
+          (if (orderedTransport) "" else ":ooo"))
       val cached = batch.persist()
       try {
         val (tbl, n) = requireSingleTable(cached, "materializeScd2", "materializeScd2Tables")
@@ -660,7 +680,8 @@ object Streams {
           batch.sparkSession.sparkContext.hadoopConfiguration, checkpoint, _,
           "materializeScd2Tables", boundTable))
         if (n > 0L)
-          applyBatchScd2(Envelope.project(cached), statePath, batchId, statePartitions)
+          applyBatchScd2(Envelope.project(cached), statePath, batchId, statePartitions,
+            orderedTransport = orderedTransport)
       } finally cached.unpersist()
     })
   }
@@ -681,12 +702,19 @@ object Streams {
     * back to one full rename-aside rewrite, after which batches are
     * incremental again — exactly the materializeCdc classification. */
   private def applyBatchScd2(projected: DataFrame, statePath: String,
-      batchId: Long, statePartitions: Int = 0, keyCol: String = "id"): Unit = {
+      batchId: Long, statePartitions: Int = 0, keyCol: String = "id",
+      orderedTransport: Boolean = true): Unit = {
     val spark = projected.sparkSession
-    val events = projected
+    val events0 = projected
       .filter(col("tag").isin("insert", "update", "delete"))
       .withColumn("valid_from", Envelope.lsnNumeric(col("lsn")))
       .drop("lsn")
+    // unordered transports redeliver: two envelopes with one LSN are
+    // the same event twice (distinct events never share an LSN) — keep
+    // one. The ordered path relies on the high-water screen instead.
+    val events =
+      if (orderedTransport) events0
+      else events0.dropDuplicates(keyCol, "valid_from")
     if (statePartitions > 0)
       require(!events.columns.exists(_.equalsIgnoreCase(bucketCol)),
         s"[graft] partitioned materializeScd2 reserves column '$bucketCol' — rename it in the source schema")
@@ -706,28 +734,88 @@ object Streams {
         onDisk.get.schema.filterNot(_.name == bucketCol)), foldSchema)
     var cachedMine: Option[DataFrame] = None
     try {
-      /** The per-key incremental re-fold: open intervals of `mine` ∪
-        * fresh events (screened by the per-key high-water mark) through
-        * the SHARED fold; closed intervals carry through. */
-      def refold(mine: DataFrame): DataFrame = {
-        // high-water mark per touched key: the max LSN the history has
-        // already absorbed (a delete's LSN lives on as a valid_to)
-        val hwm = mine.groupBy(col(keyCol)).agg(
-          max(greatest(col("valid_from"),
-            coalesce(col("valid_to"), lit(Long.MinValue)))).as("__hwm"))
-        val fresh = events.join(broadcast(hwm), Seq(keyCol), "left")
-          .filter(col("__hwm").isNull || col("valid_from") > col("__hwm"))
-          .drop("__hwm")
-        // the open interval re-enters the fold as a pseudo-event at its
-        // own valid_from; every fresh event's LSN > hwm ≥ that, so the
-        // window re-closes it at the right bound (or a delete ends it)
-        val open = mine.filter(col("is_current") === 1)
-          .drop("valid_to", "is_current")
-          .withColumn("tag", lit("insert"))
-        val closed = mine.filter(col("is_current") === 0)
-        closed.unionByName(
-          Envelope.scd2Fold(open.unionByName(fresh, allowMissingColumns = true), keyCol),
-          allowMissingColumns = true)
+      /** The per-key incremental re-fold. Ordered transport: open
+        * intervals of `mine` ∪ fresh events (screened by the per-key
+        * high-water mark) through the SHARED fold; closed intervals
+        * carry through. Unordered transport: a late event can land
+        * INSIDE a key's closed history, so each touched key's WHOLE
+        * interval set rebuilds from the union of its history rows
+        * (re-entering as pseudo-events at their valid_from, deletes as
+        * tombstones at the valid_to no row re-opens) and the batch's
+        * genuinely-new events — same per-key O(history) cost class the
+        * touched-key split already pays, and replays stay no-ops
+        * because an LSN the history absorbed is screened out. */
+      def refold(mine: DataFrame): DataFrame =
+        if (orderedTransport) {
+          // high-water mark per touched key: the max LSN the history has
+          // already absorbed (a delete's LSN lives on as a valid_to)
+          val hwm = mine.groupBy(col(keyCol)).agg(
+            max(greatest(col("valid_from"),
+              coalesce(col("valid_to"), lit(Long.MinValue)))).as("__hwm"))
+          val fresh = events.join(broadcast(hwm), Seq(keyCol), "left")
+            .filter(col("__hwm").isNull || col("valid_from") > col("__hwm"))
+            .drop("__hwm")
+          // the open interval re-enters the fold as a pseudo-event at its
+          // own valid_from; every fresh event's LSN > hwm ≥ that, so the
+          // window re-closes it at the right bound (or a delete ends it)
+          val open = mine.filter(col("is_current") === 1)
+            .drop("valid_to", "is_current")
+            .withColumn("tag", lit("insert"))
+          val closed = mine.filter(col("is_current") === 0)
+          closed.unionByName(
+            Envelope.scd2Fold(open.unionByName(fresh, allowMissingColumns = true), keyCol),
+            allowMissingColumns = true)
+        } else {
+          // zero-width [L, L) rows are ORPHAN-DELETE tombstones (a
+          // delete that out-ran its images — see foldUnordered); they
+          // re-enter as delete pseudo-events, real rows as the image
+          // event their valid_from recorded
+          val zero = mine.filter(col("valid_to").isNotNull &&
+            col("valid_to") === col("valid_from"))
+          val real = mine.filter(col("valid_to").isNull ||
+            col("valid_to") =!= col("valid_from"))
+          val rowEvents = real.drop("valid_to", "is_current")
+            .withColumn("tag", lit("insert"))
+          val froms = real.select(col(keyCol), col("valid_from"))
+          // a valid_to that no row of the key re-opens is a DELETE the
+          // history absorbed — resurrect it as a tombstone pseudo-event
+          // so the rebuild re-closes the interval at the same LSN
+          val tomb = real.filter(col("valid_to").isNotNull)
+            .select(col(keyCol), col("valid_to").as("valid_from"))
+            .join(froms, Seq(keyCol, "valid_from"), "left_anti")
+            .unionByName(zero.select(col(keyCol), col("valid_from")))
+            .withColumn("tag", lit("delete"))
+          // replay screen: an incoming LSN the history already absorbed
+          // (as a row start or a tombstone) is a duplicate, not a late
+          // event — the unordered twin of the high-water screen
+          val seen = froms.unionByName(tomb.select(col(keyCol), col("valid_from")))
+          val fresh = events.join(seen, Seq(keyCol, "valid_from"), "left_anti")
+          foldUnordered(
+            rowEvents
+              .unionByName(tomb, allowMissingColumns = true)
+              .unionByName(fresh, allowMissingColumns = true))
+        }
+      /** The unordered fold: the SHARED [[Envelope.scd2Fold]] plus a
+        * zero-width `[L, L)` tombstone row per ORPHAN delete — a delete
+        * whose images haven't arrived yet (no image event of its key
+        * precedes it). The fold alone would forget that LSN and a
+        * later-arriving earlier insert would open `[K, ∞)` instead of
+        * closing at `[K, L)`; the tombstone carries the delete until an
+        * image lands before it, at which point the rebuild folds it
+        * into a real closed interval and the zero-width row vanishes.
+        * Point-in-time reads are untouched: no LSN satisfies
+        * `valid_from ≤ x < valid_to` on a zero-width interval. */
+      def foldUnordered(allEvents: DataFrame): DataFrame = {
+        val folded = Envelope.scd2Fold(allEvents, keyCol)
+        val imgMin = allEvents.filter(col("tag") =!= "delete")
+          .groupBy(col(keyCol)).agg(min(col("valid_from")).as("__imin"))
+        val orphan = allEvents.filter(col("tag") === "delete")
+          .join(imgMin, Seq(keyCol), "left")
+          .filter(col("__imin").isNull || col("valid_from") < col("__imin"))
+          .drop("__imin", "tag")
+          .withColumn("valid_to", col("valid_from"))
+          .withColumn("is_current", lit(0))
+        folded.unionByName(orphan, allowMissingColumns = true)
       }
       if (incremental) {
         // batch-sized collect, bounded by statePartitions (the CDC
@@ -754,7 +842,9 @@ object Streams {
           .parquet(statePath)
       } else {
         val merged =
-          if (!stateExists) Envelope.scd2Fold(events, keyCol)
+          if (!stateExists)
+            (if (orderedTransport) Envelope.scd2Fold(events, keyCol)
+             else foldUnordered(events))
           else {
             // full path: unpartitioned steady state, one-shot layout
             // migration, or a drift batch (every bucket must widen
@@ -1113,7 +1203,8 @@ object Streams {
   def materializeScd2Tables(envelopes: DataFrame, checkpoint: String,
       stateRoot: String, relations: Seq[Envelope.Relation],
       maxConcurrentRelations: Int = 1,
-      statePartitions: Int = 0): StreamingQuery = {
+      statePartitions: Int = 0,
+      orderedTransport: Boolean = true): StreamingQuery = {
     for (a <- relations.map(_.name); b <- relations.map(_.name) if a != b)
       require(b != s"${a}__prev" &&
           !(b.startsWith(s"${a}__swap_") && b.stripPrefix(s"${a}__swap_").matches("\\d+")),
@@ -1122,7 +1213,8 @@ object Streams {
           s"'$b''s state dir; rename one of them")
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
-        checkpoint, s"parquet-multi:$stateRoot:scd2${partitionTag(statePartitions)}")
+        checkpoint, s"parquet-multi:$stateRoot:scd2${partitionTag(statePartitions)}" +
+          (if (orderedTransport) "" else ":ooo"))
       val cached = batch.persist()
       try {
         val census = tableCensus(cached, relations.map(_.name))
@@ -1131,7 +1223,7 @@ object Streams {
           applyBatchScd2(
             Envelope.projectRelation(cached.filter(col("table") === rel.name), rel),
             s"$stateRoot/${rel.name}", batchId, statePartitions,
-            keyCol = rel.outName(rel.key))
+            keyCol = rel.outName(rel.key), orderedTransport = orderedTransport)
         }
       } finally cached.unpersist()
     })
@@ -1505,6 +1597,67 @@ object Streams {
         applyBatchJdbc(Envelope.project(cached), url, table, batchId, "id", props,
           orderedTransport, casTombstoneRetention, allowSinkOnlyColumns,
           backfillStamps = firstBatch)
+      } finally cached.unpersist()
+    })
+  }
+
+  /** SCD2 → JDBC materialization: [[materializeScd2]]'s type-2 history
+    * landed in a queryable warehouse table instead of parquet state —
+    * the SCD2 twin of [[materializeCdcJdbc]] (which lands last-image
+    * state). Table shape: payload columns + `valid_from`/`valid_to`
+    * (numeric LSN bounds) + `is_current`, i.e. exactly the
+    * [[Envelope.scd2Fold]] output, so [[Envelope.scd2AsOf]] works on a
+    * `spark.read.jdbc` of it unchanged. Each micro-batch applies
+    * through [[graft.sources.Jdbc.applyScd2]]: per key, events past
+    * the stored high-water mark close the open interval and append
+    * the new one — closed rows are immutable, only the open row ever
+    * UPDATEs, and a replayed batch re-lands as a row-for-row no-op
+    * (the screen reads the mark from the table itself, the same
+    * contract that makes the parquet path byte-idempotent). Ordered
+    * transports only, like the default [[materializeScd2]] contract.
+    * Additive schema drift widens the remote table exactly as in
+    * [[materializeCdcJdbc]] (nullable ALTER; pre-drift history reads
+    * NULL). The table carries NO single-column primary key — an SCD2
+    * history is many rows per key; production indexes
+    * (key, is_current) for the open-row update and the hwm probe. */
+  def materializeScd2Jdbc(envelopes: DataFrame, checkpoint: String,
+      url: String, table: String, props: Map[String, String] = Map.empty,
+      allowSinkOnlyColumns: Boolean = false): StreamingQuery = {
+    val boundTable = new java.util.concurrent.atomic.AtomicReference[String]()
+    runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
+      requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
+        checkpoint, s"jdbc-scd2:$url#$table")
+      val cached = batch.persist()
+      try {
+        val (tbl, n) = requireSingleTable(cached, "materializeScd2Jdbc", "materializeScd2Tables")
+        tbl.foreach(requireTableBinding(
+          batch.sparkSession.sparkContext.hadoopConfiguration, checkpoint, _,
+          "materializeScd2Tables", boundTable))
+        if (n > 0L) {
+          val events = Envelope.project(cached)
+            .filter(col("tag").isin("insert", "update", "delete"))
+            .withColumn("valid_from", Envelope.lsnNumeric(col("lsn")))
+            .drop("lsn")
+          // the table's full shape: event payload + the interval columns
+          val histSchema = org.apache.spark.sql.types.StructType(
+            events.schema.fields.filterNot(_.name.equalsIgnoreCase("tag")) ++ Seq(
+              org.apache.spark.sql.types.StructField("valid_to",
+                org.apache.spark.sql.types.LongType, nullable = true),
+              org.apache.spark.sql.types.StructField("is_current",
+                org.apache.spark.sql.types.IntegerType, nullable = false)))
+          graft.sources.Jdbc.withConnection(url, props) { c =>
+            val probe = graft.sources.Jdbc.probeTable(c, table)
+            requireCompatibleDriftJdbc(probe.columns, url, table, histSchema, allowSinkOnlyColumns)
+            // no column matches the empty key name → no PRIMARY KEY:
+            // an SCD2 history is many rows per key by design
+            graft.sources.Jdbc.ensureTableOn(c, table, histSchema, "", probe)
+          }
+          // one key never spans two transactions, and its events apply
+          // in LSN order inside the partition
+          graft.sources.Jdbc.applyScd2(
+            events.repartition(col("id")).sortWithinPartitions(col("id"), col("valid_from")),
+            url, table, "id", "tag", props)
+        }
       } finally cached.unpersist()
     })
   }

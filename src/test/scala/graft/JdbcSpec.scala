@@ -138,6 +138,59 @@ class JdbcSpec extends SparkSuite {
       "replaying a batch whose commit was lost must be a no-op on the table")
   }
 
+  test("materializeScd2Jdbc lands the type-2 history in a table equal to the q50 fold; lost-commit replay is a no-op") {
+    import java.nio.file.Files
+    import graft.cdc.{Envelope, Fixture}
+    import graft.streaming.Streams
+    val sinkUrl = "jdbc:derby:memory:graft_scd2_sink;create=true"
+    val in = Fixture.materializeChunks(4)
+    val ckpt = Files.createTempDirectory("graft_scd2jdbc_ckpt").toString
+    Streams.materializeScd2Jdbc(Streams.envelopeStream(spark, in), ckpt, sinkUrl, "students_history")
+      .awaitTermination()
+    var waited = 0
+    while (spark.streams.active.nonEmpty && waited < 10000) {
+      Thread.sleep(100); waited += 100
+    }
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("firstName"), col("lastName"),
+        col("dateOfBirth").cast("string"), col("status"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getInt(4), r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6),
+        r.getInt(7)))
+      .toSeq.sorted
+    def tableRows() = asTuples(Jdbc.snapshot(spark, sinkUrl, "students_history"))
+    val expected = asTuples(Envelope.scd2Fold(
+      Envelope.project(spark.read.schema(Envelope.schema).json(in))
+        .filter(col("tag").isin("insert", "update", "delete"))
+        .withColumn("valid_from", Envelope.lsnNumeric(col("lsn")))
+        .drop("lsn")))
+    assert(expected.nonEmpty && tableRows() == expected,
+      "the incrementally landed JDBC history must equal the q50 batch fold")
+    // scd2AsOf works on the JDBC table unchanged: as-of max LSN ==
+    // the live rows, i.e. the last-image fold
+    val live = Envelope.scd2AsOf(Jdbc.snapshot(spark, sinkUrl, "students_history"), Long.MaxValue)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val lastImage = Envelope.lastImageByKey(Envelope.project(
+      spark.read.schema(Envelope.schema).json(in)))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(live == lastImage, "as-of(max) over the JDBC history must equal the last-image fold")
+    // crash after apply, before the checkpoint commit: the replayed
+    // batch's events are all under the stored high-water marks — the
+    // history must come out row-for-row identical, no duplicates
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val newest = commitsDir.listFiles().filterNot(_.getName.startsWith("."))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete())
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    Streams.materializeScd2Jdbc(Streams.envelopeStream(spark, in), ckpt, sinkUrl, "students_history")
+      .awaitTermination()
+    assert(tableRows() == expected,
+      "replaying a batch whose commit was lost must be a no-op on the history")
+  }
+
   test("materializeCdcJdbc widens the remote table on additive schema drift; pre-drift rows read back NULL") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
