@@ -34,7 +34,7 @@ object ScaleSmoke {
     Set("dedup", "dedup_skew", "cdc", "cdc_throughput", "cdc_multi", "cdc_relcount",
       "cdc_soak", "cdc_bar", "cdc_partitioned", "ann", "kmeans_kernel",
       "pq_encode", "pack_skew", "semdedup", "incremental", "spanscrub",
-      "pca", "cms", "hll", "bloom", "scd2")
+      "pca", "cms", "hll", "bloom", "scd2", "ann_filtered", "rrf")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -131,6 +131,8 @@ object ScaleSmoke {
     if (want("cms")) cmsCurve(spark, sfDir)
     if (want("hll")) hllCurve(spark, sfDir)
     if (want("bloom")) bloomCurve(spark, sfDir)
+    if (want("ann_filtered")) annFilteredCurve(spark, sfDir)
+    if (want("rrf")) rrfCurve(spark, sfDir)
     spark.stop()
   }
 
@@ -1227,6 +1229,117 @@ object ScaleSmoke {
         s""""batch_docs":$batchRows,"probe_hits":$probeHits,"probe_sec":${fx(probeSec, 2)},""" +
         s""""full_pairs":$fullPairs,"full_sec":${fx(fullSec, 2)},""" +
         s""""speedup":${fx(fullSec / probeSec, 1)}}""")
+    }
+  }
+
+  /** p48 scale witness: attribute-filtered ANN cost vs allow-list
+    * selectivity. The pre-filter semi-joins the BROADCAST allow-list
+    * into the IVF membership table BEFORE the PQ-ADC scan, so the
+    * candidate volume — and with it the ADC work — must FALL with
+    * selectivity while the trained stack around it stays fixed. The
+    * curve runs the full p36/p48 stack at four allow fractions (all
+    * langs → one lang) and reports the allow size, the ADC candidate
+    * count (re-derived with the same trainer), and wall-clock. At
+    * fixture scale the trainer's fixed cost dominates wall-clock; the
+    * load-bearing column is `candidates`, which is what scales to
+    * 100 TB (the corpus-side scan is proportional to it). */
+  private def annFilteredCurve(spark: SparkSession, sfDir: String): Unit = {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val langSets: Seq[(String, Seq[String])] = Seq(
+      "all" -> Seq("de", "en", "es", "fr", "zh"),
+      "three" -> Seq("de", "en", "fr"),
+      "two" -> Seq("en", "zh"),
+      "one" -> Seq("en"))
+    // warmup: one full unfiltered stack off-clock
+    queries.Pipeline.annFullStack(spark, sfDir).collect()
+    spark.catalog.clearCache()
+    for ((label, langs) <- langSets) {
+      val allow = docs.filter(col("lang").isin(langs: _*))
+        .select(col("doc_id").as("vec_id"))
+      val nAllow = allow.count()
+      val t0 = System.nanoTime()
+      val out = queries.Pipeline.annFullStack(spark, sfDir, allow = Some(allow)).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      // candidate volume under the same trainer: members ∩ allow,
+      // summed over each query's probed lists (the ADC input size)
+      graft.expressions.VectorExpressions.register(spark)
+      val e = sources.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      val model = ops.KMeans.fit(e, "vec_id", "embedding",
+        queries.Pipeline.kmK, queries.Pipeline.kmIters, forceKernel = true)
+      val lists = ops.KMeans.assign(e, "embedding", model, forceKernel = true)
+        .select(col("vec_id"), col("cluster").as("list_id"))
+        .join(broadcast(allow), Seq("vec_id"), "left_semi")
+      val perList = lists.groupBy(col("list_id")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // true ADC candidate volume: per query, the ALLOWED members of
+      // its ivfProbe highest-cosine lists (the trainer's own routing)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def cosD(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.indices.map(i => a(i) * b(i)).sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val qVecs = e.filter(col("vec_id") < 5).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      val candidates = qVecs.map { case (_, qv) =>
+        model.centroids.zipWithIndex
+          .map { case (c, j) => (r6(cosD(qv, c)), j) }
+          .sortBy { case (sc, j) => (-sc, j) }.take(queries.Pipeline.ivfProbe)
+          .map { case (_, j) => perList.getOrElse(j, 0L) }.sum
+      }.sum
+      spark.catalog.clearCache()
+      println(s"""{"metric":"ann_filtered","allow":"$label","allow_rows":$nAllow,""" +
+        s""""hits":${out.length},"candidates":$candidates,"stack_sec":${fx(sec, 2)}}""")
+    }
+  }
+
+  /** p49 scale witness: RRF fusion cost vs pool size. Each arm is a
+    * distributed plan ending in TakeOrdered(pool); the fusion itself
+    * runs on the DRIVER over the two pool-sized rank lists. The claim
+    * that makes the driver-side fold legitimate at 100 TB: fusion time
+    * is microseconds and grows only with POOL (not corpus), so the
+    * curve times the arms and the fold separately as pool grows
+    * 20 → 500. */
+  private def rrfCurve(spark: SparkSession, sfDir: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val rrfK = 60
+    // warmup off-clock
+    queries.Pipeline.bm25Scores(spark, sfDir).orderBy(col("bm25").desc).limit(5).collect()
+    for (pool <- Seq(20, 100, 500)) {
+      val t0 = System.nanoTime()
+      val lex = queries.Pipeline.bm25Scores(spark, sfDir)
+        .filter(col("doc_id") =!= 0L)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(pool)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val lexSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val en = sources.Tables.documents(spark, sfDir).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val e = sources.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"),
+        expr("sqrt(float_dot(embedding, embedding))").as("nrm"))
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val vec = e.join(broadcast(en), Seq("vec_id"), "left_semi")
+        .filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", round(expr("float_dot(embedding, qe)") / (col("nrm") * col("qn")), 6))
+        .orderBy(col("cos").desc, col("vec_id")).limit(pool)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      val vecSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val rl = lex.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val rv = vec.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val fused = (rl.keySet ++ rv.keySet).toSeq.map { id =>
+        id -> ((rl.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0)) +
+          (rv.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0)))
+      }.sortBy { case (id, sc) => (-sc, id) }.take(10)
+      val fuseUs = (System.nanoTime() - t2) / 1e3
+      spark.catalog.clearCache()
+      require(fused.size == 10, "fusion must fill its top-10")
+      println(s"""{"metric":"rrf_fusion","pool":$pool,"lex_sec":${fx(lexSec, 2)},""" +
+        s""""vec_sec":${fx(vecSec, 2)},"fuse_usec":${fx(fuseUs, 0)},""" +
+        s""""fused_state_ids":${rl.size + rv.size}}""")
     }
   }
 }
