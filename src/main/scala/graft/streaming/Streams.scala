@@ -443,7 +443,35 @@ object Streams {
     * all lose to the snapshot. Normalizing makes them order
     * correctly, and malformed LSNs fail loudly instead. */
   def snapshotThenStream(snapshot: DataFrame, changes: DataFrame,
-      keyCol: String = "id"): DataFrame = {
+      keyCol: String = "id"): DataFrame =
+    Envelope.lastImageByKey(seededEvents(snapshot, changes), keyCol)
+
+  /** Snapshot-then-stream for the TYPE-2 HISTORY (A6 × q50): seed the
+    * SCD2 fold from a batch snapshot — every snapshot row opens its
+    * key's first interval at canonical LSN ZERO (below every wire
+    * LSN), and the change stream's events supersede/close exactly as
+    * in the pure-stream fold. The pre-snapshot history is by
+    * definition not reconstructible; what the seed guarantees is that
+    * `scd2AsOf(result, maxLsn)` equals [[snapshotThenStream]]'s live
+    * fold of the same inputs (CdcSpec pins this), the interval laws
+    * hold from LSN 0 on, and a key the stream never touches reads as
+    * one open interval carrying its snapshot image. To seed the
+    * STREAMING materializer, write this output (for the same
+    * projection) as the initial state parquet before the first batch —
+    * [[materializeScd2]] treats any existing state as history and
+    * continues incrementally from it. */
+  def snapshotThenScd2(snapshot: DataFrame, changes: DataFrame,
+      keyCol: String = "id"): DataFrame =
+    Envelope.scd2Fold(
+      seededEvents(snapshot, changes)
+        .filter(col("tag").isin("insert", "update", "delete"))
+        .withColumn("valid_from", Envelope.lsnNumeric(col("lsn")))
+        .drop("lsn"), keyCol)
+
+  /** The seeding frame shared by [[snapshotThenStream]] and
+    * [[snapshotThenScd2]]: snapshot rows as canonical-LSN-zero insert
+    * events unioned with the normalized change events. */
+  private def seededEvents(snapshot: DataFrame, changes: DataFrame): DataFrame = {
     val payload = changes.columns.filterNot(c =>
       c.equalsIgnoreCase("lsn") || c.equalsIgnoreCase("tag")).toSeq
     val payloadSet = payload.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
@@ -471,9 +499,9 @@ object Streams {
         if (snapCols(c.toLowerCase(java.util.Locale.ROOT))) col(c)
         else lit(null).cast(changes.schema(c).dataType).as(c)
       }: _*)
-    Envelope.lastImageByKey(snapAsEvents.unionByName(
+    snapAsEvents.unionByName(
       changes.select(Envelope.normalizeLsn(col("lsn")).as("lsn") +:
-        col("tag") +: payload.map(col): _*)), keyCol)
+        col("tag") +: payload.map(col): _*))
   }
 
   /** Snapshot-then-stream for a MULTI-TABLE stream (A6 × the demux):

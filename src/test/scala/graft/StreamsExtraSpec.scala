@@ -372,6 +372,40 @@ class StreamsExtraSpec extends SparkSuite {
     assert(merged.exceptAll(expected).isEmpty && expected.exceptAll(merged).isEmpty)
   }
 
+  test("snapshot-then-SCD2: seeded history obeys the interval laws and its live slice equals the last-image seeding fold") {
+    val snapshot = Seq(
+      (1000L, "Snap", "Shot", "1970-01-01", 1),   // key not in stream -> one open interval at LSN 0
+      (0L, "Old", "Image", "1970-01-01", 1))      // key 0 churns in the stream
+      .toDF("id", "firstName", "lastName", "dateOfBirth", "status")
+      .withColumn("dateOfBirth", col("dateOfBirth").cast("date"))
+    val changes = Envelope.project(
+      spark.read.schema(Envelope.schema).json(Fixture.materialize()))
+    val hist = Streams.snapshotThenScd2(snapshot, changes).persist()
+    try {
+      // law 1: every snapshot-seeded key's FIRST interval opens at LSN 0
+      val firsts = hist.groupBy(col("id")).agg(min(col("valid_from")).as("vf0"))
+        .filter(col("id").isin(0L, 1000L)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(firsts == Map(0L -> 0L, 1000L -> 0L),
+        s"seeded keys must open their history at canonical LSN zero, got $firsts")
+      // law 2: an untouched key is exactly one open interval with the snapshot image
+      val untouched = hist.filter(col("id") === 1000L).collect()
+      assert(untouched.length == 1 && untouched.head.getAs[Int]("is_current") == 1 &&
+        untouched.head.getAs[String]("firstName") == "Snap",
+        "a key the stream never touches must be one open snapshot-image interval")
+      // law 3: at most one open interval per key; closed intervals chain
+      assert(hist.filter(col("is_current") === 1).groupBy(col("id")).count()
+        .filter(col("count") > 1).isEmpty, "at most one open interval per key")
+      // law 4: the as-of(max) slice equals snapshotThenStream's fold of
+      // the SAME inputs — the seeded history's live edge cannot drift
+      // from the seeded last-image state
+      val live = Envelope.scd2AsOf(hist, Long.MaxValue)
+      val expected = Streams.snapshotThenStream(snapshot, changes)
+      assert(live.exceptAll(expected).isEmpty && expected.exceptAll(live).isEmpty,
+        "scd2AsOf(max) over the seeded history must equal the snapshot-then-stream fold")
+    } finally hist.unpersist()
+  }
+
   test("snapshot-then-stream: raw wire LSN changes still beat the snapshot sentinel") {
     // the sentinel '00000000/00000000' is only below CANONICAL LSNs —
     // a raw wire LSN ('0/10') sorts BELOW it ('/' < '0'), so changes
