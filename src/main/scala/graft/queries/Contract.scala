@@ -236,9 +236,14 @@ object Relational {
       val offsetOf: Seq[(Int, java.math.BigDecimal)] = yt.toSeq.map { case (y, t) =>
         val o = acc; acc = acc.add(t); y -> o
       }
-      val offsetCol = element_at(
-        map(offsetOf.flatMap { case (y, o) =>
-          Seq(lit(y), lit(o).cast("decimal(28,4)")) }: _*), col("yr"))
+      // empty input: zero-arg map() types as map<string,string>, so
+      // element_at(_, int) would fail analysis — guard like succCol
+      // (the theta-join form this replaced returned an empty frame)
+      val offsetCol =
+        if (offsetOf.isEmpty) lit(null).cast("decimal(28,4)")
+        else element_at(
+          map(offsetOf.flatMap { case (y, o) =>
+            Seq(lit(y), lit(o).cast("decimal(28,4)")) }: _*), col("yr"))
       // next PRESENT year per year — not yr+1: a year absent from the
       // data (sparse datasets, tiny SFs) would otherwise orphan the
       // helpers in an empty partition while the year that actually

@@ -591,10 +591,24 @@ object Jdbc {
             var curKey: Any = null
             var haveKey = false
             var hwm = Long.MinValue
+            // the per-key hwm cache is only sound on key-clustered,
+            // (key, valid_from)-sorted input; this is public API, so a
+            // mis-partitioned caller must fail LOUDLY, not silently
+            // write duplicate open rows. Re-appearing key → cluster
+            // violated; decreasing valid_from → sort violated. Equal
+            // valid_from stays legal: distinct events never share an
+            // LSN, so an adjacent duplicate is the same event twice and
+            // the hwm screen below already no-ops it.
+            val seenKeys = new scala.collection.mutable.HashSet[Any]
+            var prevVf = Long.MinValue
             it.foreach { row =>
               val k = row.get(keyIdx)
               if (!haveKey || k != curKey) {
-                curKey = k; haveKey = true
+                require(seenKeys.add(k),
+                  s"[graft] applyScd2 input is not key-clustered: key '$k' re-appears " +
+                    s"after its cluster ended — repartition by '$keyName' and " +
+                    "sortWithinPartitions(key, valid_from) before calling")
+                curKey = k; haveKey = true; prevVf = Long.MinValue
                 setParam(hwmSt, 1, keyType, row, keyIdx)
                 val rs = hwmSt.executeQuery()
                 hwm = Long.MinValue
@@ -605,6 +619,10 @@ object Jdbc {
                 rs.close()
               }
               val vf = row.getLong(vfIdx)
+              require(vf >= prevVf,
+                s"[graft] applyScd2 input is not sorted by (key, valid_from): key '$k' " +
+                  s"delivered valid_from=$vf after $prevVf")
+              prevVf = vf
               if (vf > hwm) { // the high-water replay screen
                 hwm = vf
                 close.setLong(1, vf)

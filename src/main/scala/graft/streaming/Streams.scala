@@ -835,12 +835,23 @@ object Streams {
         * `valid_from ≤ x < valid_to` on a zero-width interval. */
       def foldUnordered(allEvents: DataFrame): DataFrame = {
         val folded = Envelope.scd2Fold(allEvents, keyCol)
-        val imgMin = allEvents.filter(col("tag") =!= "delete")
-          .groupBy(col(keyCol)).agg(min(col("valid_from")).as("__imin"))
+        // ORPHAN = a delete whose LSN was NOT absorbed as any folded
+        // interval's valid_to. The narrower screen "valid_from < min
+        // image LSN" missed a delete whose immediately-preceding event
+        // is another delete (insert@1, delete@5, delete@7 with insert@6
+        // still in flight: the lead-based fold drops delete@7 — 5 closes
+        // [1,5), 7 closes nothing — yet 7 > imgMin 1, so its LSN was
+        // silently lost and insert@6's arrival rebuilt [6,∞) instead of
+        // [6,7)). Anti-joining on (key, LSN) against the folded
+        // valid_to set is the exact definition: whatever the fold
+        // didn't keep, the tombstone carries. Distinct events never
+        // share an LSN, so an image's lead-derived valid_to can only
+        // collide with the delete that produced it.
+        val absorbed = folded.filter(col("valid_to").isNotNull)
+          .select(col(keyCol), col("valid_to").as("valid_from"))
         val orphan = allEvents.filter(col("tag") === "delete")
-          .join(imgMin, Seq(keyCol), "left")
-          .filter(col("__imin").isNull || col("valid_from") < col("__imin"))
-          .drop("__imin", "tag")
+          .join(absorbed, Seq(keyCol, "valid_from"), "left_anti")
+          .drop("tag")
           .withColumn("valid_to", col("valid_from"))
           .withColumn("is_current", lit(0))
         folded.unionByName(orphan, allowMissingColumns = true)

@@ -1618,6 +1618,66 @@ class StreamsExtraSpec extends SparkSuite {
     }
   }
 
+  test("materializeScd2 orderedTransport=false: a delete arriving after its key's EARLIER history but before its own preceding image is not lost") {
+    import java.nio.file.Files
+    // The mixed-order case full reversal can never produce (there,
+    // deletes always precede ALL images): true order insert@0x10,
+    // delete@0x50, insert@0x60, delete@0x70 — but the transport
+    // delivers {insert@0x10, delete@0x50, delete@0x70} first, with
+    // delete@0x70's preceding image insert@0x60 still in flight. The
+    // lead-based fold drops delete@0x70 (0x50 closes [0x10,0x50);
+    // 0x70 closes nothing), and the old "LSN < min image LSN" orphan
+    // screen did not tombstone it either (0x70 > 0x10). Its LSN was
+    // silently lost: when insert@0x60 landed, the rebuild opened
+    // [0x60,inf) instead of closing [0x60,0x70) — a DELETED key
+    // reading live via scd2AsOf. The absorbed-valid_to anti-join
+    // screen keeps it: a delete is an orphan iff no folded interval
+    // ends at its LSN.
+    def ins(lsn: String, id: Long, fn: String): String =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "students", "new": {"id": $id, "first_name": "$fn", "last_name": "X", "date_of_birth": "1960-01-01", "status_id": 1}}"""
+    def del(lsn: String, id: Long): String =
+      s"""{"lsn": "$lsn", "tag": "delete", "table": "students", "old": {"id": $id}}"""
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    for (parts <- Seq(0, 4)) {
+      val dir = Files.createTempDirectory(s"graft_scd2_mixed_in_$parts")
+      val ckpt = Files.createTempDirectory(s"graft_scd2_mixed_ckpt_$parts").toString
+      val state = Files.createTempDirectory(s"graft_scd2_mixed_state_$parts").toString +
+        "/students_history"
+      val chunks = Seq(
+        Seq(ins("0/00000010", 1L, "Ada"), del("0/00000050", 1L), del("0/00000070", 1L)),
+        Seq(ins("0/00000060", 1L, "Grace")))
+      val t0 = System.currentTimeMillis() - 2000L * (chunks.size + 1)
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        val f = dir.resolve(f"chunk_$i%04d.jsonl")
+        Files.write(f, chunk.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        f.toFile.setLastModified(t0 + i * 2000L)
+        Streams.materializeScd2(Streams.envelopeStream(spark, dir.toString), ckpt, state,
+          statePartitions = parts, orderedTransport = false)
+          .awaitTermination()
+        quiesce()
+      }
+      // the state must carry no open row and no zero-width residue:
+      // everything delivered → exactly the batch fold
+      val got = spark.read.parquet(state)
+        .select("id", "valid_from", "valid_to", "firstName", "is_current")
+        .orderBy("valid_from").collect().toSeq.map(r =>
+          (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+            r.getString(3), r.getInt(4)))
+      assert(got == Seq(
+        (1L, 0x10L, 0x50L, "Ada", 0),
+        (1L, 0x60L, 0x70L, "Grace", 0)),
+        s"mixed-order delivery must converge to the batch fold (parts=$parts): $got")
+      // the deleted key must NOT read live at any LSN past the delete
+      assert(Envelope.scd2AsOf(spark.read.parquet(state), 0x80L).isEmpty,
+        s"deleted key reads live after mixed-order delivery (parts=$parts)")
+    }
+  }
+
   test("materializeScd2: switching orderedTransport on a live checkpoint refuses loudly") {
     import java.nio.file.Files
     val in = Fixture.materializeChunks(2)

@@ -14,8 +14,10 @@ N="${1:-?}"
 FILES=""
 for f in CORRECTNESS_r*.json BENCH_r*.json BENCH_LAST.json LEAKCHECK.json \
          COPYCHECK.json VERDICT.md ADVICE.md PROGRESS.jsonl; do
-  [ -e "$f" ] && ! git diff --quiet -- "$f" 2>/dev/null && FILES="$FILES $f"
-  [ -e "$f" ] && [ -n "$(git ls-files --others --exclude-standard -- "$f")" ] \
+  # git status --porcelain covers staged, unstaged, AND untracked —
+  # `git diff --quiet` alone misses artifacts that were already
+  # `git add`ed but not committed (r19 advice).
+  [ -e "$f" ] && [ -n "$(git status --porcelain -- "$f")" ] \
     && FILES="$FILES $f"
 done
 if [ -z "$FILES" ]; then
