@@ -26,24 +26,35 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"float_dot expects (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+      s"float_dot expects (array<float|double>, array<float|double>), got (${left.dataType}, ${right.dataType})")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
+
+  // float32 widens to double EXACTLY, so per-side element-type dispatch
+  // cannot change any result a float-only path produced; the whitened-
+  // space stack (p50/p51) feeds 6-dp doubles directly
+  @transient private lazy val leftIsFloat: Boolean =
+    left.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+  @transient private lazy val rightIsFloat: Boolean =
+    right.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val (lf, rf) = (leftIsFloat, rightIsFloat)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -54,11 +65,15 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // element accessors are static per child type — resolved at
+      // codegen time, no per-row branch
+      val xe = if (leftIsFloat) s"((double) $x.getFloat($i))" else s"$x.getDouble($i)"
+      val ye = if (rightIsFloat) s"((double) $y.getFloat($i))" else s"$y.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  $acc += $xe * $ye;
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -115,23 +130,32 @@ case class BestCentroid(child: Expression, centroids: Array[Array[Double]])
   }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"best_centroid expects array<float>, got $dt")
+      s"best_centroid expects array<float|double>, got $dt")
   }
   override def dataType: DataType = StructType(Seq(
     StructField("cluster", IntegerType, nullable = false),
     StructField("cos", DoubleType, nullable = false)))
   override def prettyName: String = "best_centroid"
 
+  // same dispatch rationale as PqEncode: float widens to double
+  // exactly, whitened 6-dp doubles (p51) pass through untouched
+  @transient private lazy val isFloat: Boolean =
+    child.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+
   /** Public so the generated code can call it (nullSafeEval is
     * protected and the generated class sits in another package). */
   def score(input: Any): InternalRow = {
     val v = input.asInstanceOf[ArrayData]
+    val f = isFloat
     var self = 0.0
     var i = 0
     val nv = v.numElements()
-    while (i < nv) { val x = v.getFloat(i).toDouble; self += x * x; i += 1 }
+    while (i < nv) {
+      val x = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+      self += x * x; i += 1
+    }
     val nrm = math.sqrt(self)
     // Parity with the literal-expanded strategy under ANSI mode (the
     // Spark 4 default), where `dot / (nrm * cnrm)` THROWS
@@ -154,7 +178,10 @@ case class BestCentroid(child: Expression, centroids: Array[Array[Double]])
       val c = centroids(j)
       var dot = 0.0
       i = 0
-      while (i < nv) { dot += v.getFloat(i).toDouble * c(i); i += 1 }
+      while (i < nv) {
+        val x = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * c(i); i += 1
+      }
       val raw = dot / (nrm * cnorms(j))
       // same NaN/Inf passthrough as Spark's `round` (BigDecimal would throw)
       val cos = if (raw.isNaN || raw.isInfinite) raw

@@ -212,13 +212,27 @@ object KMeans {
     require(seeds.length == k,
       s"[graft] kmeans asked for k=$k seeds but the corpus has only ${seeds.length} rows")
     val seedIds = seeds.map(_.getLong(0))
+    // element-type dispatch (float corpus vs whitened 6-dp doubles,
+    // p51): float widens to double exactly, so the two paths agree
+    // bit-for-bit on any float corpus
+    val isFloat = vectors.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => false
+      case dt => throw new IllegalArgumentException(
+        s"[graft] kmeans expects array<float|double> in '$vecCol', got $dt")
+    }
     var cents: Array[Array[Double]] =
-      seeds.map(_.getSeq[Float](1).toArray.map(f => round6(f.toDouble)))
+      if (isFloat) seeds.map(_.getSeq[Float](1).toArray.map(f => round6(f.toDouble)))
+      else seeds.map(_.getSeq[Double](1).toArray.map(round6))
     val dim = cents.head.length
     require(cents.forall(_.length == dim),
       s"[graft] kmeans seeds disagree on dimension (expected $dim)")
 
-    val centroidUdaf = udaf(new graft.functions.VecCentroid(dim))
+    val centroidUdaf =
+      if (isFloat) udaf(new graft.functions.VecCentroid(dim))
+      else udaf(new graft.functions.VecCentroidDouble(dim))
     var sizes = Array.fill[Long](k)(0L)
     val objective = Array.fill(iters)(0.0)
 

@@ -805,19 +805,21 @@ object Pipeline {
 
   /** DuckDB CTE chain for one k-means iteration t (0-based): rank by
     * rounded cosine (cent_id tiebreak), assign, mean-update rounded to
-    * 6 dp, empty clusters COALESCE back to the previous centroid. */
-  private def duckKmeansIter(t: Int): String =
+    * 6 dp, empty clusters COALESCE back to the previous centroid.
+    * `fTab`/`nTab` name the flat-vector and norm CTEs (default the raw
+    * `f`/`n`; p51 trains in the whitened space `wfl`/`wn_`). */
+  private def duckKmeansIter(t: Int, fTab: String = "f", nTab: String = "n"): String =
     s"""cn$t AS (SELECT cent_id, SQRT(SUM(v*v)) AS cnrm FROM c$t GROUP BY 1),
-       |sc$t AS (SELECT f.vec_id, c.cent_id, SUM(f.v * c.v) AS dot
-       |         FROM f JOIN c$t c ON c.i = f.i GROUP BY 1, 2),
+       |sc$t AS (SELECT $fTab.vec_id, c.cent_id, SUM($fTab.v * c.v) AS dot
+       |         FROM $fTab JOIN c$t c ON c.i = $fTab.i GROUP BY 1, 2),
        |rk$t AS (SELECT s.vec_id, s.cent_id, ROW_NUMBER() OVER
        |           (PARTITION BY s.vec_id
        |            ORDER BY ROUND(s.dot / (n.nrm * cn.cnrm), 6) DESC, s.cent_id) AS crn
-       |         FROM sc$t s JOIN n ON n.vec_id = s.vec_id
+       |         FROM sc$t s JOIN $nTab n ON n.vec_id = s.vec_id
        |                     JOIN cn$t cn ON cn.cent_id = s.cent_id),
        |asg$t AS (SELECT vec_id, cent_id FROM rk$t WHERE crn = 1),
-       |m$t AS (SELECT a.cent_id, f.i, ROUND(AVG(f.v), 6) AS v
-       |        FROM asg$t a JOIN f ON f.vec_id = a.vec_id GROUP BY 1, 2),
+       |m$t AS (SELECT a.cent_id, $fTab.i, ROUND(AVG($fTab.v), 6) AS v
+       |        FROM asg$t a JOIN $fTab ON $fTab.vec_id = a.vec_id GROUP BY 1, 2),
        |c${t + 1} AS (SELECT c.cent_id, c.i, COALESCE(m.v, c.v) AS v
        |        FROM c$t c LEFT JOIN m$t m ON m.cent_id = c.cent_id AND m.i = c.i)""".stripMargin
 
@@ -826,15 +828,22 @@ object Pipeline {
     * and iterations c0 → c$kmIters. Both the trainer gate (p20/p20b)
     * and the trained-IVF search gate (p22) build on the SAME prefix,
     * so the search oracle probes exactly the centroids the training
-    * oracle emits. */
-  private def duckKmeansPrefix(k: Int): String =
-    s"""WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-       |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-       |n AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM f GROUP BY 1),
+    * oracle emits. `src` overrides the source CTEs (must end by
+    * defining `fTab(vec_id, i, v)` and `nTab(vec_id, nrm)`) — the p51
+    * whitened-space hook; seeds stay the K smallest vec_ids either
+    * way (ids are space-independent). */
+  private def duckKmeansPrefix(k: Int, src: String = "",
+      fTab: String = "f", nTab: String = "n"): String = {
+    val srcCtes = if (src.nonEmpty) src else
+      s"""f AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |n AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM f GROUP BY 1)""".stripMargin
+    s"""WITH $srcCtes,
        |seeds AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT $k),
-       |c0 AS (SELECT s.cent_id, f.i, ROUND(f.v, 6) AS v
-       |       FROM f JOIN seeds s ON f.vec_id = s.cent_id),
-       |${(0 until kmIters).map(duckKmeansIter).mkString(",\n")}""".stripMargin
+       |c0 AS (SELECT s.cent_id, $fTab.i, ROUND($fTab.v, 6) AS v
+       |       FROM $fTab JOIN seeds s ON $fTab.vec_id = s.cent_id),
+       |${(0 until kmIters).map(t => duckKmeansIter(t, fTab, nTab)).mkString(",\n")}""".stripMargin
+  }
 
   /** One trainer gate entry, parameterized by K so the SAME oracle
     * trajectory covers both argmax strategies (the k ≤ threshold
@@ -2085,10 +2094,18 @@ object Pipeline {
     * already-selected pool instead (the naive post-filter whose recall
     * loss the spec pins — kept private, only the spec drives it). */
   private[graft] def annFullStack(s: SparkSession, d: String,
-      allow: Option[DataFrame] = None, postFilter: Boolean = false): DataFrame = {
+      allow: Option[DataFrame] = None, postFilter: Boolean = false,
+      source: Option[DataFrame] = None): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-      expr(VectorFns.fastNormExpr("embedding")).as("nrm"))
+    // `source` swaps the vector space the WHOLE stack runs in (p51:
+    // whitened 6-dp doubles) — train, lists, codebook, ADC, and exact
+    // rescore all see the same conditioned vectors, so the quantizers
+    // approximate exactly the metric they serve; norms recompute here
+    // with the shared kernel either way (float_dot is type-generic,
+    // left-to-right accumulation in both element widths)
+    val e = source.getOrElse(embeddings(s, d))
+      .select(col("vec_id"), col("embedding"),
+        expr(VectorFns.fastNormExpr("embedding")).as("nrm"))
       .persist() // reused: training scans (×iters), list build, PQ encode, rescore
     val e0 = e.select(col("vec_id"), col("embedding"))
     // forceKernel: same rationale as p22 — strategies are bit-identical
@@ -2148,7 +2165,8 @@ object Pipeline {
       case _ => pool0
     }
     val exact = pool.withColumn("cos",
-      round(expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")), 6))
+      round(expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")), 6)
+        + lit(0.0)) // −0.0 guard, both engines (see pcaR6) — no-op on raw vectors
     val wT = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     exact.withColumn("rn", row_number().over(wT)).filter(col("rn") <= 3)
       .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cos").as("cosine"))
@@ -2167,16 +2185,22 @@ object Pipeline {
     * exact rescore). `allowCte`/`allowJoin` inject the p48 allow-list
     * into the candidate CTE — empty strings render the unfiltered p36
     * oracle, so both gates replay the IDENTICAL trajectory and differ
-    * only where the engines differ: the candidate screen. */
-  private def duckAnnStackSql(allowCte: String, allowJoin: String): String =
-    s"""${duckKmeansPrefix(kmK)},
+    * only where the engines differ: the candidate screen. `src`/
+    * `fTab`/`nTab` swap the vector space the whole stack reads
+    * ([[duckKmeansPrefix]]) — p51 runs it over the whitened CTEs.
+    * The final cosine carries a `+ 0.0` −0.0 guard on BOTH sides
+    * (DuckDB ROUND keeps the sign bit, Spark's BigDecimal round never
+    * emits −0.0; the whitened space can rescore to exactly zero). */
+  private def duckAnnStackSql(allowCte: String, allowJoin: String,
+      src: String = "", fTab: String = "f", nTab: String = "n"): String =
+    s"""${duckKmeansPrefix(kmK, src, fTab, nTab)},
             |cnF AS (SELECT cent_id, SQRT(SUM(v*v)) AS cnrm FROM c$kmIters GROUP BY 1),
-            |scF AS (SELECT f.vec_id, c.cent_id, SUM(f.v * c.v) AS dot
-            |        FROM f JOIN c$kmIters c ON c.i = f.i GROUP BY 1, 2),
+            |scF AS (SELECT $fTab.vec_id, c.cent_id, SUM($fTab.v * c.v) AS dot
+            |        FROM $fTab JOIN c$kmIters c ON c.i = $fTab.i GROUP BY 1, 2),
             |rkF AS (SELECT s.vec_id, s.cent_id, ROW_NUMBER() OVER
             |          (PARTITION BY s.vec_id
             |           ORDER BY ROUND(s.dot / (n.nrm * cn.cnrm), 6) DESC, s.cent_id) AS crn
-            |        FROM scF s JOIN n ON n.vec_id = s.vec_id
+            |        FROM scF s JOIN $nTab n ON n.vec_id = s.vec_id
             |                    JOIN cnF cn ON cn.cent_id = s.cent_id),
             |asgF AS (SELECT vec_id, cent_id AS list_id FROM rkF WHERE crn = 1),
             |probe AS (SELECT vec_id AS qid, cent_id AS list_id FROM rkF
@@ -2185,13 +2209,13 @@ object Pipeline {
             |         FROM probe p JOIN asgF a ON a.list_id = p.list_id AND a.vec_id <> p.qid$allowJoin),
             |pqseeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
             |            FROM embeddings ORDER BY vec_id LIMIT $pqK),
-            |cb AS (SELECT s.j, CAST(FLOOR(f.i / $pqSub) AS BIGINT) AS m, f.i % $pqSub AS t,
-            |               ROUND(f.v, 6) AS cv
-            |        FROM f JOIN pqseeds s ON f.vec_id = s.vec_id),
+            |cb AS (SELECT s.j, CAST(FLOOR($fTab.i / $pqSub) AS BIGINT) AS m, $fTab.i % $pqSub AS t,
+            |               ROUND($fTab.v, 6) AS cv
+            |        FROM $fTab JOIN pqseeds s ON $fTab.vec_id = s.vec_id),
             |ccn AS (SELECT m, j, SUM(cv*cv) AS cc FROM cb GROUP BY 1, 2),
-            |psc AS (SELECT f.vec_id, cb.m, cb.j, SUM(f.v * cb.cv) AS dot
-            |        FROM f JOIN cb ON cb.m = CAST(FLOOR(f.i / $pqSub) AS BIGINT)
-            |                      AND cb.t = f.i % $pqSub
+            |psc AS (SELECT $fTab.vec_id, cb.m, cb.j, SUM($fTab.v * cb.cv) AS dot
+            |        FROM $fTab JOIN cb ON cb.m = CAST(FLOOR($fTab.i / $pqSub) AS BIGINT)
+            |                      AND cb.t = $fTab.i % $pqSub
             |        GROUP BY 1, 2, 3),
             |prk AS (SELECT s.vec_id, s.m, s.j, ROW_NUMBER() OVER
             |          (PARTITION BY s.vec_id, s.m
@@ -2202,24 +2226,24 @@ object Pipeline {
             |      FROM code JOIN cb ON cb.m = code.m AND cb.j = code.j),
             |rn_ AS (SELECT vec_id, SQRT(SUM(rv*rv)) AS rnrm FROM r GROUP BY 1),
             |ad AS (SELECT cand.qid, cand.cid, SUM(fq.v * r.rv) AS dot
-            |       FROM cand JOIN f fq ON fq.vec_id = cand.qid
+            |       FROM cand JOIN $fTab fq ON fq.vec_id = cand.qid
             |                 JOIN r ON r.vec_id = cand.cid AND r.i = fq.i
             |       GROUP BY 1, 2),
             |ac AS (SELECT qid, cid, ad.dot / (nq.nrm * nc.rnrm) AS acos_
-            |       FROM ad JOIN n nq ON nq.vec_id = qid JOIN rn_ nc ON nc.vec_id = cid),
+            |       FROM ad JOIN $nTab nq ON nq.vec_id = qid JOIN rn_ nc ON nc.vec_id = cid),
             |pool AS (SELECT qid, cid FROM (
             |           SELECT qid, cid, ROW_NUMBER() OVER
             |             (PARTITION BY qid ORDER BY ROUND(acos_, 6) DESC, cid) AS arn FROM ac)
             |         WHERE arn <= $pqPool),
             |pd AS (SELECT pool.qid, pool.cid, SUM(x.v * y.v) AS dot
-            |       FROM pool JOIN f x ON x.vec_id = pool.qid
-            |                 JOIN f y ON y.vec_id = pool.cid AND y.i = x.i
+            |       FROM pool JOIN $fTab x ON x.vec_id = pool.qid
+            |                 JOIN $fTab y ON y.vec_id = pool.cid AND y.i = x.i
             |       GROUP BY 1, 2),
             |pc AS (SELECT qid, cid, dot / (na.nrm * nb.nrm) AS cos
-            |       FROM pd JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = cid),
+            |       FROM pd JOIN $nTab na ON na.vec_id = qid JOIN $nTab nb ON nb.vec_id = cid),
             |rr AS (SELECT qid, cid, cos, ROW_NUMBER() OVER
             |         (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) AS rn2 FROM pc)
-            |SELECT qid, CAST(rn2 AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
+            |SELECT qid, CAST(rn2 AS INTEGER) AS rn, cid, ROUND(cos, 6) + 0.0 AS cosine
             |FROM rr WHERE rn2 <= 3 ORDER BY qid, rn""".stripMargin
 
   // p48 — ATTRIBUTE-FILTERED ANN search (the retrieval shape production
@@ -3451,6 +3475,39 @@ object Pipeline {
     wht
   }
 
+  /** DuckDB rendering of [[whitenedEmbeddings]]: [[duckPcaPrefix]] +
+    * the deflation chain + the whitened flat table
+    * `wf(vec_id, i, wv)`. CTE names are w-/b-prefixed so the block
+    * composes with the k-means/ANN CTEs (which claim c0..cN, f, n) —
+    * shared by the p50 oracle and p51's whitened routed stack. */
+  private def duckWhitenCtes: String =
+    s"""$duckPcaPrefix,
+       |wdd AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
+       |       FROM c JOIN v$pcaIters w ON w.i = c.i GROUP BY 1),
+       |wc2 AS MATERIALIZED (SELECT c.vec_id, c.i, ROUND(c.cv - (d.ds / 1e6) * w.v, 6) AS cv
+       |       FROM c JOIN wdd d ON d.vec_id = c.vec_id JOIN v$pcaIters w ON w.i = c.i),
+       |${duckPcaIterCtes("wc2", "b")},
+       |wdd2 AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
+       |        FROM c JOIN bv$pcaIters w ON w.i = c.i GROUP BY 1),
+       |wg AS (SELECT ROUND(CAST(1 AS DOUBLE) / ROUND(SQRT(l.lam), 6) - CAST(1 AS DOUBLE), 6) AS g1,
+       |             ROUND(CAST(1 AS DOUBLE) / ROUND(SQRT(b.lam), 6) - CAST(1 AS DOUBLE), 6) AS g2
+       |      FROM l$pcaIters l CROSS JOIN bl$pcaIters b),
+       |wf AS MATERIALIZED (SELECT c.vec_id, c.i,
+       |        ROUND(c.cv + (d1.ds / 1e6) * (g.g1 * v.v) + (d2.ds / 1e6) * (g.g2 * bv.v), 6) AS wv
+       |      FROM c JOIN wdd d1 ON d1.vec_id = c.vec_id
+       |             JOIN wdd2 d2 ON d2.vec_id = c.vec_id
+       |             JOIN v$pcaIters v ON v.i = c.i
+       |             JOIN bv$pcaIters bv ON bv.i = c.i
+       |             CROSS JOIN wg g)""".stripMargin
+
+  /** [[duckWhitenCtes]] re-shaped as a [[duckAnnStackSql]] source:
+    * ends by defining `wfl(vec_id, i, v)` / `wn_(vec_id, nrm)`, the
+    * whitened twins of the raw `f`/`n`. */
+  private def duckWhitenSrc: String =
+    s"""$duckWhitenCtes,
+       |wfl AS (SELECT vec_id, i, wv AS v FROM wf),
+       |wn_ AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM wfl GROUP BY 1)""".stripMargin
+
   val p50 = QuerySpec(
     "p50_opq_whitened_pq",
     (s, d) => {
@@ -3490,24 +3547,7 @@ object Pipeline {
         .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cos").as("cosine"))
         .orderBy(col("qid"), col("rn"))
     },
-    Some(s"""WITH $duckPcaPrefix,
-            |dd AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
-            |       FROM c JOIN v$pcaIters w ON w.i = c.i GROUP BY 1),
-            |c2 AS MATERIALIZED (SELECT c.vec_id, c.i, ROUND(c.cv - (d.ds / 1e6) * w.v, 6) AS cv
-            |       FROM c JOIN dd d ON d.vec_id = c.vec_id JOIN v$pcaIters w ON w.i = c.i),
-            |${duckPcaIterCtes("c2", "b")},
-            |dd2 AS (SELECT c.vec_id, SUM(CAST(ROUND(c.cv * w.v * 1e6) AS BIGINT)) AS ds
-            |        FROM c JOIN bv$pcaIters w ON w.i = c.i GROUP BY 1),
-            |g AS (SELECT ROUND(CAST(1 AS DOUBLE) / ROUND(SQRT(l.lam), 6) - CAST(1 AS DOUBLE), 6) AS g1,
-            |             ROUND(CAST(1 AS DOUBLE) / ROUND(SQRT(b.lam), 6) - CAST(1 AS DOUBLE), 6) AS g2
-            |      FROM l$pcaIters l CROSS JOIN bl$pcaIters b),
-            |wf AS MATERIALIZED (SELECT c.vec_id, c.i,
-            |        ROUND(c.cv + (d1.ds / 1e6) * (g.g1 * v.v) + (d2.ds / 1e6) * (g.g2 * bv.v), 6) AS wv
-            |      FROM c JOIN dd d1 ON d1.vec_id = c.vec_id
-            |             JOIN dd2 d2 ON d2.vec_id = c.vec_id
-            |             JOIN v$pcaIters v ON v.i = c.i
-            |             JOIN bv$pcaIters bv ON bv.i = c.i
-            |             CROSS JOIN g),
+    Some(s"""WITH $duckWhitenCtes,
             |wn AS (SELECT vec_id, SQRT(SUM(wv*wv)) AS wnrm FROM wf GROUP BY 1),
             |pqseeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
             |            FROM embeddings ORDER BY vec_id LIMIT $pqK),
@@ -3548,6 +3588,43 @@ object Pipeline {
             |         (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) AS rn2 FROM pc)
             |SELECT qid, CAST(rn2 AS INTEGER) AS rn, cid, ROUND(cos, 6) + 0.0 AS cosine
             |FROM rr WHERE rn2 <= 3 ORDER BY qid, rn""".stripMargin))
+
+  // p51 — WHITENED FULL-STACK FILTERED ANN: the plan a production
+  // retrieval service actually runs (OPQ-style conditioning + IVF-PQ +
+  // attribute filter), composed entirely from hash-gated pieces. The
+  // p50 whitening trains on the cluster (p40c deflation) and
+  // conditions the corpus ONCE at index build; then the WHOLE p36/p48
+  // routed stack runs in that serving metric — the IVF coarse
+  // quantizer is TRAINED on whitened vectors (so its Voronoi cells
+  // partition the space queries are actually scored in), probes route
+  // through the trained lists, the p48 allow-list semi-joins the
+  // membership table BEFORE the PQ-ADC scan, the PQ codebook encodes
+  // whitened vectors, and the exact rescore is the whitened cosine.
+  // This retires p50's corpus-wide pool window: here the pool cut
+  // windows over ROUTED candidates only (~nprobe/K of the corpus per
+  // query — p36's accepted shape), so no corpus-sized window partition
+  // exists anywhere in the plan. Scale shape is p48's: training is
+  // bounded driver state (K×dim centroids, 2×64 whitening doubles, a
+  // 16-row codebook riding the plan as literals/kernel state), the
+  // whitening itself is ONE map-only pass, candidates come from the
+  // list equi-join against broadcast probes (never all-pairs), and
+  // the corpus never shuffles for queries. The oracle is the IDENTICAL
+  // routed-stack SQL as p36/p48 (duckAnnStackSql) pointed at the
+  // whitened source CTEs instead of the raw flats — one trajectory,
+  // two spaces, every stage under one hash.
+  val p51 = QuerySpec(
+    "p51_whitened_filtered_ann",
+    (s, d) => {
+      val wht = whitenedEmbeddings(s, d)
+      annFullStack(s, d,
+        allow = Some(documents(s, d).filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id"))),
+        source = Some(wht.select(col("vec_id"), col("embedding"))))
+    },
+    Some(duckAnnStackSql(
+      "allow AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),\n",
+      " JOIN allow w ON w.vec_id = a.vec_id",
+      src = duckWhitenSrc, fTab = "wfl", nTab = "wn_")))
 
   // p41 — COUNT-MIN SKETCH heavy hitters (bigram boilerplate mining):
   // the third sketch family after HLL (q16_hll) and approx quantiles
@@ -4127,5 +4204,5 @@ object Pipeline {
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b, p34c,
       p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b, p44, p45, p46, p47,
-      p40d, p48, p49, p50)
+      p40d, p48, p49, p50, p51)
 }

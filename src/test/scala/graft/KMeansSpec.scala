@@ -283,4 +283,49 @@ class KMeansSpec extends SparkSuite {
     assert(kernelFns == before,
       s"kernel temp functions leaked: $kernelFns registered (was $before)")
   }
+
+  test("double-input corpus (p51 whitened path) walks the identical trajectory as its float twin") {
+    import org.apache.spark.sql.functions._
+    graft.expressions.VectorExpressions.register(spark)
+    // float32 widens to double EXACTLY, so every stage of the
+    // type-generic path — float_dot norms, seed collection, the
+    // VecCentroidDouble partial agg, both argmax strategies — must
+    // reproduce the float trajectory bit-for-bit on a widened corpus
+    val df = corpus(150, 16)
+    val dd = df.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val mF = KMeans.fit(df, "vec_id", "embedding", k = 6, iters = 3)
+    val mD = KMeans.fit(dd, "vec_id", "embedding", k = 6, iters = 3)
+    assert(mF.centroids.map(_.toSeq).toSeq == mD.centroids.map(_.toSeq).toSeq,
+      "double-input centroids diverged from the float trajectory")
+    assert(mF.sizes.toSeq == mD.sizes.toSeq && mF.objective.toSeq == mD.objective.toSeq)
+    // kernel strategy on doubles = expanded strategy on doubles
+    val mDk = KMeans.fit(dd, "vec_id", "embedding", k = 6, iters = 3, forceKernel = true)
+    assert(mDk.centroids.map(_.toSeq).toSeq == mD.centroids.map(_.toSeq).toSeq,
+      "double-input kernel strategy diverged from the expanded strategy")
+    // assignment parity across element widths and strategies
+    val aF = KMeans.assign(df, "embedding", mF).select("vec_id", "cluster", "cosine")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val aD = KMeans.assign(dd, "embedding", mD, forceKernel = true)
+      .select("vec_id", "cluster", "cosine")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(aF == aD, "double-input assignment diverged from the float assignment")
+  }
+
+  test("float_dot accepts array<double> and mixed widths, bit-identical to the HOF form") {
+    import org.apache.spark.sql.functions._
+    graft.expressions.VectorExpressions.register(spark)
+    val df = corpus(80, 16)
+      .withColumn("d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val bad = df.select(
+        expr("float_dot(embedding, embedding)").as("ff"),
+        expr("float_dot(d, d)").as("dd"),
+        expr("float_dot(embedding, d)").as("fd"),
+        expr("float_dot(d, embedding)").as("df"),
+        expr("aggregate(zip_with(d, d, (x, y) -> x * y), 0D, (acc, x) -> acc + x)").as("hof"))
+      .filter(col("ff") =!= col("dd") || col("dd") =!= col("fd") ||
+        col("fd") =!= col("df") || col("dd") =!= col("hof"))
+    assert(bad.isEmpty,
+      s"float_dot element-width paths disagree:\n${bad.limit(3).collect().mkString("\n")}")
+  }
 }

@@ -795,6 +795,66 @@ class PipelineSpec extends SparkSuite {
     assert(rPre >= 0.8, s"pre-filter recall vs the exact filtered truth collapsed: $rPre")
   }
 
+  test("p51 whitened filtered ANN: hits are allowed; self-metric filtered recall >= p48's") {
+    // the p50-vs-p24 law extended to the ROUTED + FILTERED stack: each
+    // stack serves a metric (p51 whitened cosine, p48 raw cosine) and
+    // approximates it with the same codebook/pool budget inside its own
+    // probed-and-allowed candidate set — conditioning must not make the
+    // quantizer a worse approximation of its own serving metric
+    val allowDf = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val allowed = allowDf.collect().map(_.getLong(0)).toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val h51 = hits(Pipeline.p51.fn(spark, sf))
+    assert(h51.values.map(_.size).sum == 15, "p51 must fill all 5 x top-3")
+    assert(h51.values.flatten.forall(allowed),
+      "every p51 hit must satisfy the attribute predicate")
+    val h48 = hits(Pipeline.p48.fn(spark, sf))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // exact filtered truth in a given space: per query, top-3 cosine
+    // among the ALLOWED members of its probed lists, lists/probes
+    // re-derived with the same trainer (the p48 spec's discipline)
+    def truthIn(vecs: Map[Long, Array[Double]], e: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      val model = graft.ops.KMeans.fit(e, "vec_id", "embedding",
+        Pipeline.kmK, Pipeline.kmIters, forceKernel = true)
+      val lists = graft.ops.KMeans.assign(e, "embedding", model, forceKernel = true)
+        .select(col("vec_id"), col("cluster")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      (0L until 5L).map { qid =>
+        val q = vecs(qid)
+        val probed = model.centroids.zipWithIndex
+          .map { case (c, j) => (r6(cos(q, c)), j) }
+          .sortBy { case (s, j) => (-s, j) }.take(Pipeline.ivfProbe).map(_._2).toSet
+        qid -> vecs.keys.toSeq
+          .filter(cid => cid != qid && allowed(cid) && probed(lists(cid)))
+          .map(cid => (r6(cos(q, vecs(cid))), cid))
+          .sortBy { case (s, cid) => (-s, cid) }.take(3).map(_._2).toSet
+      }.toMap
+    }
+    graft.expressions.VectorExpressions.register(spark)
+    val wht = Pipeline.whitenedEmbeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val whtVecs = wht.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val raw = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val rawVecs = raw.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def recall(h: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double =
+      (0L until 5L).map(q => h.getOrElse(q, Set.empty).intersect(truth(q)).size).sum / 15.0
+    val r51 = recall(h51, truthIn(whtVecs, wht))
+    val r48 = recall(h48, truthIn(rawVecs, raw))
+    assert(r51 >= r48,
+      s"whitened routed stack must approximate its own metric at least as well as the raw one (p51=$r51 p48=$r48)")
+    assert(r51 >= 0.8, s"p51 self-metric filtered recall collapsed: $r51")
+  }
+
   test("p34c backoff laws: every i>=2 position hits exactly one level; held-out docs back off, train docs never do; held-out xent is worse") {
     val out = Pipeline.p34c.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))

@@ -388,6 +388,35 @@ class PlanSpec extends SparkSuite {
         s"found pool@$poolIdx semi@$semiIdx:\n${plan.take(2000)}")
   }
 
+  test("p51: the whitened routed stack keeps p48's shape — pre-filter semi join, routed candidates, no corpus-wide window") {
+    val df = graft.queries.Pipeline.p51.fn(spark, sf)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"),
+      "whitened candidates must come from the trained-list equi-join, never a cross product")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi") && l.contains("vec_id")),
+      s"the attribute allow-list must land as a broadcast LEFT SEMI join on vec_id:\n${plan.take(1500)}")
+    assert(plan.contains("pq_encode"),
+      "the whitened corpus must be scanned as PQ codes via the kernel expression")
+    assert(plan.contains("EqualTo(lang,en)"),
+      s"the metadata filter must push to the documents scan:\n${plan.take(1500)}")
+    // pre-filter placement, as in p48: the semi join feeds the ADC
+    // scan (below the pool cut), it doesn't trim its output — this is
+    // what retires p50's corpus-wide pool window: every window here
+    // ranks ROUTED candidates only
+    val lines = plan.linesIterator.toVector
+    val poolIdx = lines.indexWhere(l => l.contains("acos_"))
+    val semiIdx = lines.indexWhere(l => l.contains("LeftSemi"))
+    assert(poolIdx >= 0 && semiIdx > poolIdx,
+      s"the semi join must sit BELOW the ADC pool cut (pre-filter), " +
+        s"found pool@$poolIdx semi@$semiIdx:\n${plan.take(2000)}")
+    // every WindowExec partitions by qid (PlanAuditSpec bans the empty
+    // spec globally; this pins the positive shape for the new gate)
+    val winLines = lines.filter(_.contains("Window"))
+    assert(winLines.nonEmpty && winLines.forall(_.contains("qid")),
+      s"p51 windows must partition by qid:\n${winLines.mkString("\n")}")
+  }
+
   test("p37: one GD gradient pass is a map-only scan + partial-aggregated 5-number reduce") {
     import org.apache.spark.sql.functions.{round => rnd, sum, exp}
     val feats = graft.queries.Pipeline.lrFeatures(graft.sources.Tables.documents(spark, sf))
