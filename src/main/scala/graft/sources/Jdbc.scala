@@ -643,6 +643,65 @@ object Jdbc {
     }
   }
 
+  /** Key-replacement write for the UNORDERED SCD2 sink
+    * ([[graft.streaming.Streams.materializeScd2Jdbc]] with
+    * `orderedTransport = false`): each touched key's WHOLE rebuilt
+    * interval set replaces its stored rows — per partition, per key
+    * cluster, one transaction: DELETE the key's rows once on cluster
+    * entry, then INSERT the rebuilt set. Input must be repartitioned
+    * by key (one key never spans two transactions) and key-clustered;
+    * a violating caller fails loudly ([[applyScd2]]'s discipline).
+    * Idempotent under replay: the rebuild regenerates the identical
+    * interval set from the table's own rows, so delete+insert re-lands
+    * the same rows. At scale each delete is a per-key point lookup —
+    * production indexes (key). */
+  def replaceScd2Keys(rows: DataFrame, url: String, table: String,
+      keyCol: String, props: Map[String, String] = Map.empty): Unit = {
+    val schema = rows.schema
+    val keyIdx = schema.fieldIndex(
+      schema.fields.map(_.name).find(_.equalsIgnoreCase(keyCol)).getOrElse(
+        throw new IllegalArgumentException(
+          s"[graft] key '$keyCol' not in ${schema.fieldNames.mkString(",")}")))
+    val keyName = schema.fields(keyIdx).name
+    val keyType = schema.fields(keyIdx).dataType
+    val cols = schema.fields
+    val insertSql = s"INSERT INTO $table (${cols.map(f => quoted(f.name)).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val deleteSql = s"DELETE FROM $table WHERE ${quoted(keyName)} = ?"
+    val slots = cols.zipWithIndex.map { case (f, i) => (f.dataType, i, i + 1) }
+    rows.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val c = connect(url, props)
+        try {
+          c.setAutoCommit(false)
+          val del = c.prepareStatement(deleteSql)
+          val ins = c.prepareStatement(insertSql)
+          try {
+            var curKey: Any = null
+            var haveKey = false
+            val seenKeys = new scala.collection.mutable.HashSet[Any]
+            it.foreach { row =>
+              val k = row.get(keyIdx)
+              if (!haveKey || k != curKey) {
+                require(seenKeys.add(k),
+                  s"[graft] replaceScd2Keys input is not key-clustered: key '$k' re-appears " +
+                    s"after its cluster ended — repartition by '$keyName' before calling")
+                curKey = k; haveKey = true
+                setParam(del, 1, keyType, row, keyIdx)
+                del.executeUpdate()
+              }
+              slots.foreach { case (dt, srcIdx, pos) => setParam(ins, pos, dt, row, srcIdx) }
+              ins.executeUpdate()
+            }
+            c.commit()
+          } finally { del.close(); ins.close() }
+        } catch {
+          case t: Throwable => try c.rollback() catch { case _: Throwable => }; throw t
+        } finally c.close()
+      }
+    }
+  }
+
   /** Version-guarded (CAS) apply for OUT-OF-ORDER transports — the
     * JDBC rendering of [[graft.ops.Merge.upsertVersioned]]'s contract:
     * a row wins only with a strictly higher `versionCol`, equal or

@@ -793,69 +793,7 @@ object Streams {
           closed.unionByName(
             Envelope.scd2Fold(open.unionByName(fresh, allowMissingColumns = true), keyCol),
             allowMissingColumns = true)
-        } else {
-          // zero-width [L, L) rows are ORPHAN-DELETE tombstones (a
-          // delete that out-ran its images — see foldUnordered); they
-          // re-enter as delete pseudo-events, real rows as the image
-          // event their valid_from recorded
-          val zero = mine.filter(col("valid_to").isNotNull &&
-            col("valid_to") === col("valid_from"))
-          val real = mine.filter(col("valid_to").isNull ||
-            col("valid_to") =!= col("valid_from"))
-          val rowEvents = real.drop("valid_to", "is_current")
-            .withColumn("tag", lit("insert"))
-          val froms = real.select(col(keyCol), col("valid_from"))
-          // a valid_to that no row of the key re-opens is a DELETE the
-          // history absorbed — resurrect it as a tombstone pseudo-event
-          // so the rebuild re-closes the interval at the same LSN
-          val tomb = real.filter(col("valid_to").isNotNull)
-            .select(col(keyCol), col("valid_to").as("valid_from"))
-            .join(froms, Seq(keyCol, "valid_from"), "left_anti")
-            .unionByName(zero.select(col(keyCol), col("valid_from")))
-            .withColumn("tag", lit("delete"))
-          // replay screen: an incoming LSN the history already absorbed
-          // (as a row start or a tombstone) is a duplicate, not a late
-          // event — the unordered twin of the high-water screen
-          val seen = froms.unionByName(tomb.select(col(keyCol), col("valid_from")))
-          val fresh = events.join(seen, Seq(keyCol, "valid_from"), "left_anti")
-          foldUnordered(
-            rowEvents
-              .unionByName(tomb, allowMissingColumns = true)
-              .unionByName(fresh, allowMissingColumns = true))
-        }
-      /** The unordered fold: the SHARED [[Envelope.scd2Fold]] plus a
-        * zero-width `[L, L)` tombstone row per ORPHAN delete — a delete
-        * whose images haven't arrived yet (no image event of its key
-        * precedes it). The fold alone would forget that LSN and a
-        * later-arriving earlier insert would open `[K, ∞)` instead of
-        * closing at `[K, L)`; the tombstone carries the delete until an
-        * image lands before it, at which point the rebuild folds it
-        * into a real closed interval and the zero-width row vanishes.
-        * Point-in-time reads are untouched: no LSN satisfies
-        * `valid_from ≤ x < valid_to` on a zero-width interval. */
-      def foldUnordered(allEvents: DataFrame): DataFrame = {
-        val folded = Envelope.scd2Fold(allEvents, keyCol)
-        // ORPHAN = a delete whose LSN was NOT absorbed as any folded
-        // interval's valid_to. The narrower screen "valid_from < min
-        // image LSN" missed a delete whose immediately-preceding event
-        // is another delete (insert@1, delete@5, delete@7 with insert@6
-        // still in flight: the lead-based fold drops delete@7 — 5 closes
-        // [1,5), 7 closes nothing — yet 7 > imgMin 1, so its LSN was
-        // silently lost and insert@6's arrival rebuilt [6,∞) instead of
-        // [6,7)). Anti-joining on (key, LSN) against the folded
-        // valid_to set is the exact definition: whatever the fold
-        // didn't keep, the tombstone carries. Distinct events never
-        // share an LSN, so an image's lead-derived valid_to can only
-        // collide with the delete that produced it.
-        val absorbed = folded.filter(col("valid_to").isNotNull)
-          .select(col(keyCol), col("valid_to").as("valid_from"))
-        val orphan = allEvents.filter(col("tag") === "delete")
-          .join(absorbed, Seq(keyCol, "valid_from"), "left_anti")
-          .drop("tag")
-          .withColumn("valid_to", col("valid_from"))
-          .withColumn("is_current", lit(0))
-        folded.unionByName(orphan, allowMissingColumns = true)
-      }
+        } else scd2RebuildUnordered(mine, events, keyCol)
       if (incremental) {
         // batch-sized collect, bounded by statePartitions (the CDC
         // touched-bucket discipline)
@@ -883,7 +821,7 @@ object Streams {
         val merged =
           if (!stateExists)
             (if (orderedTransport) Envelope.scd2Fold(events, keyCol)
-             else foldUnordered(events))
+             else scd2FoldUnordered(events, keyCol))
           else {
             // full path: unpartitioned steady state, one-shot layout
             // migration, or a drift batch (every bucket must widen
@@ -918,6 +856,74 @@ object Streams {
         if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
       }
     } finally cachedMine.foreach(_.unpersist())
+  }
+
+  /** The unordered fold: the SHARED [[Envelope.scd2Fold]] plus a
+    * zero-width `[L, L)` tombstone row per ORPHAN delete — a delete
+    * whose images haven't arrived yet. The fold alone would forget
+    * that LSN and a later-arriving earlier insert would open `[K, ∞)`
+    * instead of closing at `[K, L)`; the tombstone carries the delete
+    * until an image lands before it, at which point the rebuild folds
+    * it into a real closed interval and the zero-width row vanishes.
+    * Point-in-time reads are untouched: no LSN satisfies
+    * `valid_from ≤ x < valid_to` on a zero-width interval.
+    *
+    * ORPHAN = a delete whose LSN was NOT absorbed as any folded
+    * interval's valid_to. The narrower screen "valid_from < min image
+    * LSN" missed a delete whose immediately-preceding event is another
+    * delete (insert@1, delete@5, delete@7 with insert@6 still in
+    * flight: the lead-based fold drops delete@7 — 5 closes [1,5), 7
+    * closes nothing — yet 7 > imgMin 1, so its LSN was silently lost
+    * and insert@6's arrival rebuilt [6,∞) instead of [6,7)).
+    * Anti-joining on (key, LSN) against the folded valid_to set is the
+    * exact definition: whatever the fold didn't keep, the tombstone
+    * carries. Distinct events never share an LSN, so an image's
+    * lead-derived valid_to can only collide with the delete that
+    * produced it. Shared by the parquet ([[materializeScd2]]) and JDBC
+    * ([[materializeScd2Jdbc]]) unordered paths so they cannot drift. */
+  private[streaming] def scd2FoldUnordered(allEvents: DataFrame, keyCol: String): DataFrame = {
+    val folded = Envelope.scd2Fold(allEvents, keyCol)
+    val absorbed = folded.filter(col("valid_to").isNotNull)
+      .select(col(keyCol), col("valid_to").as("valid_from"))
+    val orphan = allEvents.filter(col("tag") === "delete")
+      .join(absorbed, Seq(keyCol, "valid_from"), "left_anti")
+      .drop("tag")
+      .withColumn("valid_to", col("valid_from"))
+      .withColumn("is_current", lit(0))
+    folded.unionByName(orphan, allowMissingColumns = true)
+  }
+
+  /** Unordered-transport per-key rebuild: a late event can land INSIDE
+    * a key's closed history, so each touched key's WHOLE interval set
+    * rebuilds from the union of its stored rows (`mine` — re-entering
+    * as pseudo-events at their valid_from; zero-width [L, L) rows as
+    * ORPHAN-DELETE tombstones; a valid_to no row of the key re-opens
+    * as the delete the history absorbed) and the batch's genuinely-new
+    * `events` — same per-key O(history) cost class the touched-key
+    * split already pays. Replays stay no-ops because an LSN the
+    * history absorbed (as a row start or a tombstone) is screened out
+    * — the unordered twin of the high-water screen. `events` must
+    * already be transport-deduped on (keyCol, valid_from). */
+  private[streaming] def scd2RebuildUnordered(mine: DataFrame, events: DataFrame,
+      keyCol: String): DataFrame = {
+    val zero = mine.filter(col("valid_to").isNotNull &&
+      col("valid_to") === col("valid_from"))
+    val real = mine.filter(col("valid_to").isNull ||
+      col("valid_to") =!= col("valid_from"))
+    val rowEvents = real.drop("valid_to", "is_current")
+      .withColumn("tag", lit("insert"))
+    val froms = real.select(col(keyCol), col("valid_from"))
+    val tomb = real.filter(col("valid_to").isNotNull)
+      .select(col(keyCol), col("valid_to").as("valid_from"))
+      .join(froms, Seq(keyCol, "valid_from"), "left_anti")
+      .unionByName(zero.select(col(keyCol), col("valid_from")))
+      .withColumn("tag", lit("delete"))
+    val seen = froms.unionByName(tomb.select(col(keyCol), col("valid_from")))
+    val fresh = events.join(seen, Seq(keyCol, "valid_from"), "left_anti")
+    scd2FoldUnordered(
+      rowEvents
+        .unionByName(tomb, allowMissingColumns = true)
+        .unionByName(fresh, allowMissingColumns = true), keyCol)
   }
 
   /** One relation's reduced micro-batch merged into its parquet state —
@@ -1652,8 +1658,16 @@ object Streams {
     * the new one — closed rows are immutable, only the open row ever
     * UPDATEs, and a replayed batch re-lands as a row-for-row no-op
     * (the screen reads the mark from the table itself, the same
-    * contract that makes the parquet path byte-idempotent). Ordered
-    * transports only, like the default [[materializeScd2]] contract.
+    * contract that makes the parquet path byte-idempotent). With
+    * `orderedTransport = false` the sink accepts out-of-order delivery
+    * exactly as [[materializeScd2]] does: each touched key's interval
+    * set rebuilds through the SHARED [[scd2RebuildUnordered]] (orphan
+    * deletes persist as zero-width `[L, L)` rows until their images
+    * land) and REPLACES the key's stored rows transactionally
+    * ([[graft.sources.Jdbc.replaceScd2Keys]]); the replay screen reads
+    * absorbed LSNs from the table's own rows, so lost-commit replays
+    * stay row-for-row no-ops. The transport mode is part of the sink
+    * identity — switching it on a live checkpoint refuses loudly.
     * Additive schema drift widens the remote table exactly as in
     * [[materializeCdcJdbc]] (nullable ALTER; pre-drift history reads
     * NULL). The table carries NO single-column primary key — an SCD2
@@ -1661,41 +1675,128 @@ object Streams {
     * (key, is_current) for the open-row update and the hwm probe. */
   def materializeScd2Jdbc(envelopes: DataFrame, checkpoint: String,
       url: String, table: String, props: Map[String, String] = Map.empty,
-      allowSinkOnlyColumns: Boolean = false): StreamingQuery = {
+      allowSinkOnlyColumns: Boolean = false,
+      orderedTransport: Boolean = true): StreamingQuery = {
     val boundTable = new java.util.concurrent.atomic.AtomicReference[String]()
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
-        checkpoint, s"jdbc-scd2:$url#$table")
+        checkpoint, s"jdbc-scd2:$url#$table" +
+          (if (orderedTransport) "" else ":ooo"))
       val cached = batch.persist()
       try {
         val (tbl, n) = requireSingleTable(cached, "materializeScd2Jdbc", "materializeScd2Tables")
         tbl.foreach(requireTableBinding(
           batch.sparkSession.sparkContext.hadoopConfiguration, checkpoint, _,
           "materializeScd2Tables", boundTable))
-        if (n > 0L) {
-          val events = Envelope.project(cached)
-            .filter(col("tag").isin("insert", "update", "delete"))
-            .withColumn("valid_from", Envelope.lsnNumeric(col("lsn")))
-            .drop("lsn")
-          // the table's full shape: event payload + the interval columns
-          val histSchema = org.apache.spark.sql.types.StructType(
-            events.schema.fields.filterNot(_.name.equalsIgnoreCase("tag")) ++ Seq(
-              org.apache.spark.sql.types.StructField("valid_to",
-                org.apache.spark.sql.types.LongType, nullable = true),
-              org.apache.spark.sql.types.StructField("is_current",
-                org.apache.spark.sql.types.IntegerType, nullable = false)))
-          graft.sources.Jdbc.withConnection(url, props) { c =>
-            val probe = graft.sources.Jdbc.probeTable(c, table)
-            requireCompatibleDriftJdbc(probe.columns, url, table, histSchema, allowSinkOnlyColumns)
-            // no column matches the empty key name → no PRIMARY KEY:
-            // an SCD2 history is many rows per key by design
-            graft.sources.Jdbc.ensureTableOn(c, table, histSchema, "", probe)
-          }
-          // one key never spans two transactions, and its events apply
-          // in LSN order inside the partition
-          graft.sources.Jdbc.applyScd2(
-            events.repartition(col("id")).sortWithinPartitions(col("id"), col("valid_from")),
-            url, table, "id", "tag", props)
+        if (n > 0L)
+          applyBatchScd2Jdbc(Envelope.project(cached), url, table, "id",
+            props, allowSinkOnlyColumns, orderedTransport)
+      } finally cached.unpersist()
+    })
+  }
+
+  /** One relation's micro-batch folded into its JDBC SCD2 history —
+    * the per-batch body shared by [[materializeScd2Jdbc]] and
+    * [[materializeScd2JdbcTables]] (the [[applyBatchJdbc]] split,
+    * SCD2-shaped). */
+  private def applyBatchScd2Jdbc(projected: DataFrame, url: String,
+      table: String, keyCol: String, props: Map[String, String],
+      allowSinkOnlyColumns: Boolean, orderedTransport: Boolean = true): Unit = {
+    val events0 = projected
+      .filter(col("tag").isin("insert", "update", "delete"))
+      .withColumn("valid_from", Envelope.lsnNumeric(col("lsn")))
+      .drop("lsn")
+    // unordered transports redeliver: two envelopes with one LSN are
+    // the same event twice — keep one (the parquet path's rule)
+    val events =
+      if (orderedTransport) events0
+      else events0.dropDuplicates(keyCol, "valid_from")
+    // the table's full shape: event payload + the interval columns
+    val histSchema = org.apache.spark.sql.types.StructType(
+      events.schema.fields.filterNot(_.name.equalsIgnoreCase("tag")) ++ Seq(
+        org.apache.spark.sql.types.StructField("valid_to",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("is_current",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+    graft.sources.Jdbc.withConnection(url, props) { c =>
+      val probe = graft.sources.Jdbc.probeTable(c, table)
+      requireCompatibleDriftJdbc(probe.columns, url, table, histSchema, allowSinkOnlyColumns)
+      // no column matches the empty key name → no PRIMARY KEY:
+      // an SCD2 history is many rows per key by design
+      graft.sources.Jdbc.ensureTableOn(c, table, histSchema, "", probe)
+    }
+    if (orderedTransport)
+      // one key never spans two transactions, and its events apply
+      // in LSN order inside the partition
+      graft.sources.Jdbc.applyScd2(
+        events.repartition(col(keyCol)).sortWithinPartitions(col(keyCol), col("valid_from")),
+        url, table, keyCol, "tag", props)
+    else {
+      // a late event can land INSIDE a key's closed history, so each
+      // touched key's whole interval set rebuilds (the SHARED
+      // scd2RebuildUnordered — parquet and JDBC cannot drift) from the
+      // table's own rows + the batch, then REPLACES its stored rows.
+      // The touched-key list is a batch-bounded driver collect (the
+      // touched-bucket discipline); it re-enters the plan as an IN
+      // predicate the JDBC source pushes down, so the read is a
+      // touched-keys scan, not O(state). (A production catalog with
+      // very wide batches would land the keys in a temp table and
+      // push a join instead — same shape, unbounded IN list avoided.)
+      val keys = events.select(col(keyCol)).distinct().collect().map(_.get(0)).toSeq
+      if (keys.nonEmpty) {
+        val mine = graft.sources.Jdbc.snapshot(projected.sparkSession, url, table, props)
+          .filter(col(keyCol).isin(keys: _*))
+        val rebuilt = scd2RebuildUnordered(mine, events, keyCol)
+        graft.sources.Jdbc.replaceScd2Keys(
+          rebuilt.repartition(col(keyCol)).sortWithinPartitions(col(keyCol), col("valid_from")),
+          url, table, keyCol, props)
+      }
+    }
+  }
+
+  /** Multi-table SCD2 → JDBC materialization — the last cell of the
+    * materializer matrix (CDC/SCD2 × parquet/JDBC × single/multi):
+    * [[materializeScd2Tables]]'s demux with [[materializeScd2Jdbc]]'s
+    * per-relation apply. One stream, one checkpoint, one queryable
+    * type-2 history table per registered relation (`tableNames` maps
+    * relation → table name; identity by default), each equal to what a
+    * dedicated single-relation stream over its events alone would land
+    * (MultiTableCdcSpec pins this against the q50 fold). Same loud
+    * guard on unregistered tables, same exactly-once-equivalence: the
+    * shared checkpoint replays the whole batch and every relation's
+    * apply is a row-for-row no-op on replayed events (the high-water
+    * screen reads from the relation's OWN table), so a crash between
+    * relation applies re-lands the applied ones as no-ops and
+    * completes the rest. The FIRST batch of a run applies every
+    * relation (eager table creation, the [[materializeCdcJdbcTables]]
+    * contract); later batches skip quiet relations outright — zero
+    * Spark jobs and zero JDBC round-trips for the catalog's untouched
+    * majority. Both transport modes, like [[materializeScd2Jdbc]]. */
+  def materializeScd2JdbcTables(envelopes: DataFrame, checkpoint: String,
+      url: String, relations: Seq[Envelope.Relation],
+      tableNames: String => String = identity,
+      props: Map[String, String] = Map.empty,
+      maxConcurrentRelations: Int = 1,
+      allowSinkOnlyColumns: Boolean = false,
+      orderedTransport: Boolean = true): StreamingQuery = {
+    val started = new java.util.concurrent.atomic.AtomicBoolean(false)
+    runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
+      requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
+        checkpoint,
+        s"jdbc-scd2-multi:$url#${relations.map(r => tableNames(r.name)).sorted.mkString(",")}" +
+          (if (orderedTransport) "" else ":ooo"))
+      val firstBatch = started.compareAndSet(false, true)
+      val cached = batch.persist()
+      try {
+        val census = tableCensus(cached, relations.map(_.name))
+        val active =
+          if (firstBatch) relations
+          else relations.filter(r => census.getOrElse(r.name, 0L) > 0L)
+        applyRelations(active, maxConcurrentRelations) { rel =>
+          applyBatchScd2Jdbc(
+            Envelope.projectRelation(cached.filter(col("table") === rel.name), rel),
+            url, tableNames(rel.name), rel.outName(rel.key), props, allowSinkOnlyColumns,
+            orderedTransport)
         }
       } finally cached.unpersist()
     })

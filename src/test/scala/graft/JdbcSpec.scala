@@ -191,6 +191,99 @@ class JdbcSpec extends SparkSuite {
       "replaying a batch whose commit was lost must be a no-op on the history")
   }
 
+  test("materializeScd2Jdbc orderedTransport=false: reverse delivery converges to the q50 fold; orphan deletes survive; redelivery is a no-op") {
+    import java.nio.file.Files
+    import graft.cdc.{Envelope, Fixture}
+    import graft.streaming.Streams
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("firstName"), col("lastName"),
+        col("dateOfBirth").cast("string"), col("status"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "<null>" else r.getString(1),
+        if (r.isNullAt(2)) "<null>" else r.getString(2),
+        if (r.isNullAt(3)) "<null>" else r.getString(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6),
+        r.getInt(7)))
+      .toSeq.sorted
+    // --- part 1: full reversal of the fixture, chunked ---
+    val sinkUrl = "jdbc:derby:memory:graft_scd2_ooo;create=true"
+    val dir = Files.createTempDirectory("graft_scd2jooo_in")
+    val ckpt = Files.createTempDirectory("graft_scd2jooo_ckpt").toString
+    val lines = Fixture.jsonLines.reverse
+    val chunks = lines.grouped(math.max(1, lines.size / 4)).toVector
+    val t0 = System.currentTimeMillis() - 2000L * (chunks.size + 2)
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val f = dir.resolve(f"chunk_$i%04d.jsonl")
+      Files.write(f, chunk.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(t0 + i * 2000L)
+    }
+    def run() = Streams.materializeScd2Jdbc(Streams.envelopeStream(spark, dir.toString),
+      ckpt, sinkUrl, "students_history", orderedTransport = false).awaitTermination()
+    run(); quiesce()
+    // fully delivered: zero-width tombstones all resolved, table ==
+    // the order-free batch fold
+    def realRows() = Jdbc.snapshot(spark, sinkUrl, "students_history")
+      .filter(col("valid_to").isNull || col("valid_to") =!= col("valid_from"))
+    assert(Jdbc.snapshot(spark, sinkUrl, "students_history")
+      .filter(col("valid_to").isNotNull && col("valid_to") === col("valid_from")).isEmpty,
+      "fully-delivered history must carry no zero-width tombstones")
+    val expected = asTuples(Envelope.scd2Fold(
+      Envelope.project(spark.read.schema(Envelope.schema).json(dir.toString))
+        .filter(col("tag").isin("insert", "update", "delete"))
+        .withColumn("valid_from", Envelope.lsnNumeric(col("lsn")))
+        .drop("lsn")))
+    assert(expected.nonEmpty && asTuples(realRows()) == expected,
+      "the out-of-order JDBC history must equal the q50 batch fold")
+    // duplicate REDELIVERY of the highest-LSN chunk: all absorbed → no-op
+    val fd = dir.resolve("chunk_9999_redeliver.jsonl")
+    Files.write(fd, chunks.head.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    fd.toFile.setLastModified(t0 + (chunks.size + 1) * 2000L)
+    run(); quiesce()
+    assert(asTuples(realRows()) == expected,
+      "redelivered duplicates must rebuild to a no-op")
+    // --- part 2: the mixed-order orphan case (a delete after its
+    // key's earlier history but before its own preceding image) ---
+    val sinkUrl2 = "jdbc:derby:memory:graft_scd2_ooo2;create=true"
+    val dir2 = Files.createTempDirectory("graft_scd2jooo2_in")
+    val ckpt2 = Files.createTempDirectory("graft_scd2jooo2_ckpt").toString
+    def ins(lsn: String, id: Long, fn: String): String =
+      s"""{"lsn": "$lsn", "tag": "insert", "table": "students", "new": {"id": $id, "first_name": "$fn", "last_name": "X", "date_of_birth": "1960-01-01", "status_id": 1}}"""
+    def del(lsn: String, id: Long): String =
+      s"""{"lsn": "$lsn", "tag": "delete", "table": "students", "old": {"id": $id}}"""
+    val mixed = Seq(
+      Seq(ins("0/00000010", 1L, "Ada"), del("0/00000050", 1L), del("0/00000070", 1L)),
+      Seq(ins("0/00000060", 1L, "Grace")))
+    mixed.zipWithIndex.foreach { case (chunk, i) =>
+      val f = dir2.resolve(f"chunk_$i%04d.jsonl")
+      Files.write(f, chunk.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(t0 + i * 2000L)
+      Streams.materializeScd2Jdbc(Streams.envelopeStream(spark, dir2.toString),
+        ckpt2, sinkUrl2, "students_history", orderedTransport = false).awaitTermination()
+      quiesce()
+    }
+    val got = Jdbc.snapshot(spark, sinkUrl2, "students_history")
+      .select("id", "valid_from", "valid_to", "firstName", "is_current")
+      .orderBy("valid_from").collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getString(3), r.getInt(4)))
+    assert(got == Seq(
+      (1L, 0x10L, 0x50L, "Ada", 0),
+      (1L, 0x60L, 0x70L, "Grace", 0)),
+      s"mixed-order delivery must converge to the batch fold in the table: $got")
+    assert(Envelope.scd2AsOf(Jdbc.snapshot(spark, sinkUrl2, "students_history"), 0x80L).isEmpty,
+      "deleted key reads live after mixed-order JDBC delivery")
+  }
+
   test("materializeCdcJdbc widens the remote table on additive schema drift; pre-drift rows read back NULL") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._

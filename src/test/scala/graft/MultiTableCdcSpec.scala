@@ -925,4 +925,88 @@ class MultiTableCdcSpec extends SparkSuite {
         .filter(col("is_current") === 1)) == statusFinal,
       "status open intervals must equal the status-only sequential fold")
   }
+
+  test("materializeScd2JdbcTables: one mixed stream lands one JDBC SCD2 history per relation; lost-commit replay is a no-op; both transport modes") {
+    import graft.sources.Jdbc
+    for (ordered <- Seq(true, false)) {
+    val modeTag = if (ordered) "ord" else "ooo"
+    val sinkUrl = s"jdbc:derby:memory:graft_mtscd2_jdbc_$modeTag;create=true"
+    // ordered mode streams the LSN-ordered chunks; unordered mode
+    // streams them fully REVERSED — deletes out-run their inserts
+    // across relations, and the per-relation folds must still converge
+    val in =
+      if (ordered) Fixture.materializeMultiTableChunks(5)
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft_mtscd2j_ooo_in")
+        val lines = Fixture.multiTableJsonLines.reverse
+        val chunks = lines.grouped(math.max(1, lines.size / 5)).toVector
+        val t0 = System.currentTimeMillis() - 2000L * (chunks.size + 1)
+        chunks.zipWithIndex.foreach { case (chunk, i) =>
+          val f = dir.resolve(f"chunk_$i%04d.jsonl")
+          java.nio.file.Files.write(f,
+            chunk.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          f.toFile.setLastModified(t0 + i * 2000L)
+        }
+        dir.toString
+      }
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_mtscd2j_ckpt_$modeTag").toString
+    def run() = Streams.materializeScd2JdbcTables(
+      Streams.envelopeStream(spark, in, schema = union), ckpt, sinkUrl, relations,
+      tableNames = n => s"${n}_history", orderedTransport = ordered).awaitTermination()
+    run()
+    quiesce()
+    // each relation's landed history == the batch SCD2 fold of ITS
+    // events alone (the q50 parity convention, per relation)
+    val mixed = spark.read.schema(union).json(in)
+    def expected(rel: Envelope.Relation) = Envelope.scd2Fold(
+      Envelope.projectRelation(mixed.filter(col("table") === rel.name), rel)
+        .filter(col("tag").isin("insert", "update", "delete"))
+        .withColumn("valid_from", Envelope.lsnNumeric(col("lsn")))
+        .drop("lsn"),
+      rel.outName(rel.key))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+      val cols = df.columns.map(_.toLowerCase).sorted
+      val lowered = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c.toLowerCase))
+      lowered.select(cols.map(c => col(c).cast("string")): _*).collect()
+        .map(_.toSeq.map(v => if (v == null) "<null>" else v.toString)).toSeq
+        .sortBy(_.mkString("|"))
+    }
+    def landed(rel: Envelope.Relation) = canon(
+      Jdbc.snapshot(spark, sinkUrl, s"${rel.name}_history"))
+    relations.foreach { rel =>
+      // fully delivered → no zero-width orphan tombstones may remain
+      assert(Jdbc.snapshot(spark, sinkUrl, s"${rel.name}_history")
+        .filter(col("valid_to").isNotNull && col("valid_to") === col("valid_from")).isEmpty,
+        s"${rel.name}_history must carry no zero-width tombstones after full delivery (ordered=$ordered)")
+      val want = canon(expected(rel))
+      assert(want.nonEmpty && landed(rel) == want,
+        s"${rel.name}_history must equal its single-relation batch fold (ordered=$ordered)")
+    }
+    // column isolation: each table carries exactly its own image
+    // columns + the interval bookkeeping (no cross-relation bleed)
+    assert(Jdbc.snapshot(spark, sinkUrl, "status_history").columns.toSet ==
+      Set("id", "value", "valid_from", "valid_to", "is_current"))
+    assert(Jdbc.snapshot(spark, sinkUrl, "students_history").columns.toSet ==
+      Set("id", "firstName", "lastName", "dateOfBirth", "status",
+        "valid_from", "valid_to", "is_current"))
+    // scd2AsOf works per table: as-of(max) == each relation's
+    // sequential last-image fold
+    assert(collectStudents(Envelope.scd2AsOf(
+      Jdbc.snapshot(spark, sinkUrl, "students_history"), Long.MaxValue)) == studentsFinal)
+    assert(collectStatus(Envelope.scd2AsOf(
+      Jdbc.snapshot(spark, sinkUrl, "status_history"), Long.MaxValue)) == statusFinal)
+    // crash after the applies, before the checkpoint commit: the
+    // replayed batch is screened by each table's own high-water marks
+    val before = relations.map(landed)
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val newest = commitsDir.listFiles().filterNot(_.getName.startsWith("."))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete())
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    run()
+    quiesce()
+    assert(relations.map(landed) == before,
+      s"replaying a batch whose commit was lost must be a no-op on every relation's history (ordered=$ordered)")
+    }
+  }
 }
