@@ -34,7 +34,7 @@ object ScaleSmoke {
     Set("dedup", "dedup_skew", "cdc", "cdc_throughput", "cdc_multi", "cdc_relcount",
       "cdc_soak", "cdc_bar", "cdc_partitioned", "ann", "kmeans_kernel",
       "pq_encode", "pack_skew", "semdedup", "incremental", "spanscrub",
-      "pca", "cms", "hll", "bloom", "scd2", "ann_filtered", "rrf")
+      "pca", "cms", "hll", "bloom", "scd2", "ann_filtered", "rrf", "index_store")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -133,7 +133,68 @@ object ScaleSmoke {
     if (want("bloom")) bloomCurve(spark, sfDir)
     if (want("ann_filtered")) annFilteredCurve(spark, sfDir)
     if (want("rrf")) rrfCurve(spark, sfDir)
+    if (want("index_store")) indexStoreCurve(spark, sfDir)
     spark.stop()
+  }
+
+  /** IndexStore scale witness: the index-build vs query-time split the
+    * persistent store exists for. Three timings per scale point over
+    * the p22 stack: BUILD (train + assign + save both artifacts),
+    * SERVE (load + routed search — what a query run pays), and
+    * RETRAIN (train + search per run — what the self-contained gate
+    * pays). The claim: serve-from-loaded cuts the per-run cost to the
+    * search alone, and the gap widens with corpus size because
+    * training rescans the corpus ×iters while the loaded path scans it
+    * once for the rescore. */
+  private def indexStoreCurve(spark: SparkSession, sfDir: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val embs = sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val maxId = embs.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    def scaled(f: Int) =
+      if (f == 1) embs
+      else (0 until f).map(i => embs.withColumn("vec_id", col("vec_id") + lit(i * maxId)))
+        .reduce(_ unionByName _)
+    def sec(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+    // warmup off-clock: codegen, kernel registration, parquet writer
+    locally {
+      val e = embs.persist(); e.count()
+      val m = ops.KMeans.fit(e, "vec_id", "embedding",
+        queries.Pipeline.kmK, queries.Pipeline.kmIters, forceKernel = true)
+      val l = ops.KMeans.assign(e, "embedding", m, forceKernel = true)
+        .select(col("vec_id"), col("cluster").as("list_id"))
+      queries.Pipeline.trainedIvfSearch(e, m, l).count()
+      e.unpersist(); spark.catalog.clearCache()
+    }
+    for (f <- Seq(1, 5, 25)) {
+      val e = scaled(f).persist()
+      val n = e.count()
+      val root = java.nio.file.Files.createTempDirectory(s"graft_idxcurve_$f").toString
+      val tb = System.nanoTime()
+      val m = ops.KMeans.fit(e, "vec_id", "embedding",
+        queries.Pipeline.kmK, queries.Pipeline.kmIters, forceKernel = true)
+      val lists = ops.KMeans.assign(e, "embedding", m, forceKernel = true)
+        .select(col("vec_id"), col("cluster").as("list_id"))
+      ops.IndexStore.saveKMeans(spark, m, s"$root/model")
+      ops.IndexStore.saveMembership(lists, s"$root/lists", queries.Pipeline.kmK)
+      val buildSec = sec(tb)
+      val ts = System.nanoTime()
+      val lm = ops.IndexStore.loadKMeans(spark, s"$root/model")
+      val (ll, _) = ops.IndexStore.loadMembership(spark, s"$root/lists")
+      queries.Pipeline.trainedIvfSearch(e, lm, ll).count()
+      val serveSec = sec(ts)
+      val tr = System.nanoTime()
+      val m2 = ops.KMeans.fit(e, "vec_id", "embedding",
+        queries.Pipeline.kmK, queries.Pipeline.kmIters, forceKernel = true)
+      val l2 = ops.KMeans.assign(e, "embedding", m2, forceKernel = true)
+        .select(col("vec_id"), col("cluster").as("list_id")).persist()
+      queries.Pipeline.trainedIvfSearch(e, m2, l2).count()
+      val retrainSec = sec(tr)
+      l2.unpersist(); e.unpersist(); spark.catalog.clearCache()
+      println(s"""{"metric":"index_store","factor":$f,"vecs":$n,""" +
+        s""""build_sec":${fx(buildSec, 2)},"serve_from_loaded_sec":${fx(serveSec, 2)},""" +
+        s""""retrain_per_run_sec":${fx(retrainSec, 2)}}""")
+    }
   }
 
   /** p40 scale witness: power-iteration fit wall-clock vs corpus

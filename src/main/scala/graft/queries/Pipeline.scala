@@ -1004,6 +1004,45 @@ object Pipeline {
   // Scale shape: identical to p12 (assign is a projection against
   // plan-carried centroids, candidates are a list-equi-join pruned to
   // ~nprobe/K of the corpus); training adds p20's bounded driver state.
+  /** The p22 SEARCH half over a trained model + membership table —
+    * factored out so IndexStoreSpec can drive the identical plan from
+    * a LOADED index (load-equals-train): probe the nprobe nearest
+    * trained lists, exact-rescore only those lists' members. `e0` is
+    * the raw vector frame `(vec_id, embedding)` (pass a persisted one
+    * when upstream is expensive). */
+  private[graft] def trainedIvfSearch(e0: DataFrame,
+      model: graft.ops.KMeans.Model, lists: DataFrame): DataFrame = {
+    val e = e0.withColumn("nrm", expr(VectorFns.fastNormExpr("embedding")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    // probe ranking: ALL K trained centroids scored per query with the
+    // trainer's own cosineTo (rounded 6 dp), ranked cos DESC with the
+    // cluster-index tiebreak — seedIds are ascending, so index order
+    // is the oracle's cent_id order
+    val scoreArr = array(model.centroids.zipWithIndex.map { case (c, j) =>
+      struct(graft.ops.KMeans.cosineTo("qe", "qn", c).as("ccos"), lit(j).as("cent_id"))
+    }: _*)
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("list_id"))
+    val probes = q.select(col("qid"), explode(scoreArr).as("sc"))
+      .select(col("qid"), col("sc.cent_id").as("list_id"), col("sc.ccos").as("ccos"))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= ivfProbe)
+      .select(col("qid"), col("list_id"))
+    val cand = lists.join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val pairs = cand
+      .join(e, "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("cos",
+        round(expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")), 6))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cos").as("cosine"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val p22 = QuerySpec(
     "p22_ann_ivf_trained",
     (s, d) => {
@@ -1019,35 +1058,7 @@ object Pipeline {
       val lists = graft.ops.KMeans.assign(e0, "embedding", model, forceKernel = true)
         .select(col("vec_id"), col("cluster").as("list_id"))
         .persist() // the argmax projection evaluates ONCE (joined twice below)
-      val e = e0.withColumn("nrm", expr(VectorFns.fastNormExpr("embedding")))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-      // probe ranking: ALL K trained centroids scored per query with the
-      // trainer's own cosineTo (rounded 6 dp), ranked cos DESC with the
-      // cluster-index tiebreak — seedIds are ascending, so index order
-      // is the oracle's cent_id order
-      val scoreArr = array(model.centroids.zipWithIndex.map { case (c, j) =>
-        struct(graft.ops.KMeans.cosineTo("qe", "qn", c).as("ccos"), lit(j).as("cent_id"))
-      }: _*)
-      val wProbe = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("list_id"))
-      val probes = q.select(col("qid"), explode(scoreArr).as("sc"))
-        .select(col("qid"), col("sc.cent_id").as("list_id"), col("sc.ccos").as("ccos"))
-        .withColumn("crn", row_number().over(wProbe))
-        .filter(col("crn") <= ivfProbe)
-        .select(col("qid"), col("list_id"))
-      val cand = lists.join(broadcast(probes), "list_id")
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id")).distinct()
-      val pairs = cand
-        .join(e, "vec_id")
-        .join(broadcast(q), "qid")
-        .withColumn("cos",
-          round(expr(VectorFns.fastDotExpr("embedding", "qe")) / (col("nrm") * col("qn")), 6))
-      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      pairs.withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= 3)
-        .select(col("qid"), col("rn"), col("vec_id").as("cid"), col("cos").as("cosine"))
-        .orderBy(col("qid"), col("rn"))
+      trainedIvfSearch(e0, model, lists)
     },
     Some(s"""${duckKmeansPrefix(kmK)},
             |cnF AS (SELECT cent_id, SQRT(SUM(v*v)) AS cnrm FROM c$kmIters GROUP BY 1),
@@ -1712,11 +1723,19 @@ object Pipeline {
       .withColumn("rj", round(col("jaccard"), 6))
       .select(col("da"), col("db"), col("rj"))
       .persist() // tiny (verified matches); read by best-pick AND count
+    dedupDecisionFrame(shs.filter(col("is_inc")).select(col("doc_id").as("inc_id")), m)
+  }
+
+  /** The p30 decision tail over verified matches `m(da, db, rj)` —
+    * shared by [[incrementalDedup]] and [[incrementalDedupAgainst]] so
+    * the self-trained and loaded-index paths cannot drift. Pass a
+    * persisted `m` (read twice: best-pick and match count). */
+  private def dedupDecisionFrame(incIds: DataFrame, m: DataFrame): DataFrame = {
     val wBest = Window.partitionBy(col("da")).orderBy(col("rj").desc, col("db"))
     val best = m.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
       .select(col("da"), col("db").as("best_match"), col("rj").as("best_jaccard"))
     val agg = m.groupBy(col("da")).agg(count(lit(1)).as("n_matches"))
-    shs.filter(col("is_inc")).select(col("doc_id").as("inc_id"))
+    incIds
       .join(agg.withColumnRenamed("da", "inc_id"), Seq("inc_id"), "left")
       .join(best.withColumnRenamed("da", "inc_id"), Seq("inc_id"), "left")
       .na.fill(0L, Seq("n_matches"))
@@ -1724,6 +1743,89 @@ object Pipeline {
       .select(col("inc_id"), col("decision"), col("n_matches"),
         col("best_match"), col("best_jaccard"))
       .orderBy(col("inc_id"))
+  }
+
+  /** MinHash band values (the LSH bucket keys) of a `(doc_id, sh)`
+    * frame — the exact banding [[incrementalDedup]] computes inline:
+    * 8 minhash projections over the cached md5 base hashes, folded
+    * into 2 bands of 4. Shared by the inline path and the persistent
+    * index builder so the stored index cannot drift from the live
+    * banding. */
+  private def minhashBands(withSh: DataFrame): DataFrame = {
+    // cache boundary before the 8 per-seed projections — without it
+    // projection collapse inlines the md5 transform into each one
+    // (the measured 15× signing cliff incrementalDedup documents)
+    val hs = withSh.withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
+      .select(col("doc_id"), col("hs"))
+      .persist()
+    val sig = hs.select(Seq(col("doc_id")) ++
+      (0 until 8).map(k => expr(TextFns.minhashExpr("hs", k)).as(s"mh$k")): _*)
+    sig.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band_id"),
+          concat(col("mh0"), lit("|"), col("mh1"), lit("|"), col("mh2"), lit("|"), col("mh3")).as("band_val")),
+        struct(lit(1).as("band_id"),
+          concat(col("mh4"), lit("|"), col("mh5"), lit("|"), col("mh6"), lit("|"), col("mh7")).as("band_val")))).as("b"))
+      .select(col("doc_id"),
+        col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+  }
+
+  /** The STANDING corpus's persistent dedup index — what the p30
+    * 100 TB story calls "the corpus band table is the precomputed
+    * persistent index", made concrete: the band table
+    * `(db, band_id, band_val)` plus the distinct-shingle table
+    * `(db, s)` (the exact-verify side a real pipeline materializes
+    * next to its band index). Built once offline over the non-increment
+    * docs, saved via [[graft.ops.IndexStore]], loaded per ingest batch;
+    * IndexStoreSpec pins that [[incrementalDedupAgainst]] a loaded
+    * index equals the self-trained [[incrementalDedup]] gate. */
+  private[graft] def dedupCorpusIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val corpus = documents(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .withColumn("toks", expr(toks))
+      .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
+      .select(col("doc_id"), col("sh"))
+      .persist() // scanned twice: banding + shingle-set explode
+    val bands = minhashBands(corpus)
+      .select(col("doc_id").as("db"), col("band_id"), col("band_val"))
+    val shingles = corpus
+      .select(col("doc_id").as("db"), explode(array_distinct(col("sh"))).as("s"))
+    (bands, shingles)
+  }
+
+  /** [[incrementalDedup]] against a PRE-BUILT corpus index instead of
+    * re-deriving the corpus side per run: the increment's bands and
+    * shingles compute fresh (one pass over the new batch), candidates
+    * come from the band equi-join against the stored band table, the
+    * exact verify joins the stored shingle table. Same expressions,
+    * same thresholds, same decision tail — bit-identical output to the
+    * self-trained path by construction. */
+  private[graft] def incrementalDedupAgainst(s: SparkSession, d: String,
+      corpusBands: DataFrame, corpusShingles: DataFrame): DataFrame = {
+    val inc = documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("toks", expr(toks))
+      .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
+      .select(col("doc_id"), col("sh"))
+      .persist() // scanned: banding, verify side, the admit frame
+    val incBands = minhashBands(inc)
+      .select(col("doc_id").as("da"), col("band_id"), col("band_val"))
+    val cand = incBands.join(
+        corpusBands.select(col("db"), col("band_id").as("band_id2"), col("band_val").as("band_val2")),
+        col("band_id") === col("band_id2") && col("band_val") === col("band_val2"))
+      .select(col("da"), col("db")).distinct()
+    val ssa = inc.select(col("doc_id").as("da"), explode(array_distinct(col("sh"))).as("s"))
+    val inter = cand
+      .join(ssa, "da")
+      .join(corpusShingles.select(col("db").as("db2"), col("s").as("s2")),
+        col("db") === col("db2") && col("s") === col("s2"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    val sza = ssa.groupBy(col("da")).agg(count(lit(1)).as("na"))
+    val szb = corpusShingles.groupBy(col("db")).agg(count(lit(1)).as("nb"))
+    val m = inter.join(sza, "da").join(szb, "db")
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .withColumn("rj", round(col("jaccard"), 6))
+      .select(col("da"), col("db"), col("rj"))
+      .persist()
+    dedupDecisionFrame(inc.select(col("doc_id").as("inc_id")), m)
   }
 
   val p30 = QuerySpec(
