@@ -1937,6 +1937,76 @@ object Streams {
     })
   }
 
+  /** STREAMING INDEX MAINTENANCE — the incremental complement of the
+    * offline [[graft.ops.IndexStore]] build: per micro-batch, assign
+    * the batch's new vectors to their IVF list under a FROZEN trained
+    * model and fold them into the persistent membership table, so the
+    * index a retrieval service probes stays current with ingest
+    * without retraining. The p30 batch-vs-index shape made continuous.
+    *
+    * State layout and cost discipline are the CDC materializer's: the
+    * membership table is the [[graft.ops.IndexStore.saveMembership]]
+    * layout (parquet partitioned by `list_id`), each batch reads ONLY
+    * the partitions its assignments hash into (≤ K, usually far
+    * fewer — partition-pruned scan), merges by `vec_id`, and
+    * dynamic-partition-overwrites only those directories — per-batch
+    * cost O(touched lists), never O(index). Crash-before-commit
+    * replays the batch: a redelivered vector lands in the SAME list
+    * (frozen model, deterministic assignment), the vec_id merge drops
+    * the duplicate, and the overwrite regenerates identical partition
+    * content — exactly-once-equivalent, the [[materializeCdc]]
+    * contract. StreamsExtraSpec pins streamed-membership ==
+    * batch-assign after every micro-batch, plus restart and
+    * lost-commit no-ops.
+    *
+    * Contract: the vector stream is APPEND-ONLY — redelivery of a
+    * vec_id with the same embedding is idempotent; a CHANGED embedding
+    * for an existing vec_id is NOT supported (its stale row in the old
+    * list's untouched partition would survive — route mutable rows
+    * through the CDC materializers instead). The model is loaded once
+    * per run from `modelPath` and is part of the sink identity: an
+    * index must never mix assignments from two quantizers, so
+    * retargeting either path on a live checkpoint refuses. */
+  def maintainIvfMembership(vectors: DataFrame, checkpoint: String,
+      modelPath: String, indexPath: String): StreamingQuery = {
+    val cached = new java.util.concurrent.atomic.AtomicReference[graft.ops.KMeans.Model]()
+    runForeachBatch(vectors, checkpoint, (batch, _) => {
+      val spark = batch.sparkSession
+      requireSinkBinding(spark.sparkContext.hadoopConfiguration,
+        checkpoint, s"ivf-index:$indexPath#$modelPath")
+      val b = batch.persist()
+      try {
+        if (!b.isEmpty) {
+          if (cached.get() == null)
+            cached.compareAndSet(null, graft.ops.IndexStore.loadKMeans(spark, modelPath))
+          val model = cached.get()
+          val assigned = graft.ops.KMeans.assign(
+            b.select(col("vec_id"), col("embedding")), "embedding", model,
+            forceKernel = true)
+            .select(col("vec_id"), col("cluster").as("list_id"))
+            .persist() // read twice: touched-list census + the merge
+          try {
+            // ≤ K driver rows — the touched-bucket discipline
+            val touched = assigned.select(col("list_id")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            val (existing, _) = graft.ops.IndexStore.load(spark, indexPath, "ivf_membership")
+            val mine = existing
+              .select(col("vec_id"), col("list_id").cast("int").as("list_id"))
+              .filter(col("list_id").isin(touched: _*))
+            // redelivered vectors assign to the same list under the
+            // frozen model — the vec_id merge folds them away
+            mine.unionByName(assigned).dropDuplicates("vec_id")
+              .repartition(col("list_id"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("list_id")
+              .parquet(s"$indexPath/data")
+          } finally assigned.unpersist()
+        }
+      } finally b.unpersist()
+    })
+  }
+
   /** Live rows of a CAS-mode [[materializeCdcJdbc]] table: filters the
     * delete tombstones and drops the version/op bookkeeping — the JDBC
     * twin of [[cdcLiveState]]. (An ordered-mode table IS its live rows;

@@ -1678,6 +1678,94 @@ class StreamsExtraSpec extends SparkSuite {
     }
   }
 
+  test("maintainIvfMembership: streamed membership == batch assign after every micro-batch; restart and lost commit are no-ops") {
+    import java.nio.file.Files
+    graft.expressions.VectorExpressions.register(spark)
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    // frozen model trains on the SEED corpus (vec_id < 200); the
+    // stream delivers the rest in three chunks
+    val seed = embs.filter(col("vec_id") < 200).persist()
+    val model = graft.ops.KMeans.fit(seed, "vec_id", "embedding", 8, 2, forceKernel = true)
+    val root = Files.createTempDirectory("graft_ivfmaint").toString
+    val (modelPath, indexPath) = (s"$root/model", s"$root/index")
+    graft.ops.IndexStore.saveKMeans(spark, model, modelPath)
+    graft.ops.IndexStore.saveMembership(
+      graft.ops.KMeans.assign(seed, "embedding", model, forceKernel = true)
+        .select(col("vec_id"), col("cluster").as("list_id")),
+      indexPath, 8)
+    // chunked vector stream: each range lands as one parquet file with
+    // a strictly increasing mod time (one file == one micro-batch)
+    val streamDir = Files.createTempDirectory("graft_ivfmaint_in")
+    val ckpt = Files.createTempDirectory("graft_ivfmaint_ckpt").toString
+    val ranges = Seq((200L, 300L), (300L, 400L), (400L, 2000000L))
+    val t0 = System.currentTimeMillis() - 2000L * (ranges.size + 2)
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def run() = Streams.maintainIvfMembership(
+      spark.readStream.schema(embs.schema).parquet(streamDir.toString),
+      ckpt, modelPath, indexPath).awaitTermination()
+    def membership(): Set[(Long, Int)] =
+      graft.ops.IndexStore.loadMembership(spark, indexPath)._1
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    def expectUpTo(hi: Long): Set[(Long, Int)] =
+      graft.ops.KMeans.assign(embs.filter(col("vec_id") < hi), "embedding", model,
+        forceKernel = true)
+        .select(col("vec_id"), col("cluster"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmpOut = Files.createTempDirectory(s"graft_ivfmaint_c$i")
+      embs.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+      val part = new java.io.File(tmpOut.toString).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = streamDir.resolve(f"chunk_$i%04d.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(t0 + i * 2000L)
+      run(); quiesce()
+      assert(membership() == expectUpTo(hi),
+        s"after chunk $i the streamed membership must equal the batch assign of everything delivered")
+    }
+    // restart with no new files: membership unchanged
+    val before = membership()
+    run(); quiesce()
+    assert(membership() == before, "restart with no new data must not change the index")
+    // lost checkpoint commit: the replayed batch re-assigns to the
+    // same lists (frozen model) and the vec_id merge folds it away
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val newest = commitsDir.listFiles().filterNot(_.getName.startsWith("."))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete())
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    run(); quiesce()
+    assert(membership() == before,
+      "replaying a batch whose commit was lost must be a no-op on the index")
+    // retargeting the model on a live checkpoint refuses: the index
+    // must never mix two quantizers' assignments
+    graft.ops.IndexStore.saveKMeans(spark, model, s"$root/model2")
+    val extra = embs.filter(col("vec_id") < 10).coalesce(1)
+    val tmpOut = Files.createTempDirectory("graft_ivfmaint_extra")
+    extra.write.mode("overwrite").parquet(tmpOut.toString)
+    val part = new java.io.File(tmpOut.toString).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+    val dst = streamDir.resolve("chunk_9999.parquet")
+    Files.move(part.toPath, dst)
+    dst.toFile.setLastModified(t0 + (ranges.size + 1) * 2000L)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.maintainIvfMembership(
+        spark.readStream.schema(embs.schema).parquet(streamDir.toString),
+        ckpt, s"$root/model2", indexPath).awaitTermination()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("bound to sink"), s"model retarget must refuse: $msgs")
+    seed.unpersist()
+  }
+
   test("materializeScd2: switching orderedTransport on a live checkpoint refuses loudly") {
     import java.nio.file.Files
     val in = Fixture.materializeChunks(2)
