@@ -34,7 +34,8 @@ object ScaleSmoke {
     Set("dedup", "dedup_skew", "cdc", "cdc_throughput", "cdc_multi", "cdc_relcount",
       "cdc_soak", "cdc_bar", "cdc_partitioned", "ann", "kmeans_kernel",
       "pq_encode", "pack_skew", "semdedup", "incremental", "spanscrub",
-      "pca", "cms", "hll", "bloom", "scd2", "ann_filtered", "rrf", "index_store")
+      "pca", "cms", "hll", "bloom", "scd2", "ann_filtered", "rrf", "index_store",
+      "scd2_compact")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -134,8 +135,61 @@ object ScaleSmoke {
     if (want("ann_filtered")) annFilteredCurve(spark, sfDir)
     if (want("rrf")) rrfCurve(spark, sfDir)
     if (want("index_store")) indexStoreCurve(spark, sfDir)
+    if (want("scd2_compact")) scd2CompactCurve(spark)
     spark.stop()
   }
+
+  /** SCD2 compaction growth witness: a churned type-2 history (20
+    * versions per key, 19 closed + 1 open) compacted at a horizon that
+    * keeps the newest closed interval per key. The claim: history size
+    * before is O(all versions ever), after is O(live keys + churn
+    * inside the horizon) — a 10× row cut at this churn ratio,
+    * independent of scale — and compaction itself is one
+    * filter+rewrite pass (linear in state). `scd2AsOf(max)` row counts
+    * are asserted identical before/after. */
+  private def scd2CompactCurve(spark: SparkSession): Unit =
+    for (scale <- Seq(1, 4, 16); buckets <- Seq(0, 256)
+         if buckets == 0 || scale == 16) {
+      val keys = 50000L * scale
+      val versions = 20
+      val base = spark.range(keys).select(col("id"),
+          explode(expr(s"sequence(0, ${versions - 1})")).as("v"))
+        .select(col("id"),
+          concat(lit("fn"), col("id"), lit("_v"), col("v")).as("firstName"),
+          (col("v") * 16 + 16).as("valid_from"),
+          when(col("v") < versions - 1, col("v") * 16 + 32)
+            .otherwise(lit(null).cast("long")).as("valid_to"),
+          when(col("v") < versions - 1, lit(0)).otherwise(lit(1)).as("is_current"))
+      val root = java.nio.file.Files.createTempDirectory(s"graft_scd2cmp_$scale").toString
+      val state = s"$root/history"
+      if (buckets > 0)
+        base.withColumn("graft_bucket", streaming.Streams.bucketExpr("id", buckets))
+          .repartition(col("graft_bucket"))
+          .write.mode("overwrite").partitionBy("graft_bucket").parquet(state)
+      else base.write.mode("overwrite").parquet(state)
+      def rows() = spark.read.parquet(state).count()
+      def bytes() = {
+        val p = new org.apache.hadoop.fs.Path(state)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      }
+      val maxLsn = versions.toLong * 16 + 16
+      val liveBefore = streaming.Streams.scd2AsOfState(spark, state, maxLsn).count()
+      val (rowsBefore, bytesBefore) = (rows(), bytes())
+      // keep the open row + the newest closed interval per key
+      val horizon = (versions - 3).toLong * 16 + 32
+      val t0 = System.nanoTime()
+      streaming.Streams.compactScd2(spark, state, horizon)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (rowsAfter, bytesAfter) = (rows(), bytes())
+      require(streaming.Streams.scd2AsOfState(spark, state, maxLsn).count() == liveBefore,
+        "compaction changed the live row count")
+      println(s"""{"metric":"scd2_compact","keys":$keys,"buckets":$buckets,""" +
+        s""""rows_before":$rowsBefore,"rows_after":$rowsAfter,""" +
+        s""""mb_before":${fx(bytesBefore / 1048576.0, 1)},"mb_after":${fx(bytesAfter / 1048576.0, 1)},""" +
+        s""""compact_sec":${fx(sec, 2)}}""")
+      spark.catalog.clearCache()
+    }
 
   /** IndexStore scale witness: the index-build vs query-time split the
     * persistent store exists for. Three timings per scale point over

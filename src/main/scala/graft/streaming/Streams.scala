@@ -1210,7 +1210,7 @@ object Streams {
     // siblings — a relation NAMED like another's bookkeeping would
     // have its entire state destroyed by that sweep. Refuse at build.
     for (a <- relations.map(_.name); b <- relations.map(_.name) if a != b)
-      require(b != s"${a}__prev" &&
+      require(b != s"${a}__prev" && b != s"${a}__compact_horizon" &&
           !(b.startsWith(s"${a}__swap_") && b.stripPrefix(s"${a}__swap_").matches("\\d+")),
         s"[graft] relation name '$b' collides with relation '$a''s state-swap bookkeeping " +
           s"(<state>__prev / <state>__swap_<batchId>) — '$a''s crash recovery would sweep " +
@@ -1251,7 +1251,7 @@ object Streams {
       statePartitions: Int = 0,
       orderedTransport: Boolean = true): StreamingQuery = {
     for (a <- relations.map(_.name); b <- relations.map(_.name) if a != b)
-      require(b != s"${a}__prev" &&
+      require(b != s"${a}__prev" && b != s"${a}__compact_horizon" &&
           !(b.startsWith(s"${a}__swap_") && b.stripPrefix(s"${a}__swap_").matches("\\d+")),
         s"[graft] relation name '$b' collides with relation '$a''s state-swap bookkeeping " +
           s"(<state>__prev / <state>__swap_<batchId>) — '$a''s crash recovery would sweep " +
@@ -2054,6 +2054,94 @@ object Streams {
 
   /** Fail loudly on Hadoop's boolean-false error reporting (see the
     * swap commentary in [[materializeCdc]]). */
+  // ---- SCD2 history compaction (retention dial) ------------------------
+
+  private def horizonPath(statePath: String) =
+    new org.apache.hadoop.fs.Path(s"${statePath}__compact_horizon")
+
+  /** The compaction horizon recorded for an SCD2 history, if any. */
+  def scd2CompactHorizon(spark: SparkSession, statePath: String): Option[Long] = {
+    val p = horizonPath(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim
+      } finally in.close()
+      Some(s.toLong)
+    }
+  }
+
+  /** SCD2 HISTORY COMPACTION — the retention dial closing the "closed
+    * intervals accumulate forever" gap (the [[materializeCdc]]
+    * `casTombstoneRetention` analogue for type-2 state): drop every
+    * interval whose `valid_to ≤ horizon` — fully below the horizon, so
+    * no `scd2AsOf(x ≥ horizon)` read can ever match it — and record
+    * the horizon in a sidecar marker that [[scd2AsOfState]] enforces:
+    * a point-in-time read BELOW the compacted horizon refuses loudly
+    * instead of silently returning a partial table. Steady-state
+    * history size becomes O(live keys + churn inside the horizon).
+    *
+    * Zero-width orphan tombstones at L ≤ horizon drop too: their
+    * missing image would carry `valid_from < L ≤ horizon`, and the
+    * horizon contract (below) says such an event can no longer arrive.
+    *
+    * Ordering/crash discipline: the marker writes FIRST — a crash
+    * between marker and rewrite over-refuses (reads below the marker
+    * fail although rows still exist), never under-refuses; the rewrite
+    * itself is the materializers' rename-aside swap, so
+    * [[recoverCdcState]] at the next batch start promotes whichever
+    * side a crash left. The horizon only advances — lowering it would
+    * promise history that was already dropped.
+    *
+    * CONTRACT (the caller's to keep, as with tombstone retention):
+    * compact only below any LSN the transport can still deliver or
+    * replay — a pre-horizon event arriving after compaction would see
+    * no per-key high-water rows and re-fold as if new. Run it between
+    * batches (it takes the state file lock implicitly by the swap), at
+    * whatever cadence bounds the history size. */
+  def compactScd2(spark: SparkSession, statePath: String, horizon: Long): Unit = {
+    val state = new org.apache.hadoop.fs.Path(statePath)
+    val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCdcState(fs, statePath)
+    require(fs.exists(state), s"[graft] no SCD2 history at $statePath — nothing to compact")
+    scd2CompactHorizon(spark, statePath).foreach(h => require(horizon >= h,
+      s"[graft] compaction horizon can only advance: stored $h, asked $horizon — " +
+        "history below the stored horizon is already gone"))
+    val out = fs.create(horizonPath(statePath), true)
+    try out.write(horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val df = spark.read.parquet(statePath)
+    val kept = df.filter(col("valid_to").isNull || col("valid_to") > horizon)
+    val partitioned = df.columns.contains(bucketCol)
+    val tmp = new org.apache.hadoop.fs.Path(s"${statePath}__swap_${System.currentTimeMillis()}")
+    val w = (if (partitioned) kept.repartition(col(bucketCol)) else kept)
+      .write.mode("overwrite")
+    (if (partitioned) w.partitionBy(bucketCol) else w).parquet(tmp.toString)
+    val prev = new org.apache.hadoop.fs.Path(s"${statePath}__prev")
+    if (fs.exists(prev)) checkedFs(fs.delete(prev, true), s"delete $prev")
+    checkedFs(fs.rename(state, prev), s"rename $state -> $prev")
+    checkedFs(fs.rename(tmp, state), s"rename $tmp -> $state")
+    checkedFs(fs.delete(prev, true), s"delete $prev")
+  }
+
+  /** Point-in-time read over a (possibly compacted) SCD2 state table —
+    * [[Envelope.scd2AsOf]] plus the horizon refusal: reading AS OF an
+    * LSN below the compacted horizon returns rows whose intervals were
+    * dropped, so it must fail loudly, not partially. Drops the bucket
+    * bookkeeping column when the state is partitioned. */
+  def scd2AsOfState(spark: SparkSession, statePath: String, lsn: Long): DataFrame = {
+    scd2CompactHorizon(spark, statePath).foreach(h => require(lsn >= h,
+      s"[graft] as-of $lsn reads below the compacted horizon $h of $statePath — " +
+        "that history was dropped by compaction; refuse instead of returning a partial table"))
+    val df = spark.read.parquet(statePath)
+    Envelope.scd2AsOf(
+      if (df.columns.contains(bucketCol)) df.drop(bucketCol) else df, lsn)
+  }
+
   private def checkedFs(ok: Boolean, what: String): Unit =
     if (!ok) throw new java.io.IOException(s"[graft] CDC state swap: $what returned false")
 

@@ -1678,6 +1678,76 @@ class StreamsExtraSpec extends SparkSuite {
     }
   }
 
+  test("compactScd2: every as-of >= horizon is exact after compaction; reads below refuse; horizon only advances; the stream continues") {
+    import java.nio.file.Files
+    for (parts <- Seq(0, 4)) {
+      val in = Fixture.materializeChunks(3)
+      val ckpt = Files.createTempDirectory(s"graft_scd2cmp_ckpt_$parts").toString
+      val state = Files.createTempDirectory(s"graft_scd2cmp_state_$parts").toString + "/hist"
+      def quiesce(): Unit = {
+        var waited = 0
+        while (spark.streams.active.nonEmpty && waited < 10000) {
+          Thread.sleep(100); waited += 100
+        }
+      }
+      def run() = Streams.materializeScd2(Streams.envelopeStream(spark, in), ckpt, state,
+        statePartitions = parts).awaitTermination()
+      run(); quiesce()
+      def hist() = spark.read.parquet(state)
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+        val cols = df.columns.sorted
+        df.select(cols.map(c => col(c).cast("string")): _*).collect()
+          .map(_.toSeq.map(v => if (v == null) "<null>" else v.toString)).toSeq
+          .sortBy(_.mkString("|"))
+      }
+      // horizon: the median closed-interval bound — real history falls
+      // on both sides of it
+      val tos = hist().filter(col("valid_to").isNotNull)
+        .select(col("valid_to")).collect().map(_.getLong(0)).sorted
+      assert(tos.length > 10, "fixture must have accumulated closed intervals")
+      val horizon = tos(tos.length / 2)
+      val maxLsn = hist().agg(max(col("valid_from"))).head.getLong(0)
+      val probes = Seq(horizon, (horizon + maxLsn) / 2, maxLsn, Long.MaxValue)
+      val before = probes.map(x =>
+        canon(Streams.scd2AsOfState(spark, state, x)))
+      val rowsBefore = hist().count()
+      Streams.compactScd2(spark, state, horizon)
+      assert(Streams.scd2CompactHorizon(spark, state).contains(horizon))
+      // every fully-below interval is gone; steady-state size shrank
+      assert(hist().filter(col("valid_to").isNotNull && col("valid_to") <= horizon).isEmpty,
+        s"compaction must drop every interval with valid_to <= horizon (parts=$parts)")
+      assert(hist().count() < rowsBefore, s"compaction must shrink the history (parts=$parts)")
+      // the partitioned layout survives compaction
+      if (parts > 0) assert(hist().columns.contains("graft_bucket"),
+        "compaction must preserve the bucket layout")
+      // exactness at and above the horizon
+      probes.zip(before).foreach { case (x, want) =>
+        assert(canon(Streams.scd2AsOfState(spark, state, x)) == want,
+          s"as-of $x must be exact after compaction (parts=$parts)")
+      }
+      // refusal below the horizon, loudly
+      val e1 = intercept[IllegalArgumentException] {
+        Streams.scd2AsOfState(spark, state, horizon - 1)
+      }
+      assert(e1.getMessage.contains("compacted horizon"), e1.getMessage)
+      // the horizon only advances
+      val e2 = intercept[IllegalArgumentException] {
+        Streams.compactScd2(spark, state, horizon - 16)
+      }
+      assert(e2.getMessage.contains("only advance"), e2.getMessage)
+      // the stream continues on the compacted state: one more chunk,
+      // and as-of(max) still equals the full batch fold's live rows
+      val extra = Fixture.jsonLines.takeRight(40)
+      val f = java.nio.file.Paths.get(in).resolve("chunk_9998_more.jsonl")
+      Files.write(f, extra.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.setLastModified(System.currentTimeMillis())
+      run(); quiesce()
+      val liveWant = canon(Envelope.scd2AsOf(batchScd2(in), Long.MaxValue))
+      assert(canon(Streams.scd2AsOfState(spark, state, Long.MaxValue)) == liveWant,
+        s"post-compaction batches must keep the live rows exact (parts=$parts)")
+    }
+  }
+
   test("maintainIvfMembership: streamed membership == batch assign after every micro-batch; restart and lost commit are no-ops") {
     import java.nio.file.Files
     graft.expressions.VectorExpressions.register(spark)
