@@ -1769,6 +1769,23 @@ object Pipeline {
         col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
   }
 
+  /** `(doc_id, sh)` — tokenized shingle arrays of any frame carrying
+    * `doc_id`/`text`, persisted (scanned by banding, the shingle-set
+    * explode, and decision frames). The shared entry of the dedup-index
+    * surface. */
+  private[graft] def docShingleFrame(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr(toks))
+      .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
+      .select(col("doc_id"), col("sh"))
+      .persist()
+
+  /** The two index tables of a `(doc_id, sh)` frame: MinHash bands
+    * `(db, band_id, band_val)` + distinct shingles `(db, s)`. */
+  private[graft] def dedupIndexTables(withSh: DataFrame): (DataFrame, DataFrame) = (
+    minhashBands(withSh)
+      .select(col("doc_id").as("db"), col("band_id"), col("band_val")),
+    withSh.select(col("doc_id").as("db"), explode(array_distinct(col("sh"))).as("s")))
+
   /** The STANDING corpus's persistent dedup index — what the p30
     * 100 TB story calls "the corpus band table is the precomputed
     * persistent index", made concrete: the band table
@@ -1778,40 +1795,25 @@ object Pipeline {
     * docs, saved via [[graft.ops.IndexStore]], loaded per ingest batch;
     * IndexStoreSpec pins that [[incrementalDedupAgainst]] a loaded
     * index equals the self-trained [[incrementalDedup]] gate. */
-  private[graft] def dedupCorpusIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val corpus = documents(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 0)
-      .withColumn("toks", expr(toks))
-      .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
-      .select(col("doc_id"), col("sh"))
-      .persist() // scanned twice: banding + shingle-set explode
-    val bands = minhashBands(corpus)
-      .select(col("doc_id").as("db"), col("band_id"), col("band_val"))
-    val shingles = corpus
-      .select(col("doc_id").as("db"), explode(array_distinct(col("sh"))).as("s"))
-    (bands, shingles)
-  }
+  private[graft] def dedupCorpusIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    dedupIndexTables(docShingleFrame(
+      documents(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 0)))
 
-  /** [[incrementalDedup]] against a PRE-BUILT corpus index instead of
-    * re-deriving the corpus side per run: the increment's bands and
-    * shingles compute fresh (one pass over the new batch), candidates
-    * come from the band equi-join against the stored band table, the
-    * exact verify joins the stored shingle table. Same expressions,
-    * same thresholds, same decision tail — bit-identical output to the
-    * self-trained path by construction. */
-  private[graft] def incrementalDedupAgainst(s: SparkSession, d: String,
+  /** Admit/reject a `(doc_id, sh)` batch against a corpus index: the
+    * p30 decision (band candidates → exact-Jaccard ≥ 0.8 verify → the
+    * shared decision tail), parameterized over the corpus frames so
+    * the self-trained gate, the loaded-index run, and the STREAMING
+    * ingest loop ([[graft.streaming.Streams.maintainDedupIndex]]) all
+    * execute the identical plan. */
+  private[graft] def dedupDecide(incWithSh: DataFrame,
       corpusBands: DataFrame, corpusShingles: DataFrame): DataFrame = {
-    val inc = documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
-      .withColumn("toks", expr(toks))
-      .withColumn("sh", expr(TextFns.shinglesExpr("toks")))
-      .select(col("doc_id"), col("sh"))
-      .persist() // scanned: banding, verify side, the admit frame
-    val incBands = minhashBands(inc)
+    val incBands = minhashBands(incWithSh)
       .select(col("doc_id").as("da"), col("band_id"), col("band_val"))
     val cand = incBands.join(
         corpusBands.select(col("db"), col("band_id").as("band_id2"), col("band_val").as("band_val2")),
         col("band_id") === col("band_id2") && col("band_val") === col("band_val2"))
       .select(col("da"), col("db")).distinct()
-    val ssa = inc.select(col("doc_id").as("da"), explode(array_distinct(col("sh"))).as("s"))
+    val ssa = incWithSh.select(col("doc_id").as("da"), explode(array_distinct(col("sh"))).as("s"))
     val inter = cand
       .join(ssa, "da")
       .join(corpusShingles.select(col("db").as("db2"), col("s").as("s2")),
@@ -1825,8 +1827,21 @@ object Pipeline {
       .withColumn("rj", round(col("jaccard"), 6))
       .select(col("da"), col("db"), col("rj"))
       .persist()
-    dedupDecisionFrame(inc.select(col("doc_id").as("inc_id")), m)
+    dedupDecisionFrame(incWithSh.select(col("doc_id").as("inc_id")), m)
   }
+
+  /** [[incrementalDedup]] against a PRE-BUILT corpus index instead of
+    * re-deriving the corpus side per run: the increment's bands and
+    * shingles compute fresh (one pass over the new batch), candidates
+    * come from the band equi-join against the stored band table, the
+    * exact verify joins the stored shingle table. Same expressions,
+    * same thresholds, same decision tail — bit-identical output to the
+    * self-trained path by construction. */
+  private[graft] def incrementalDedupAgainst(s: SparkSession, d: String,
+      corpusBands: DataFrame, corpusShingles: DataFrame): DataFrame =
+    dedupDecide(
+      docShingleFrame(documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)),
+      corpusBands, corpusShingles)
 
   val p30 = QuerySpec(
     "p30_incremental_dedup",

@@ -2007,6 +2007,75 @@ object Streams {
     })
   }
 
+  /** STREAMING DEDUP-INDEX MAINTENANCE — the full production ingest
+    * loop, composed from hash-gated pieces (p30's batch-vs-index
+    * decision + [[graft.ops.IndexStore]] persistence) and made
+    * continuous: per micro-batch of new documents, (1) DECIDE
+    * admit/reject against the index as of all STRICTLY EARLIER batches
+    * (the shared `Pipeline.dedupDecide` — band candidates, exact
+    * Jaccard ≥ 0.8 verify, best-match lineage), (2) APPEND the admitted
+    * docs' bands and shingle sets to the persistent index, (3) log the
+    * batch's decisions. Later batches then reject near-duplicates of
+    * earlier ADMITTED ingest — the intra-stream case the one-shot p30
+    * gate never sees.
+    *
+    * Idempotence is the batch_id partition discipline: every write
+    * lands under `batch_id=<N>` via dynamic partition overwrite, and
+    * the decision reads filter the index to `batch_id < N` — so a
+    * replayed batch sees the identical index, recomputes the identical
+    * decisions, and overwrites its own partitions with identical
+    * content. Per-batch cost: the batch's banding is one pass over the
+    * batch; the candidate join is the p30 cost class (O(batch bands ×
+    * matching corpus buckets), never corpus×corpus); appends touch only
+    * the batch's own partition directories. The seed index (the
+    * standing corpus) saves once offline under `batch_id = -1`
+    * ([[graft.ops.IndexStore.save]] with `batch_id` partitioning).
+    *
+    * Contract: doc_ids are globally unique across the seed and the
+    * stream (the CDC key discipline); intra-BATCH mutual near-dups are
+    * not split — decisions are batch-vs-index, compose p6's self-dedup
+    * upstream if a single batch can carry both copies. */
+  def maintainDedupIndex(docs: DataFrame, checkpoint: String,
+      indexRoot: String): StreamingQuery =
+    runForeachBatch(docs, checkpoint, (batch, batchId) => {
+      val spark = batch.sparkSession
+      requireSinkBinding(spark.sparkContext.hadoopConfiguration,
+        checkpoint, s"dedup-index:$indexRoot")
+      val b = batch.persist()
+      try {
+        if (!b.isEmpty) {
+          val (bandsAll, _) = graft.ops.IndexStore.load(spark, s"$indexRoot/bands", "minhash_bands")
+          val (shAll, _) = graft.ops.IndexStore.load(spark, s"$indexRoot/shingles", "shingle_sets")
+          // the index THIS batch decides against: strictly earlier
+          // appends only — the replay screen
+          def upTo(df: DataFrame) =
+            df.filter(col("batch_id").cast("long") < batchId).drop("batch_id")
+          val withSh = graft.queries.Pipeline.docShingleFrame(
+            b.select(col("doc_id"), col("text")))
+          try {
+            val decisions = graft.queries.Pipeline.dedupDecide(
+              withSh, upTo(bandsAll), upTo(shAll)).persist()
+            try {
+              val admitted = decisions.filter(col("decision") === "admit")
+                .select(col("inc_id").as("doc_id"))
+              val (newBands, newShingles) = graft.queries.Pipeline.dedupIndexTables(
+                withSh.join(broadcast(admitted), Seq("doc_id"), "left_semi"))
+              def appendPartition(df: DataFrame, path: String): Unit =
+                df.withColumn("batch_id", lit(batchId))
+                  .repartition(1)
+                  .write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("batch_id")
+                  .parquet(path)
+              appendPartition(newBands, s"$indexRoot/bands/data")
+              appendPartition(newShingles, s"$indexRoot/shingles/data")
+              appendPartition(decisions, s"$indexRoot/decisions")
+            } finally decisions.unpersist()
+          } finally withSh.unpersist()
+        }
+      } finally b.unpersist()
+    })
+
   /** Live rows of a CAS-mode [[materializeCdcJdbc]] table: filters the
     * delete tombstones and drops the version/op bookkeeping — the JDBC
     * twin of [[cdcLiveState]]. (An ordered-mode table IS its live rows;

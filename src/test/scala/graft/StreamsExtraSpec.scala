@@ -1836,6 +1836,109 @@ class StreamsExtraSpec extends SparkSuite {
     seed.unpersist()
   }
 
+  test("maintainDedupIndex: batch decisions match p30 against the seed; later batches reject near-dups of admitted ingest; replay is a no-op") {
+    import java.nio.file.Files
+    import graft.queries.Pipeline
+    import graft.ops.IndexStore
+    val docs = graft.sources.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft_dedupidx").toString
+    // seed: the standing corpus (p30's convention), batch_id = -1
+    val (seedBands, seedShingles) = Pipeline.dedupCorpusIndex(spark, sf)
+    IndexStore.save(seedBands.withColumn("batch_id", lit(-1L)),
+      s"$root/bands", "minhash_bands", Map("bands" -> "2"), partitionCols = Seq("batch_id"))
+    IndexStore.save(seedShingles.withColumn("batch_id", lit(-1L)),
+      s"$root/shingles", "shingle_sets", partitionCols = Seq("batch_id"))
+    // the ingest stream: the %5==0 increment docs in two chunks, then
+    // a copy of an ADMITTED ingest doc under a fresh id (chunk 3) —
+    // the intra-stream duplicate p30's one-shot gate never sees
+    val p30dec = Pipeline.p30.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val admittedSource = p30dec.filter(_._2._1 == "admit").keys.min
+    val copyText = docs.filter(col("doc_id") === admittedSource)
+      .select(col("text")).head.getString(0)
+    val streamDir = Files.createTempDirectory("graft_dedupidx_in")
+    val ckpt = Files.createTempDirectory("graft_dedupidx_ckpt").toString
+    val t0 = System.currentTimeMillis() - 10000L
+    def writeChunk(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_dedupidx_c$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = streamDir.resolve(f"chunk_$i%04d.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(t0 + i * 2000L)
+    }
+    val inc = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    writeChunk(0, inc.filter(col("doc_id") < 250))
+    writeChunk(1, inc.filter(col("doc_id") >= 250))
+    import spark.implicits._
+    writeChunk(2, Seq((1000000L, copyText)).toDF("doc_id", "text"))
+    def run() = Streams.maintainDedupIndex(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1) // one chunk == one micro-batch
+        .parquet(streamDir.toString),
+      ckpt, root).awaitTermination()
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    run(); quiesce()
+    val dec = spark.read.parquet(s"$root/decisions")
+      .select(col("inc_id"), col("decision"), col("n_matches"),
+        col("best_match"), col("best_jaccard"), col("batch_id").cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4), r.getLong(5))).toMap
+    // every increment doc decided exactly once, in its own batch
+    assert(dec.size == inc.count() + 1, "one decision per streamed doc")
+    // chunk-0 and chunk-1 docs see only the seed index -> their
+    // decisions must equal p30's (unless an extra reject points at
+    // earlier ADMITTED ingest — possible only for chunk 1)
+    dec.filterNot(_._1 == 1000000L).foreach { case (id, (d, bm, _, bid)) =>
+      val (pd, pbm) = p30dec(id)
+      if (bid == 0L)
+        assert(d == pd && bm == pbm, s"chunk-0 doc $id: streamed ($d, $bm) vs p30 ($pd, $pbm)")
+      else if (d != pd)
+        assert(d == "reject" && dec.get(bm).exists(x => x._1 == "admit" && x._4 < bid),
+          s"chunk-1 doc $id diverges from p30 without an admitted-ingest best match ($d, $bm)")
+    }
+    // the copy of an admitted ingest doc is REJECTED against it — the
+    // behavior the index appends exist for
+    val (cd, cbm, cj, _) = dec(1000000L)
+    assert(cd == "reject" && cbm == admittedSource && cj == 1.0,
+      s"the duplicate of admitted ingest doc $admittedSource must reject against it, got ($cd, $cbm, $cj)")
+    // the persistent index now equals seed + all admitted docs' tables
+    val admittedIds = dec.filter(_._2._1 == "admit").keySet
+    def bandsSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("db"), col("band_id").cast("int"), col("band_val"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val loadedBands = bandsSet(IndexStore.load(spark, s"$root/bands", "minhash_bands")._1)
+    val admittedDocs = docs.filter(col("doc_id").isin(admittedIds.toSeq: _*))
+    val expectBands = bandsSet(seedBands) ++
+      bandsSet(Pipeline.dedupIndexTables(Pipeline.docShingleFrame(admittedDocs))._1)
+    assert(loadedBands == expectBands,
+      "the maintained band index must equal seed + admitted docs' bands")
+    // lost-commit replay: same index as of batch_id < N -> identical
+    // decisions -> identical partition content
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val newest = commitsDir.listFiles().filterNot(_.getName.startsWith("."))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete())
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    run(); quiesce()
+    val decAfter = spark.read.parquet(s"$root/decisions")
+      .select(col("inc_id"), col("decision")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(decAfter == dec.toSeq.map { case (id, (d, _, _, _)) => (id, d) }.sorted,
+      "replaying a lost-commit batch must not change the decision log")
+    assert(bandsSet(IndexStore.load(spark, s"$root/bands", "minhash_bands")._1) == expectBands,
+      "replaying a lost-commit batch must not change the index")
+  }
+
   test("materializeScd2: switching orderedTransport on a live checkpoint refuses loudly") {
     import java.nio.file.Files
     val in = Fixture.materializeChunks(2)
