@@ -4,6 +4,19 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Deflation-trained two-axis whitening transform (the p50/p51
+  * conditioner): per-dim means, the two dominant unit directions, and
+  * their rescale gains g_i = round(1/round(√λ_i, 6) − 1, 6). A
+  * production retrieval service trains this once at index build and
+  * whitens every stored vector AND every query with the SAME stored
+  * transform — mixing two transforms silently corrupts the serving
+  * metric, which is why it is a first-class [[IndexStore]] artifact. */
+final case class Whitening(mu: Array[Double], v1: Array[Double],
+    v2: Array[Double], g1: Double, g2: Double) {
+  require(mu.length == v1.length && v1.length == v2.length,
+    "[graft] whitening arrays disagree on dimension")
+}
+
 /** Persistent store for TRAINED retrieval/dedup artifacts — the
   * "train once, serve many" half of the index story the ANN/dedup
   * gates (p22/p24/p30/p36/p48/p51) leave implicit by retraining per
@@ -132,6 +145,34 @@ object IndexStore {
     // names — normalize to the saved shape
     (df.select(col("vec_id"), col("list_id").cast("int").as("list_id")),
       params("k").toInt)
+  }
+
+  // ---- whitening transform ----------------------------------------------
+
+  /** One row per dimension: (i, mu, v1, v2); the scalar gains ride the
+    * params map. */
+  def saveWhitening(spark: SparkSession, w: Whitening, path: String): Unit = {
+    val schema = StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("mu", DoubleType, nullable = false),
+      StructField("v1", DoubleType, nullable = false),
+      StructField("v2", DoubleType, nullable = false)))
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    w.mu.indices.foreach(i => rows.add(Row(i, w.mu(i), w.v1(i), w.v2(i))))
+    save(spark.createDataFrame(rows, schema), path, "whitening", Map(
+      "dim" -> w.mu.length.toString,
+      "g1" -> w.g1.toString, "g2" -> w.g2.toString))
+  }
+
+  def loadWhitening(spark: SparkSession, path: String): Whitening = {
+    val (df, params) = load(spark, path, "whitening")
+    val dim = params("dim").toInt
+    val rows = df.orderBy(col("i")).collect() // dim rows — bounded driver state
+    require(rows.length == dim,
+      s"[graft] whitening index at $path: meta says dim=$dim, data has ${rows.length} rows")
+    Whitening(
+      rows.map(_.getDouble(1)), rows.map(_.getDouble(2)), rows.map(_.getDouble(3)),
+      params("g1").toDouble, params("g2").toDouble)
   }
 
   // ---- PQ codebook -------------------------------------------------------

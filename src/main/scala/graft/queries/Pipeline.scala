@@ -3549,36 +3549,58 @@ object Pipeline {
   // inherits p24's proven shape — M-byte codes to the pool cut,
   // fixed rescore budget, corpus never shuffles for queries.
 
-  /** Deflation-trained two-axis whitening of the embeddings table:
-    * `(vec_id, embedding = 64-dim whitened array<double> at 6 dp,
-    * wnrm)`, persisted. Shared by the p50 gate and its spec's
-    * brute-force truth so the serving metric cannot drift. */
-  private[graft] def whitenedEmbeddings(s: SparkSession, d: String): DataFrame = {
+  /** ds = Σ round(ce·v·1e6) as an exact e6 integer — the per-row
+    * projection fold shared by the whitening trainer and apply. */
+  private def whitenDsOf(v: Array[Double]) =
+    aggregate(zip_with(col("ce"), array(v.toIndexedSeq.map(lit): _*),
+      (x, y) => round(x * y * 1e6).cast("long")), lit(0L), (a, x) => a + x)
+
+  /** Deflation-train the two-axis whitening transform on the corpus —
+    * the TRAIN half of the p50/p51 conditioner, returned as the
+    * storable [[graft.ops.Whitening]] artifact (mu, v1, v2, g1, g2 —
+    * 4×64 doubles + 2 scalars of driver state): a production service
+    * trains this ONCE at index build and whitens every query with the
+    * SAME stored transform ([[graft.ops.IndexStore.saveWhitening]];
+    * IndexStoreSpec pins apply-from-loaded == the self-trained
+    * [[whitenedEmbeddings]] bit-for-bit). */
+  private[graft] def whiteningFit(s: SparkSession, d: String): graft.ops.Whitening = {
     val raw = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val (cen, _, n) = pcaCenter(raw)
+    val (cen, mu, n) = pcaCenter(raw)
     val (v1, lam1) = pcaIterate(cen, n, pcaIters).last
-    def dsOf(v: Array[Double]) =
-      aggregate(zip_with(col("ce"), array(v.toIndexedSeq.map(lit): _*),
-        (x, y) => round(x * y * 1e6).cast("long")), lit(0L), (a, x) => a + x)
     val cen2 = cen
-      .withColumn("ds", dsOf(v1))
+      .withColumn("ds", whitenDsOf(v1))
       .select(col("vec_id"), deflateArr(col("ds"), v1).as("ce"))
       .persist() // scanned ×iters by the second chain
     cen2.count()
     val (v2, lam2) = pcaIterate(cen2, n, pcaIters).last
     cen2.unpersist()
+    cen.unpersist()
     val sig1 = pcaR6(math.sqrt(lam1)); val g1 = pcaR6(1.0 / sig1 - 1.0)
     val sig2 = pcaR6(math.sqrt(lam2)); val g2 = pcaR6(1.0 / sig2 - 1.0)
+    graft.ops.Whitening(mu, v1, v2, g1, g2)
+  }
+
+  /** The APPLY half: condition any `(vec_id, embedding)` frame under a
+    * trained transform — center with the stored mu (the exact
+    * pcaCenter expression), project onto v1/v2 as exact e6 integers,
+    * rescale the two dominant axes. ONE map-only pass; every
+    * coordinate is the same left-associated 6-dp chain the trainer's
+    * inline path produced, so fit-then-apply is bit-identical to the
+    * fused [[whitenedEmbeddings]]. Returns `(vec_id, embedding, wnrm)`
+    * persisted. */
+  private[graft] def whitenApply(raw: DataFrame, w: graft.ops.Whitening): DataFrame = {
+    val muLit = array(w.mu.toIndexedSeq.map(lit): _*)
     // g·v_i folded on the driver (exact IEEE product of the same
     // doubles the oracle multiplies inside its wf CTE)
-    val gv1 = v1.map(x => g1 * x)
-    val gv2 = v2.map(x => g2 * x)
-    // ONE map-only whitening pass; each coordinate is the
-    // left-associated chain ce + t1·(g1·v1) + t2·(g2·v2), 6 dp —
+    val gv1 = w.v1.map(x => w.g1 * x)
+    val gv2 = w.v2.map(x => w.g2 * x)
     // literal-expanded for the same codegen reason as deflateArr
-    val wht = cen
-      .withColumn("ds1", dsOf(v1))
-      .withColumn("ds2", dsOf(v2))
+    val wht = raw
+      .select(col("vec_id"),
+        zip_with(col("embedding"), muLit,
+          (x, mu) => round(x.cast("double") - mu, 6)).as("ce"))
+      .withColumn("ds1", whitenDsOf(w.v1))
+      .withColumn("ds2", whitenDsOf(w.v2))
       .select(col("vec_id"),
         array(gv1.indices.map(i =>
           round(col("ce").getItem(i)
@@ -3587,10 +3609,18 @@ object Pipeline {
       .withColumn("wnrm", sqrt(expr(
         "aggregate(zip_with(embedding, embedding, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
       .persist() // scanned: codebook seeds, encode, query side, rescore
-    wht.count() // materialize before dropping the centered parent
-    cen.unpersist()
+    wht.count()
     wht
   }
+
+  /** Deflation-trained two-axis whitening of the embeddings table:
+    * `(vec_id, embedding = 64-dim whitened array<double> at 6 dp,
+    * wnrm)`, persisted. Shared by the p50/p51 gates and their specs'
+    * brute-force truth so the serving metric cannot drift. Train +
+    * apply composed ([[whiteningFit]] → [[whitenApply]]). */
+  private[graft] def whitenedEmbeddings(s: SparkSession, d: String): DataFrame =
+    whitenApply(embeddings(s, d).select(col("vec_id"), col("embedding")),
+      whiteningFit(s, d))
 
   /** DuckDB rendering of [[whitenedEmbeddings]]: [[duckPcaPrefix]] +
     * the deflation chain + the whitened flat table

@@ -86,6 +86,25 @@ class IndexStoreSpec extends SparkSuite {
       "incremental dedup against the loaded index must equal the self-trained p30 gate")
   }
 
+  test("whitening transform round-trips; apply-from-loaded equals the self-trained whitening bit-for-bit") {
+    val w = Pipeline.whiteningFit(spark, sf)
+    val path = tmp("graft_idx_whiten")
+    IndexStore.saveWhitening(spark, w, path)
+    val lw = IndexStore.loadWhitening(spark, path)
+    assert(lw.mu.toSeq == w.mu.toSeq && lw.v1.toSeq == w.v1.toSeq &&
+      lw.v2.toSeq == w.v2.toSeq && lw.g1 == w.g1 && lw.g2 == w.g2)
+    // the serving contract: conditioning under the LOADED transform is
+    // bit-identical to the training run's own whitening — queries and
+    // corpus must live in one metric
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).sortBy(_._1).toSeq
+    val trained = canon(Pipeline.whitenedEmbeddings(spark, sf))
+    val raw = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val loaded = canon(Pipeline.whitenApply(raw, lw))
+    assert(loaded == trained,
+      "whitening under the loaded transform must equal the self-trained run")
+  }
+
   test("pq codebook round-trips; torn saves, kind mismatches, and version drift refuse loudly") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"),
