@@ -35,7 +35,7 @@ object ScaleSmoke {
       "cdc_soak", "cdc_bar", "cdc_partitioned", "ann", "kmeans_kernel",
       "pq_encode", "pack_skew", "semdedup", "incremental", "spanscrub",
       "pca", "cms", "hll", "bloom", "scd2", "ann_filtered", "rrf", "index_store",
-      "scd2_compact")
+      "scd2_compact", "dedup_maintain")
 
   def main(args: Array[String]): Unit = {
     val only = args.toSet
@@ -136,7 +136,70 @@ object ScaleSmoke {
     if (want("rrf")) rrfCurve(spark, sfDir)
     if (want("index_store")) indexStoreCurve(spark, sfDir)
     if (want("scd2_compact")) scd2CompactCurve(spark)
+    if (want("dedup_maintain")) dedupMaintainCurve(spark, sfDir)
     spark.stop()
+  }
+
+  /** Streaming dedup-index maintenance vs index size: fixed 100-doc
+    * ingest batches decided against seed indexes grown 1×/5×/25×
+    * (corpus docs replicated under fresh ids — every replica is a
+    * band-collision magnet, densifying the candidate join). The claim
+    * being measured, honestly: candidate PAIR volume is O(batch bands ×
+    * matching buckets) — never index×index — but the band equi-join
+    * still SCANS the stored band table once per batch, so per-batch
+    * wall-clock grows sub-linearly with the index until that scan
+    * dominates; at 100 TB the band table buckets by band_val so the
+    * join is shuffle-free and the scan prunes (the ops/Layout dial —
+    * same table, bucketed layout). Batch 0 excluded (stream-start
+    * warmup). */
+  private def dedupMaintainCurve(spark: SparkSession, sfDir: String): Unit = {
+    val docs = sources.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val inc = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .orderBy(col("doc_id")).limit(400).collect()
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    for (f <- Seq(1, 5, 25)) {
+      val seedDocs = (0 until f).map(i =>
+        corpus.withColumn("doc_id", col("doc_id") + lit(i * maxId)))
+        .reduce(_ unionByName _).persist()
+      val nSeed = seedDocs.count()
+      val (bands, shingles) = queries.Pipeline.dedupIndexTables(
+        queries.Pipeline.docShingleFrame(seedDocs))
+      val root = java.nio.file.Files.createTempDirectory(s"graft_dmcurve_$f").toString
+      ops.IndexStore.save(bands.withColumn("batch_id", lit(-1L)),
+        s"$root/bands", "minhash_bands", Map("bands" -> "2"), partitionCols = Seq("batch_id"))
+      ops.IndexStore.save(shingles.withColumn("batch_id", lit(-1L)),
+        s"$root/shingles", "shingle_sets", partitionCols = Seq("batch_id"))
+      seedDocs.unpersist(); spark.catalog.clearCache()
+      val streamDir = java.nio.file.Files.createTempDirectory(s"graft_dmcurve_in_$f")
+      val t0 = System.currentTimeMillis() - 20000L
+      import spark.implicits._
+      inc.grouped(100).take(4).zipWithIndex.foreach { case (chunk, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_dmcurve_c$i")
+        chunk.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(x => x.getName.endsWith(".parquet") && !x.getName.startsWith(".")).get
+        val dst = streamDir.resolve(f"chunk_$i%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(t0 + i * 2000L)
+      }
+      withBatchDurations(spark) { (batchMs, quiesce) =>
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft_dmcurve_ck_$f").toString
+        val q = streaming.Streams.maintainDedupIndex(
+          spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(streamDir.toString),
+          ckpt, root)
+        q.awaitTermination(); quiesce()
+        val ms = batchMs(q.runId).drop(1) // batch 0 = warmup
+        val mean = if (ms.isEmpty) 0.0 else ms.sum.toDouble / ms.size
+        val nDec = spark.read.parquet(s"$root/decisions").count()
+        println(s"""{"metric":"dedup_maintain","factor":$f,"index_docs":$nSeed,""" +
+          s""""batches":${ms.size + 1},"decided":$nDec,"mean_batch_ms":${fx(mean, 0)}}""")
+      }
+      spark.catalog.clearCache()
+    }
   }
 
   /** SCD2 compaction growth witness: a churned type-2 history (20

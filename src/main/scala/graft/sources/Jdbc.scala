@@ -702,6 +702,71 @@ object Jdbc {
     }
   }
 
+  // ---- SCD2 history compaction (JDBC twin) ------------------------------
+
+  private def horizonTable(table: String) = s"${table}_graft_horizon"
+
+  /** The compaction horizon recorded for a JDBC SCD2 history, if any. */
+  def scd2HorizonJdbc(url: String, table: String,
+      props: Map[String, String] = Map.empty): Option[Long] =
+    withConnection(url, props) { c =>
+      if (probeTable(c, horizonTable(table)).stored.isEmpty) None
+      else {
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(s"SELECT ${quoted("hz")} FROM ${horizonTable(table)}")
+          try { if (rs.next()) Some(rs.getLong(1)) else None } finally rs.close()
+        } finally st.close()
+      }
+    }
+
+  /** [[graft.streaming.Streams.compactScd2]]'s JDBC twin — the type-2
+    * retention dial for the [[applyScd2]]/[[replaceScd2Keys]] history
+    * tables: DELETE every interval with `valid_to ≤ horizon` (fully
+    * below any `as-of ≥ horizon` read), with the horizon recorded in a
+    * one-row sidecar table `<table>_graft_horizon` that
+    * [[scd2AsOfJdbc]] enforces. Marker commits FIRST in its own
+    * transaction — a crash between marker and DELETE over-refuses
+    * (reads below the marker fail although rows still exist), never
+    * under-refuses. The horizon only advances. Same caller contract as
+    * the parquet dial: compact only below any LSN the transport can
+    * still deliver or replay. */
+  def compactScd2Table(url: String, table: String, horizon: Long,
+      props: Map[String, String] = Map.empty): Unit = {
+    scd2HorizonJdbc(url, table, props).foreach(h => require(horizon >= h,
+      s"[graft] compaction horizon can only advance: stored $h, asked $horizon — " +
+        "history below the stored horizon is already gone"))
+    withConnection(url, props) { c =>
+      c.setAutoCommit(false)
+      val ht = horizonTable(table)
+      val st = c.createStatement()
+      try {
+        if (probeTable(c, ht).stored.isEmpty)
+          st.executeUpdate(s"CREATE TABLE $ht (${quoted("hz")} BIGINT NOT NULL)")
+        val n = st.executeUpdate(s"UPDATE $ht SET ${quoted("hz")} = $horizon")
+        if (n == 0) st.executeUpdate(s"INSERT INTO $ht VALUES ($horizon)")
+        c.commit()
+        st.executeUpdate(s"DELETE FROM $table WHERE ${quoted("valid_to")} IS NOT NULL " +
+          s"AND ${quoted("valid_to")} <= $horizon")
+        c.commit()
+      } catch {
+        case t: Throwable => try c.rollback() catch { case _: Throwable => }; throw t
+      } finally st.close()
+    }
+  }
+
+  /** Point-in-time read over a (possibly compacted) JDBC SCD2 history —
+    * [[graft.cdc.Envelope.scd2AsOf]] plus the horizon refusal: reading
+    * AS OF an LSN below the compacted horizon would return a silently
+    * partial table. */
+  def scd2AsOfJdbc(spark: SparkSession, url: String, table: String, lsn: Long,
+      props: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
+    scd2HorizonJdbc(url, table, props).foreach(h => require(lsn >= h,
+      s"[graft] as-of $lsn reads below the compacted horizon $h of $table — " +
+        "that history was dropped by compaction; refuse instead of returning a partial table"))
+    graft.cdc.Envelope.scd2AsOf(snapshot(spark, url, table, props), lsn)
+  }
+
   /** Version-guarded (CAS) apply for OUT-OF-ORDER transports — the
     * JDBC rendering of [[graft.ops.Merge.upsertVersioned]]'s contract:
     * a row wins only with a strictly higher `versionCol`, equal or

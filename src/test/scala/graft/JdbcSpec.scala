@@ -284,6 +284,70 @@ class JdbcSpec extends SparkSuite {
       "deleted key reads live after mixed-order JDBC delivery")
   }
 
+  test("compactScd2Table: every as-of >= horizon is exact after compaction; reads below refuse; horizon only advances; the stream continues") {
+    import java.nio.file.Files
+    import graft.cdc.{Envelope, Fixture}
+    import graft.streaming.Streams
+    val sinkUrl = "jdbc:derby:memory:graft_scd2_cmp;create=true"
+    val in = Fixture.materializeChunks(3)
+    val ckpt = Files.createTempDirectory("graft_scd2cmpj_ckpt").toString
+    def quiesce(): Unit = {
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 10000) {
+        Thread.sleep(100); waited += 100
+      }
+    }
+    def run() = Streams.materializeScd2Jdbc(Streams.envelopeStream(spark, in),
+      ckpt, sinkUrl, "students_history").awaitTermination()
+    run(); quiesce()
+    def hist() = Jdbc.snapshot(spark, sinkUrl, "students_history")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+      val cols = df.columns.sorted
+      df.select(cols.map(c => col(c).cast("string")): _*).collect()
+        .map(_.toSeq.map(v => if (v == null) "<null>" else v.toString)).toSeq
+        .sortBy(_.mkString("|"))
+    }
+    val tos = hist().filter(col("valid_to").isNotNull)
+      .select(col("valid_to")).collect().map(_.getLong(0)).sorted
+    assert(tos.length > 10, "fixture must have accumulated closed intervals")
+    val horizon = tos(tos.length / 2)
+    val maxLsn = hist().agg(max(col("valid_from"))).head.getLong(0)
+    val probes = Seq(horizon, (horizon + maxLsn) / 2, Long.MaxValue)
+    val before = probes.map(x => canon(Jdbc.scd2AsOfJdbc(spark, sinkUrl, "students_history", x)))
+    val rowsBefore = hist().count()
+    Jdbc.compactScd2Table(sinkUrl, "students_history", horizon)
+    assert(Jdbc.scd2HorizonJdbc(sinkUrl, "students_history").contains(horizon))
+    assert(hist().filter(col("valid_to").isNotNull && col("valid_to") <= horizon).isEmpty,
+      "compaction must delete every interval with valid_to <= horizon")
+    assert(hist().count() < rowsBefore, "compaction must shrink the history table")
+    probes.zip(before).foreach { case (x, want) =>
+      assert(canon(Jdbc.scd2AsOfJdbc(spark, sinkUrl, "students_history", x)) == want,
+        s"as-of $x must be exact after compaction")
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      Jdbc.scd2AsOfJdbc(spark, sinkUrl, "students_history", horizon - 1)
+    }
+    assert(e1.getMessage.contains("compacted horizon"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Jdbc.compactScd2Table(sinkUrl, "students_history", horizon - 16)
+    }
+    assert(e2.getMessage.contains("only advance"), e2.getMessage)
+    // the stream continues onto the compacted table: the per-key hwm
+    // screen reads the SURVIVING rows, so fresh events keep applying
+    val extra = java.nio.file.Paths.get(in).resolve("chunk_9998_more.jsonl")
+    Files.write(extra, Fixture.jsonLines.takeRight(40).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    extra.toFile.setLastModified(System.currentTimeMillis())
+    run(); quiesce()
+    val liveWant = canon(Envelope.scd2AsOf(Envelope.scd2Fold(
+      Envelope.project(spark.read.schema(Envelope.schema).json(in))
+        .filter(col("tag").isin("insert", "update", "delete"))
+        .withColumn("valid_from", Envelope.lsnNumeric(col("lsn")))
+        .drop("lsn")), Long.MaxValue))
+    assert(canon(Jdbc.scd2AsOfJdbc(spark, sinkUrl, "students_history", Long.MaxValue)) == liveWant,
+      "post-compaction batches must keep the live rows exact")
+  }
+
   test("materializeCdcJdbc widens the remote table on additive schema drift; pre-drift rows read back NULL") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
