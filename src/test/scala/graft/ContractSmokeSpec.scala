@@ -49,4 +49,16 @@ class ContractSmokeSpec extends SparkSuite {
         |FROM daily ORDER BY d""".stripMargin).collect().toSeq
     assert(got == exp, "two-phase q9 must match the global frame across the year gap")
   }
+
+  test("q9 returns an empty frame on empty input (r19 ADVICE: zero-arg map() fails analysis)") {
+    // zero-entry map() types as map<string,string>, so an unguarded
+    // element_at(_, int yr) fails ANALYSIS on an empty orders table —
+    // the guard mirrors succCol's: both driver literals null out
+    val dir = java.nio.file.Files.createTempDirectory("graft_q9empty").toString
+    import spark.implicits._
+    Seq.empty[(java.sql.Date, Double)].toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    assert(SparkEntry.queries("q9_window_frames")(spark, dir).collect().isEmpty,
+      "empty input must yield an empty frame, not an analysis error")
+  }
 }
