@@ -3547,7 +3547,12 @@ object Pipeline {
   // aggs), whitening is ONE map-only pass with 2×64 doubles of
   // driver state riding the plan as literals, and the retrieval
   // inherits p24's proven shape — M-byte codes to the pool cut,
-  // fixed rescore budget, corpus never shuffles for queries.
+  // fixed rescore budget, corpus never shuffles for queries. This
+  // gate's UN-ROUTED corpus-wide ADC scan (and its per-qid pool
+  // window over it) is the measurement, not the serving plan: it
+  // isolates quantization quality from routing recall. The serving
+  // shape — whitening composed into the ROUTED filtered stack, where
+  // every window covers only probed-list candidates — is p51.
 
   /** ds = Σ round(ce·v·1e6) as an exact e6 integer — the per-row
     * projection fold shared by the whitening trainer and apply. */
