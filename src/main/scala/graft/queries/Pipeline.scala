@@ -1043,24 +1043,12 @@ object Pipeline {
       .orderBy(col("qid"), col("rn"))
   }
 
-  val p22 = QuerySpec(
-    "p22_ann_ivf_trained",
-    (s, d) => {
-      graft.expressions.VectorExpressions.register(s)
-      val e0 = embeddings(s, d).select(col("vec_id"), col("embedding"))
-        .persist() // reused: training scans (×iters), list build, rescoring
-      // forceKernel: the strategies are bit-identical (fuzz-pinned), and
-      // at this corpus size the expanded plan's per-iteration janino
-      // compile of a K·dim-wide projection dominates — p20 keeps gating
-      // the expanded strategy; p22's job is the end-to-end search
-      val model = graft.ops.KMeans.fit(e0, "vec_id", "embedding", kmK, kmIters,
-        forceKernel = true)
-      val lists = graft.ops.KMeans.assign(e0, "embedding", model, forceKernel = true)
-        .select(col("vec_id"), col("cluster").as("list_id"))
-        .persist() // the argmax projection evaluates ONCE (joined twice below)
-      trainedIvfSearch(e0, model, lists)
-    },
-    Some(s"""${duckKmeansPrefix(kmK)},
+  /** The p22 DuckDB oracle (train trajectory → assignment → probe →
+    * exact rescore) — shared by p22 and p52 (the index round-trip gate
+    * serves the IDENTICAL results from loaded artifacts, so the same
+    * SQL is its oracle). */
+  private def duckTrainedIvfSql: String =
+    s"""${duckKmeansPrefix(kmK)},
             |cnF AS (SELECT cent_id, SQRT(SUM(v*v)) AS cnrm FROM c$kmIters GROUP BY 1),
             |scF AS (SELECT f.vec_id, c.cent_id, SUM(f.v * c.v) AS dot
             |        FROM f JOIN c$kmIters c ON c.i = f.i GROUP BY 1, 2),
@@ -1083,7 +1071,59 @@ object Pipeline {
             |r AS (SELECT qid, cid, cos, ROW_NUMBER() OVER
             |        (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) AS rn FROM pc)
             |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, ROUND(cos, 6) AS cosine
-            |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
+            |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  val p22 = QuerySpec(
+    "p22_ann_ivf_trained",
+    (s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      val e0 = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .persist() // reused: training scans (×iters), list build, rescoring
+      // forceKernel: the strategies are bit-identical (fuzz-pinned), and
+      // at this corpus size the expanded plan's per-iteration janino
+      // compile of a K·dim-wide projection dominates — p20 keeps gating
+      // the expanded strategy; p22's job is the end-to-end search
+      val model = graft.ops.KMeans.fit(e0, "vec_id", "embedding", kmK, kmIters,
+        forceKernel = true)
+      val lists = graft.ops.KMeans.assign(e0, "embedding", model, forceKernel = true)
+        .select(col("vec_id"), col("cluster").as("list_id"))
+        .persist() // the argmax projection evaluates ONCE (joined twice below)
+      trainedIvfSearch(e0, model, lists)
+    },
+    Some(duckTrainedIvfSql))
+
+  // p52 — PERSISTENT-INDEX ROUND-TRIP under the driver's own hash
+  // (B.7, added r20): train the IVF quantizer, SAVE the model and the
+  // list_id-partitioned membership table through graft.ops.IndexStore,
+  // then serve the search ENTIRELY from the LOADED artifacts — the
+  // train-once/serve-many boundary a production retrieval service
+  // lives on, gated end-to-end instead of only spec-pinned
+  // (IndexStoreSpec pins bit-equality; this row puts load-equals-train
+  // in CORRECTNESS_r*.json). The oracle is p22's verbatim: a correct
+  // store is INVISIBLE in the results, so the same SQL hashes both.
+  // Scale shape: p22's plus one bounded artifact write/read (K rows +
+  // K×dim doubles + the membership table, whose probe reads are
+  // partition-pruned by list — the IndexStoreSpec pin).
+  val p52 = QuerySpec(
+    "p52_ann_index_roundtrip",
+    (s, d) => {
+      graft.expressions.VectorExpressions.register(s)
+      val e0 = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .persist() // training scans (×iters), list build, rescoring
+      val model = graft.ops.KMeans.fit(e0, "vec_id", "embedding", kmK, kmIters,
+        forceKernel = true)
+      val lists = graft.ops.KMeans.assign(e0, "embedding", model, forceKernel = true)
+        .select(col("vec_id"), col("cluster").as("list_id"))
+      val root = java.nio.file.Files.createTempDirectory("graft_p52_idx").toString
+      graft.ops.IndexStore.saveKMeans(s, model, s"$root/model")
+      graft.ops.IndexStore.saveMembership(lists, s"$root/lists", kmK)
+      // the serving run: every routing artifact comes off disk
+      val lm = graft.ops.IndexStore.loadKMeans(s, s"$root/model")
+      val (ll, k) = graft.ops.IndexStore.loadMembership(s, s"$root/lists")
+      require(k == kmK, s"[graft] p52 reloaded k=$k, trained $kmK")
+      trainedIvfSearch(e0, lm, ll)
+    },
+    Some(duckTrainedIvfSql))
 
   // p23 — int8 SCALAR QUANTIZATION of the embedding corpus + quantized
   // coarse top-k + exact rescore (B.7, added r16): the memory-bandwidth
@@ -4356,5 +4396,5 @@ object Pipeline {
     Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p12, p13, p14, p15, p16, p17, m1,
       p20, p20b, p21, p21b, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p34b, p34c,
       p35, p36, p37, p37b, p38, p39, p39b, p40, p40b, p40c, p41, p42, p43, p43b, p44, p45, p46, p47,
-      p40d, p48, p49, p50, p51)
+      p40d, p48, p49, p50, p51, p52)
 }
