@@ -57,6 +57,14 @@ object IndexStore {
       params: Map[String, String] = Map.empty,
       partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
+    // RE-saves must first INVALIDATE the previous commit marker: the
+    // data overwrite below deletes the old payload before the new one
+    // lands, and a crash mid-write would otherwise leave the STALE
+    // meta validating torn data — the exact silent read the marker
+    // protocol exists to refuse.
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) fs.delete(metaPath, true)
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$path/data")

@@ -1114,7 +1114,11 @@ object Pipeline {
         forceKernel = true)
       val lists = graft.ops.KMeans.assign(e0, "embedding", model, forceKernel = true)
         .select(col("vec_id"), col("cluster").as("list_id"))
-      val root = java.nio.file.Files.createTempDirectory("graft_p52_idx").toString
+      // deterministic per-dataset temp root, rewritten in place by
+      // save()'s overwrite: repeated gate/bench invocations reuse one
+      // tree instead of leaking a directory per run
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_p52_idx_" +
+        java.lang.Integer.toHexString(d.hashCode)
       graft.ops.IndexStore.saveKMeans(s, model, s"$root/model")
       graft.ops.IndexStore.saveMembership(lists, s"$root/lists", kmK)
       // the serving run: every routing artifact comes off disk
@@ -1785,19 +1789,37 @@ object Pipeline {
       .orderBy(col("inc_id"))
   }
 
+  /** Registry for the persist() boundaries the dedup helpers create —
+    * one-shot gates leave them cached for the session (Bench clears
+    * between queries), but the STREAMING ingest loop
+    * ([[graft.streaming.Streams.maintainDedupIndex]]) calls the
+    * helpers every micro-batch and must release them per batch or the
+    * cache set grows without bound for the life of the stream. */
+  private[graft] final class DedupCaches {
+    private val frames = scala.collection.mutable.Buffer[DataFrame]()
+    private[queries] def track(df: DataFrame): DataFrame = {
+      frames.synchronized { frames += df }; df
+    }
+    def release(): Unit = frames.synchronized {
+      frames.foreach(_.unpersist()); frames.clear()
+    }
+  }
+
   /** MinHash band values (the LSH bucket keys) of a `(doc_id, sh)`
     * frame — the exact banding [[incrementalDedup]] computes inline:
     * 8 minhash projections over the cached md5 base hashes, folded
     * into 2 bands of 4. Shared by the inline path and the persistent
     * index builder so the stored index cannot drift from the live
     * banding. */
-  private def minhashBands(withSh: DataFrame): DataFrame = {
+  private def minhashBands(withSh: DataFrame,
+      caches: Option[DedupCaches] = None): DataFrame = {
     // cache boundary before the 8 per-seed projections — without it
     // projection collapse inlines the md5 transform into each one
     // (the measured 15× signing cliff incrementalDedup documents)
     val hs = withSh.withColumn("hs", expr(TextFns.md5IntsExpr("sh")))
       .select(col("doc_id"), col("hs"))
       .persist()
+    caches.foreach(_.track(hs))
     val sig = hs.select(Seq(col("doc_id")) ++
       (0 until 8).map(k => expr(TextFns.minhashExpr("hs", k)).as(s"mh$k")): _*)
     sig.select(col("doc_id"), explode(array(
@@ -1821,8 +1843,9 @@ object Pipeline {
 
   /** The two index tables of a `(doc_id, sh)` frame: MinHash bands
     * `(db, band_id, band_val)` + distinct shingles `(db, s)`. */
-  private[graft] def dedupIndexTables(withSh: DataFrame): (DataFrame, DataFrame) = (
-    minhashBands(withSh)
+  private[graft] def dedupIndexTables(withSh: DataFrame,
+      caches: Option[DedupCaches] = None): (DataFrame, DataFrame) = (
+    minhashBands(withSh, caches)
       .select(col("doc_id").as("db"), col("band_id"), col("band_val")),
     withSh.select(col("doc_id").as("db"), explode(array_distinct(col("sh"))).as("s")))
 
@@ -1846,8 +1869,9 @@ object Pipeline {
     * ingest loop ([[graft.streaming.Streams.maintainDedupIndex]]) all
     * execute the identical plan. */
   private[graft] def dedupDecide(incWithSh: DataFrame,
-      corpusBands: DataFrame, corpusShingles: DataFrame): DataFrame = {
-    val incBands = minhashBands(incWithSh)
+      corpusBands: DataFrame, corpusShingles: DataFrame,
+      caches: Option[DedupCaches] = None): DataFrame = {
+    val incBands = minhashBands(incWithSh, caches)
       .select(col("doc_id").as("da"), col("band_id"), col("band_val"))
     val cand = incBands.join(
         corpusBands.select(col("db"), col("band_id").as("band_id2"), col("band_val").as("band_val2")),
@@ -1867,6 +1891,7 @@ object Pipeline {
       .withColumn("rj", round(col("jaccard"), 6))
       .select(col("da"), col("db"), col("rj"))
       .persist()
+    caches.foreach(_.track(m))
     dedupDecisionFrame(incWithSh.select(col("doc_id").as("inc_id")), m)
   }
 

@@ -1274,6 +1274,19 @@ object Streams {
     })
   }
 
+  /** Two relations mapped to ONE target table would silently
+    * interleave their histories (the drift guard even widens the
+    * table with the union of both schemas) — refuse at build, the
+    * JDBC twin of the parquet demuxes' state-dir collision guard. */
+  private def requireDistinctTargets(relations: Seq[Envelope.Relation],
+      tableNames: String => String): Unit = {
+    val targets = relations.map(r => tableNames(r.name))
+    val dup = targets.diff(targets.distinct).distinct
+    require(dup.isEmpty,
+      s"[graft] tableNames maps two relations to the same table (${dup.mkString(", ")}) — " +
+        "per-relation materializations must not interleave; fix the mapping")
+  }
+
   /** Run the per-relation applies of one micro-batch, optionally
     * `parallelism`-wide. The applies are INDEPENDENT by construction —
     * disjoint state dirs / tables, each internally idempotent — so at
@@ -1779,6 +1792,7 @@ object Streams {
       maxConcurrentRelations: Int = 1,
       allowSinkOnlyColumns: Boolean = false,
       orderedTransport: Boolean = true): StreamingQuery = {
+    requireDistinctTargets(relations, tableNames)
     val started = new java.util.concurrent.atomic.AtomicBoolean(false)
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
@@ -1891,6 +1905,7 @@ object Streams {
       casQuietGcEvery: Long = 32L): StreamingQuery = {
     require(casQuietGcEvery > 0L,
       s"[graft] casQuietGcEvery must be positive (got $casQuietGcEvery)")
+    requireDistinctTargets(relations, tableNames)
     val probed = new java.util.concurrent.atomic.AtomicBoolean(false)
     runForeachBatch(envelopes, checkpoint, (batch, batchId) => {
       requireSinkBinding(batch.sparkSession.sparkContext.hadoopConfiguration,
@@ -1989,10 +2004,8 @@ object Streams {
             // ≤ K driver rows — the touched-bucket discipline
             val touched = assigned.select(col("list_id")).distinct()
               .collect().map(_.getInt(0)).toSeq
-            val (existing, _) = graft.ops.IndexStore.load(spark, indexPath, "ivf_membership")
-            val mine = existing
-              .select(col("vec_id"), col("list_id").cast("int").as("list_id"))
-              .filter(col("list_id").isin(touched: _*))
+            val (existing, _) = graft.ops.IndexStore.loadMembership(spark, indexPath)
+            val mine = existing.filter(col("list_id").isin(touched: _*))
             // redelivered vectors assign to the same list under the
             // frozen model — the vec_id merge folds them away
             mine.unionByName(assigned).dropDuplicates("vec_id")
@@ -2050,16 +2063,21 @@ object Streams {
           // appends only — the replay screen
           def upTo(df: DataFrame) =
             df.filter(col("batch_id").cast("long") < batchId).drop("batch_id")
+          // per-batch cache registry: the helpers' persist boundaries
+          // (md5 base hashes, verified matches) must release once the
+          // batch's writes land, or a long-running stream pins one
+          // cache set per micro-batch forever
+          val caches = new graft.queries.Pipeline.DedupCaches
           val withSh = graft.queries.Pipeline.docShingleFrame(
             b.select(col("doc_id"), col("text")))
           try {
             val decisions = graft.queries.Pipeline.dedupDecide(
-              withSh, upTo(bandsAll), upTo(shAll)).persist()
+              withSh, upTo(bandsAll), upTo(shAll), Some(caches)).persist()
             try {
               val admitted = decisions.filter(col("decision") === "admit")
                 .select(col("inc_id").as("doc_id"))
               val (newBands, newShingles) = graft.queries.Pipeline.dedupIndexTables(
-                withSh.join(broadcast(admitted), Seq("doc_id"), "left_semi"))
+                withSh.join(broadcast(admitted), Seq("doc_id"), "left_semi"), Some(caches))
               def appendPartition(df: DataFrame, path: String): Unit =
                 df.withColumn("batch_id", lit(batchId))
                   .repartition(1)
@@ -2071,7 +2089,7 @@ object Streams {
               appendPartition(newShingles, s"$indexRoot/shingles/data")
               appendPartition(decisions, s"$indexRoot/decisions")
             } finally decisions.unpersist()
-          } finally withSh.unpersist()
+          } finally { withSh.unpersist(); caches.release() }
         }
       } finally b.unpersist()
     })
@@ -2127,20 +2145,43 @@ object Streams {
 
   private def horizonPath(statePath: String) =
     new org.apache.hadoop.fs.Path(s"${statePath}__compact_horizon")
+  private def horizonTmpPath(statePath: String) =
+    new org.apache.hadoop.fs.Path(s"${statePath}__compact_horizon.tmp")
 
-  /** The compaction horizon recorded for an SCD2 history, if any. */
+  private def readLongFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Long] = {
+    val in = fs.open(p)
+    val s = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim
+    } finally in.close()
+    scala.util.Try(s.toLong).toOption
+  }
+
+  /** The compaction horizon recorded for an SCD2 history, if any.
+    * Marker writes go temp-then-swap (the [[requireSinkBinding]]
+    * discipline), so every crash window resolves safely here:
+    *  - marker present → its value (a corrupt marker cannot be
+    *    produced by the writer — it lands via rename — but refuse
+    *    LOUDLY if one appears rather than reading past it);
+    *  - marker missing but a COMPLETE tmp present → the tmp's value
+    *    (the crash sat between the old marker's delete and the
+    *    rename; the tmp was fully written first, so using it
+    *    over-refuses, never under-refuses);
+    *  - neither parsable → no horizon (a crash during the FIRST
+    *    marker write — nothing was compacted yet, the rewrite only
+    *    starts after the marker lands). */
   def scd2CompactHorizon(spark: SparkSession, statePath: String): Option[Long] = {
     val p = horizonPath(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    if (fs.exists(p))
+      Some(readLongFile(fs, p).getOrElse(throw new IllegalStateException(
+        s"[graft] corrupt compaction marker at $p — refuse rather than read past a " +
+          "compacted horizon; delete it and re-run compactScd2 at or above the last horizon")))
     else {
-      val in = fs.open(p)
-      val s = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim
-      } finally in.close()
-      Some(s.toLong)
+      val tmp = horizonTmpPath(statePath)
+      if (fs.exists(tmp)) readLongFile(fs, tmp) else None
     }
   }
 
@@ -2180,9 +2221,16 @@ object Streams {
     scd2CompactHorizon(spark, statePath).foreach(h => require(horizon >= h,
       s"[graft] compaction horizon can only advance: stored $h, asked $horizon — " +
         "history below the stored horizon is already gone"))
-    val out = fs.create(horizonPath(statePath), true)
+    // temp-then-swap: the tmp is COMPLETE before the old marker goes
+    // away, so no crash window can lose an already-recorded horizon
+    // (see scd2CompactHorizon's resolution table)
+    val markerTmp = horizonTmpPath(statePath)
+    val out = fs.create(markerTmp, true)
     try out.write(horizon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val marker = horizonPath(statePath)
+    if (fs.exists(marker)) checkedFs(fs.delete(marker, false), s"delete $marker")
+    checkedFs(fs.rename(markerTmp, marker), s"rename $markerTmp -> $marker")
     val df = spark.read.parquet(statePath)
     val kept = df.filter(col("valid_to").isNull || col("valid_to") > horizon)
     val partitioned = df.columns.contains(bucketCol)

@@ -1748,6 +1748,32 @@ class StreamsExtraSpec extends SparkSuite {
     }
   }
 
+  test("compaction marker crash windows: complete tmp wins when the marker is missing; corrupt markers refuse loudly") {
+    import java.nio.file.{Files, Paths}
+    val state = Files.createTempDirectory("graft_cmp_marker").toString + "/hist"
+    // crash between old-marker delete and rename: only the COMPLETE
+    // tmp exists — its (newer) horizon must be honored (over-refusal)
+    Files.write(Paths.get(s"${state}__compact_horizon.tmp"),
+      "4096".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Streams.scd2CompactHorizon(spark, state).contains(4096L))
+    // a real marker always wins over the tmp
+    Files.write(Paths.get(s"${state}__compact_horizon"),
+      "2048".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Streams.scd2CompactHorizon(spark, state).contains(2048L))
+    // a corrupt marker (not producible by the temp-then-swap writer,
+    // but defense) refuses loudly rather than reading past a horizon
+    Files.write(Paths.get(s"${state}__compact_horizon"),
+      "".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException] { Streams.scd2CompactHorizon(spark, state) }
+    assert(e.getMessage.contains("corrupt compaction marker"), e.getMessage)
+    // crash DURING the first tmp write (no marker, garbage tmp): no
+    // horizon — nothing was compacted yet, reads stay unrestricted
+    Files.delete(Paths.get(s"${state}__compact_horizon"))
+    Files.write(Paths.get(s"${state}__compact_horizon.tmp"),
+      "garbage".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Streams.scd2CompactHorizon(spark, state).isEmpty)
+  }
+
   test("maintainIvfMembership: streamed membership == batch assign after every micro-batch; restart and lost commit are no-ops") {
     import java.nio.file.Files
     graft.expressions.VectorExpressions.register(spark)
