@@ -74,6 +74,32 @@ object IndexStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Invalidate-then-recommit wrapper for IN-PLACE maintenance writes
+    * to an existing artifact's `data` tree (the streaming index
+    * maintainers append/overwrite partitions without rewriting the
+    * whole artifact): the commit marker is deleted BEFORE the write
+    * and rewritten verbatim after it, mirroring [[save]]'s marker-swap
+    * discipline — a crash mid-write leaves an index that loudly
+    * refuses to load (the stream's checkpoint replay then repairs it)
+    * instead of a stale marker validating torn data for a concurrent
+    * serving reader. Requires a committed artifact of the given kind
+    * at `path`. */
+  def maintainData(spark: SparkSession, path: String, kind: String)(write: => Unit): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"[graft] maintenance write to $path, but no committed index there (missing meta) — " +
+        "seed the artifact with save() first")
+    val m = spark.read.parquet(s"$path/meta").collect()
+    require(m.length == 1, s"[graft] corrupt index meta at $path/meta: ${m.length} rows")
+    require(m(0).getString(1) == kind,
+      s"[graft] index at $path holds a '${m(0).getString(1)}' artifact, maintenance expected '$kind'")
+    fs.delete(metaPath, true)
+    write
+    spark.createDataFrame(java.util.List.of(m(0)), metaSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** Load an index table, validating kind + format version against the
     * commit marker. Returns (data, params). */
   def load(spark: SparkSession, path: String, kind: String): (DataFrame, Map[String, String]) = {

@@ -193,22 +193,42 @@ object KMeans {
     // both argmax strategies refuse it loudly (ANSI divide / kernel
     // throw) — correct for a gate, brutal for a 100 TB training run
     // that dies at iteration 40 on one bad row. Default: exclude them
-    // with a SURFACED count (Model.degenerate + a warn log) before
-    // seeding/scoring — one extra scan per fit, not per iteration.
+    // with a SURFACED count (Model.degenerate + a warn log).
     // NaN-payload vectors are NOT filtered (Spark orders NaN greatest,
     // so `> 0.0` keeps them): their pinned NaN-cosine ranking applies.
     // Opt out (dropDegenerate=false) to keep the loud refusal.
-    val (withNrm, nDegenerate) =
-      if (!dropDegenerate) (raw, 0L)
-      else {
-        val bad = raw.filter(!(col("__nrm") > 0.0)).count()
-        if (bad > 0) org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"[graft] kmeans: excluded $bad zero-norm vector(s) from training")
-        (if (bad > 0) raw.filter(col("__nrm") > 0.0) else raw, bad)
-      }
+    //
+    // r21 optimization (guide §1.2: fewer passes): the exclusion count
+    // used to be its OWN full-corpus count() job before seeding; it now
+    // rides the seed job as an observe() metric on the pre-filter scan
+    // (the seed TakeOrdered visits every partition, so the metric is
+    // exact). One full corpus pass per fit removed; the filter itself
+    // is applied unconditionally — on a clean corpus it keeps every
+    // row, so the training set (and the trajectory) is unchanged.
+    val obs = if (dropDegenerate)
+      Some(new org.apache.spark.sql.Observation()) else None
+    // the observed frame backs ONLY the seed job (iteration plans stay
+    // free of the CollectMetrics node); withNrm is the training input
+    val withNrm =
+      if (dropDegenerate) raw.filter(col("__nrm") > 0.0) else raw
+    val seedSrc = obs match {
+      case Some(o) =>
+        raw.observe(o, sum(when(!(col("__nrm") > 0.0), 1L).otherwise(0L)).as("bad"))
+          .filter(col("__nrm") > 0.0)
+      case None => raw
+    }
 
-    val seeds = withNrm.orderBy(col(idCol)).limit(k)
+    val seeds = seedSrc.orderBy(col(idCol)).limit(k)
       .select(col(idCol), col(vecCol)).collect()
+    val nDegenerate = obs.map { o =>
+      val bad = o.get.get("bad") match {
+        case Some(v: Long) => v
+        case _ => 0L // null sum = zero rows scanned = nothing excluded
+      }
+      if (bad > 0) org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"[graft] kmeans: excluded $bad zero-norm vector(s) from training")
+      bad
+    }.getOrElse(0L)
     require(seeds.length == k,
       s"[graft] kmeans asked for k=$k seeds but the corpus has only ${seeds.length} rows")
     val seedIds = seeds.map(_.getLong(0))

@@ -569,9 +569,16 @@ object Pipeline {
         .select(col("vec_id").as("qid"), col("cent_id").as("list_id"))
       val qvec = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      // no distinct(): (qid, vec_id) is unique by construction — each
+      // vec_id holds exactly ONE membership row (crn = 1) and probes
+      // carry each (qid, list_id) once, so the list equi-join can never
+      // duplicate a pair. The distinct was a full extra Exchange +
+      // two HashAggregates over the candidate set for nothing
+      // (guide §2.4: "a distinct on data that is already unique");
+      // the oracle's SELECT DISTINCT is equally a no-op on its side.
       val cand = assigned.join(broadcast(probes), "list_id")
         .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id")).distinct()
+        .select(col("qid"), col("vec_id"))
       val pairs = cand
         .join(e, "vec_id")
         .join(broadcast(qvec), "qid")
@@ -1028,9 +1035,13 @@ object Pipeline {
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= ivfProbe)
       .select(col("qid"), col("list_id"))
+    // no distinct(): membership rows are unique per vec_id (argmax
+    // assignment / the saved index's primary key) and probes are unique
+    // per (qid, list_id), so the equi-join cannot duplicate (qid,
+    // vec_id) — the distinct cost a full extra Exchange (guide §2.4)
     val cand = lists.join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id")).distinct()
+      .select(col("qid"), col("vec_id"))
     val pairs = cand
       .join(e, "vec_id")
       .join(broadcast(q), "qid")
@@ -1114,11 +1125,15 @@ object Pipeline {
         forceKernel = true)
       val lists = graft.ops.KMeans.assign(e0, "embedding", model, forceKernel = true)
         .select(col("vec_id"), col("cluster").as("list_id"))
-      // deterministic per-dataset temp root, rewritten in place by
-      // save()'s overwrite: repeated gate/bench invocations reuse one
-      // tree instead of leaking a directory per run
+      // deterministic per-(process, dataset) temp root, rewritten in
+      // place by save()'s overwrite: repeated gate/bench invocations in
+      // one JVM reuse one tree instead of leaking a directory per run,
+      // while the pid token + full sanitized path keep two concurrent
+      // JVMs (or distinct datasets with colliding hashCodes) from
+      // racing save/load on the same tree (r21, ADVICE)
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_p52_idx_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        ProcessHandle.current().pid() + "_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
       graft.ops.IndexStore.saveKMeans(s, model, s"$root/model")
       graft.ops.IndexStore.saveMembership(lists, s"$root/lists", kmK)
       // the serving run: every routing artifact comes off disk
@@ -2057,7 +2072,11 @@ object Pipeline {
       val covered = spans.join(dup, "span")
         .select(col("doc_id"),
           explode(expr(s"sequence(pos, pos + ${dupSpanN - 1})")).as("idx"))
-        .distinct()
+      // no distinct() before the rollup: collect_set dedups by
+      // definition, and Catalyst's RemoveRedundantAggregates was
+      // already folding the distinct away (r21 plan audit: operator
+      // counts identical with and without it) — dropped from the
+      // source so the code says what the plan does
       val cov = covered.groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("idx"))).as("cov"))
       t.join(cov, Seq("doc_id"), "left")
@@ -2331,9 +2350,14 @@ object Pipeline {
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= ivfProbe)
       .select(col("qid"), col("list_id"))
+    // no distinct(): members is unique per vec_id (argmax assignment,
+    // optionally semi-join-pruned — pruning can't create rows) and
+    // probes are unique per (qid, list_id), so the equi-join cannot
+    // duplicate (qid, vec_id) — the distinct cost a full extra
+    // Exchange over the candidate set (guide §2.4)
     val cand = members.join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id")).distinct()
+      .select(col("qid"), col("vec_id"))
     // ADC over list members only: exact query float vs reconstructed codes
     val dotA = "aggregate(zip_with(qe, rv, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
     val scored = cand
@@ -3450,9 +3474,11 @@ object Pipeline {
           (x, y) => round(x * y * 1e6).cast("long")), lit(0L), (a, x) => a + x))
         .select(col("vec_id"), deflateArr(col("ds"), v1).as("ce"))
         .persist() // scanned ×iters by the second chain
-      cen2.count() // materialize before dropping the parent cache
-      cen.unpersist()
+      // no count() barrier (r21, guide §1.2): chain 2's first iteration
+      // job materializes cen2 from the still-cached cen — one fewer
+      // job; cen unpersists after the chain instead of before it
       val traj2 = pcaIterate(cen2, n, pcaIters)
+      cen.unpersist()
       cen2.unpersist()
       val (v2, lam2) = traj2.last
       val ortho = v1.zip(v2).map { case (a, b) =>
@@ -3509,7 +3535,9 @@ object Pipeline {
           (x, y) => round(x * y * 1e6).cast("long")), lit(0L), (a, x) => a + x))
         .select(col("vec_id"), deflateArr(col("ds"), v1).as("ce"))
         .persist() // scanned ×iters by the second chain
-      cen2.count() // materialize before the second chain re-reads cen
+      // no count() barrier (r21, guide §1.2): cen stays cached through
+      // the projection pass below anyway, so chain 2's first iteration
+      // materializes cen2 straight off the cache — one fewer job
       val (v2, lam2) = pcaIterate(cen2, n, pcaIters).last
       cen2.unpersist()
       // whitening scale per component: σ = round(√λ, 6) — driver
@@ -3641,7 +3669,9 @@ object Pipeline {
       .withColumn("ds", whitenDsOf(v1))
       .select(col("vec_id"), deflateArr(col("ds"), v1).as("ce"))
       .persist() // scanned ×iters by the second chain
-    cen2.count()
+    // no count() barrier (r21, guide §1.2): the second chain's first
+    // iteration job materializes cen2 from the still-cached cen —
+    // same scans, one fewer job. cen unpersists AFTER that happens.
     val (v2, lam2) = pcaIterate(cen2, n, pcaIters).last
     cen2.unpersist()
     cen.unpersist()
@@ -3679,7 +3709,9 @@ object Pipeline {
       .withColumn("wnrm", sqrt(expr(
         "aggregate(zip_with(embedding, embedding, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
       .persist() // scanned: codebook seeds, encode, query side, rescore
-    wht.count()
+    // no count() barrier (r21, guide §1.2): the first consumer action
+    // (the PQ codebook's seed TakeOrdered scans every partition)
+    // materializes the cache — one fewer full-pass job per caller
     wht
   }
 
@@ -4129,21 +4161,30 @@ object Pipeline {
         val raw6 = r6(hllC / sS)
         if (raw6 <= 640.0 && v > 0) r6(256.0 * math.log(256.0 / v)) else raw6
       }
-      def regsWhere(cond: org.apache.spark.sql.Column): Array[(Int, Int)] =
-        ranks.filter(cond).groupBy(col("bucket")).agg(max(col("rank")).as("m_"))
-          .collect().map(r => (r.getLong(0).toInt, r.getInt(1)))
-      val regsA = regsWhere(col("side") === 0)
-      val regsB = regsWhere(col("side") === 1)
+      // ONE register job for both sides (r21, guide §1.2 — was one
+      // filtered job per side): group by (side, bucket), split on the
+      // driver; ≤ 2×256 rows of driver state
+      val regRows = ranks.groupBy(col("side"), col("bucket"))
+        .agg(max(col("rank")).as("m_"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1).toInt, r.getInt(2))))
+      val regsA = regRows.collect { case (0L, br) => br }
+      val regsB = regRows.collect { case (1L, br) => br }
       val (estA, estB) = (estOf(regsA), estOf(regsB))
       // the merge law: union registers = elementwise max of the parts
       val estU = estOf(regsA ++ regsB)
       val estI = r6(estA + estB - estU)
-      val dx = base.distinct().persist()
-      val nA = dx.filter(col("side") === 0).count()
-      val nB = dx.filter(col("side") === 1).count()
-      val nU = dx.select(col("big")).distinct().count()
+      // ONE exact-count job (r21 — was a distinct materialization plus
+      // three count jobs): the per-side distincts are conditional
+      // count(DISTINCT CASE ...) aggregates, identical semantics (a
+      // side's CASE is NULL on the other side's rows and count ignores
+      // nulls), one action instead of four
+      val cnt = base.agg(
+        countDistinct(when(col("side") === 0, col("big"))).as("n_a"),
+        countDistinct(when(col("side") === 1, col("big"))).as("n_b"),
+        countDistinct(col("big")).as("n_union")).head()
+      val (nA, nB, nU) = (cnt.getLong(0), cnt.getLong(1), cnt.getLong(2))
       val nI = nA + nB - nU
-      dx.unpersist(); base.unpersist()
+      base.unpersist()
       Seq((estA, estB, estU, estI, nA, nB, nU, nI))
         .toDF("est_a", "est_b", "est_union", "est_inter",
           "n_a", "n_b", "n_union", "n_inter")

@@ -1285,6 +1285,16 @@ object Streams {
     require(dup.isEmpty,
       s"[graft] tableNames maps two relations to the same table (${dup.mkString(", ")}) — " +
         "per-relation materializations must not interleave; fix the mapping")
+    // a target may also collide with ANOTHER target's JDBC compaction
+    // sidecar '<table>_graft_horizon' (graft.sources.Jdbc.horizonTable):
+    // its rows would be read back as a horizon marker and clobbered by
+    // compactScd2Table — the parquet side's '__compact_horizon' name
+    // guard, mirrored here (r21, ADVICE)
+    val sidecars = targets.map(t => s"${t}_graft_horizon").toSet
+    val clash = targets.filter(sidecars.contains).distinct
+    require(clash.isEmpty,
+      s"[graft] tableNames maps a relation to ${clash.mkString(", ")}, which is another " +
+        "target's compaction-horizon sidecar name — rename the target")
   }
 
   /** Run the per-relation applies of one micro-batch, optionally
@@ -1708,6 +1718,13 @@ object Streams {
     })
   }
 
+  /** Max keys per pushed-down IN predicate on the unordered SCD2 JDBC
+    * read path — wide batches chunk into several pushed scans instead
+    * of one unbounded IN list (remote engines cap SQL text/parameter
+    * counts; Derby's and Postgres's practical limits sit far above
+    * this, so the dial is conservative). */
+  private[streaming] val scd2JdbcInChunk = 1000
+
   /** One relation's micro-batch folded into its JDBC SCD2 history —
     * the per-batch body shared by [[materializeScd2Jdbc]] and
     * [[materializeScd2JdbcTables]] (the [[applyBatchJdbc]] split,
@@ -1750,15 +1767,21 @@ object Streams {
       // scd2RebuildUnordered — parquet and JDBC cannot drift) from the
       // table's own rows + the batch, then REPLACES its stored rows.
       // The touched-key list is a batch-bounded driver collect (the
-      // touched-bucket discipline); it re-enters the plan as an IN
-      // predicate the JDBC source pushes down, so the read is a
-      // touched-keys scan, not O(state). (A production catalog with
-      // very wide batches would land the keys in a temp table and
-      // push a join instead — same shape, unbounded IN list avoided.)
+      // touched-bucket discipline); it re-enters the plan as IN
+      // predicates the JDBC source pushes down, so the read is a
+      // touched-keys scan, not O(state). The IN list is CHUNKED
+      // (r21, ADVICE): one unbounded isin over a very wide batch can
+      // exceed the remote engine's SQL/parameter limits — each chunk
+      // becomes its own pushed-down scan and the union feeds ONE
+      // rebuild+replace, so the apply semantics are unchanged. (A
+      // production catalog with even wider batches would land the keys
+      // in a temp table and push a join — same shape.)
       val keys = events.select(col(keyCol)).distinct().collect().map(_.get(0)).toSeq
       if (keys.nonEmpty) {
-        val mine = graft.sources.Jdbc.snapshot(projected.sparkSession, url, table, props)
-          .filter(col(keyCol).isin(keys: _*))
+        val snap = graft.sources.Jdbc.snapshot(projected.sparkSession, url, table, props)
+        val mine = keys.grouped(scd2JdbcInChunk)
+          .map(ch => snap.filter(col(keyCol).isin(ch: _*)))
+          .reduce(_ unionByName _)
         val rebuilt = scd2RebuildUnordered(mine, events, keyCol)
         graft.sources.Jdbc.replaceScd2Keys(
           rebuilt.repartition(col(keyCol)).sortWithinPartitions(col(keyCol), col("valid_from")),
@@ -2007,13 +2030,27 @@ object Streams {
             val (existing, _) = graft.ops.IndexStore.loadMembership(spark, indexPath)
             val mine = existing.filter(col("list_id").isin(touched: _*))
             // redelivered vectors assign to the same list under the
-            // frozen model — the vec_id merge folds them away
-            mine.unionByName(assigned).dropDuplicates("vec_id")
+            // frozen model — the vec_id merge folds them away.
+            // localCheckpoint(eager): the merge READS the same
+            // partition files the write below overwrites — snapshot
+            // the merged rows (O(touched lists), the operator's own
+            // cost class) so the write job never races its read side
+            // (r21, ADVICE — the rename-aside discipline's cheap twin)
+            val merged = mine.unionByName(assigned).dropDuplicates("vec_id")
               .repartition(col("list_id"))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("list_id")
-              .parquet(s"$indexPath/data")
+              .localCheckpoint(true)
+            try {
+              // marker swap (r21, ADVICE): invalidate the commit
+              // marker around the in-place partition overwrite so a
+              // crash mid-write leaves a load-refusing index, never a
+              // stale marker over torn data; replay repairs it
+              graft.ops.IndexStore.maintainData(spark, indexPath, "ivf_membership") {
+                merged.write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("list_id")
+                  .parquet(s"$indexPath/data")
+              }
+            } finally merged.unpersist()
           } finally assigned.unpersist()
         }
       } finally b.unpersist()
@@ -2085,8 +2122,16 @@ object Streams {
                   .option("partitionOverwriteMode", "dynamic")
                   .partitionBy("batch_id")
                   .parquet(path)
-              appendPartition(newBands, s"$indexRoot/bands/data")
-              appendPartition(newShingles, s"$indexRoot/shingles/data")
+              // marker swap on the two INDEX artifacts (r21, ADVICE):
+              // the batch's own partition rewrite must not leave a
+              // valid marker over a torn directory; the decisions log
+              // is not a load()-gated artifact and appends bare
+              graft.ops.IndexStore.maintainData(spark, s"$indexRoot/bands", "minhash_bands") {
+                appendPartition(newBands, s"$indexRoot/bands/data")
+              }
+              graft.ops.IndexStore.maintainData(spark, s"$indexRoot/shingles", "shingle_sets") {
+                appendPartition(newShingles, s"$indexRoot/shingles/data")
+              }
               appendPartition(decisions, s"$indexRoot/decisions")
             } finally decisions.unpersist()
           } finally { withSh.unpersist(); caches.release() }

@@ -139,4 +139,43 @@ class IndexStoreSpec extends SparkSuite {
     }
     assert(e3.getMessage.contains("format version 99"), e3.getMessage)
   }
+
+  test("maintainData swaps the commit marker around in-place writes: a crash mid-write leaves a load-refusing index") {
+    val path = tmp("graft_idx_maint")
+    IndexStore.save(spark.range(5).toDF("vec_id"), path, "some_kind", Map("p" -> "1"))
+    // maintenance on an uncommitted tree refuses
+    val e0 = intercept[IllegalArgumentException] {
+      IndexStore.maintainData(spark, tmp("graft_idx_none"), "some_kind") {}
+    }
+    assert(e0.getMessage.contains("no committed index"), e0.getMessage)
+    // kind mismatch refuses BEFORE touching the marker
+    val eK = intercept[IllegalArgumentException] {
+      IndexStore.maintainData(spark, path, "other_kind") {}
+    }
+    assert(eK.getMessage.contains("some_kind") && eK.getMessage.contains("other_kind"))
+    assert(IndexStore.load(spark, path, "some_kind")._2 == Map("p" -> "1"),
+      "a refused maintenance call must leave the artifact committed")
+    // crash mid-write: the marker is already gone, so the torn tree refuses
+    val boom = intercept[RuntimeException] {
+      IndexStore.maintainData(spark, path, "some_kind") {
+        spark.range(1).write.mode("overwrite").parquet(s"$path/data")
+        throw new RuntimeException("simulated crash between data and marker")
+      }
+    }
+    assert(boom.getMessage.contains("simulated crash"))
+    val torn = intercept[IllegalArgumentException] {
+      IndexStore.load(spark, path, "some_kind")
+    }
+    assert(torn.getMessage.contains("no index meta"), torn.getMessage)
+    // the repair (a replayed batch): same write, completing — the
+    // verbatim marker comes back and the artifact loads again.
+    // Re-seed first since the failed run consumed the marker.
+    IndexStore.save(spark.range(5).toDF("vec_id"), path, "some_kind", Map("p" -> "1"))
+    IndexStore.maintainData(spark, path, "some_kind") {
+      spark.range(7).toDF("vec_id").write.mode("overwrite").parquet(s"$path/data")
+    }
+    val (df, params) = IndexStore.load(spark, path, "some_kind")
+    assert(params == Map("p" -> "1"), "maintenance must restore the marker verbatim")
+    assert(df.count() == 7, "the maintained data tree is the one served")
+  }
 }

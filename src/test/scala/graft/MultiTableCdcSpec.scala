@@ -926,6 +926,31 @@ class MultiTableCdcSpec extends SparkSuite {
       "status open intervals must equal the status-only sequential fold")
   }
 
+  test("target naming refuses a collision with another target's compaction-horizon sidecar (r21, ADVICE)") {
+    // 'status' mapped onto students' '<table>_graft_horizon' sidecar
+    // would let compactScd2Table read status rows as a horizon marker
+    // and clobber them — refuse at BUILD, like the duplicate-target
+    // guard (requireDistinctTargets runs before the stream starts)
+    val e = intercept[IllegalArgumentException] {
+      Streams.materializeScd2JdbcTables(
+        Streams.envelopeStream(spark, Fixture.materializeMultiTableChunks(2), schema = union),
+        java.nio.file.Files.createTempDirectory("graft_sidecar_ckpt").toString,
+        "jdbc:derby:memory:graft_sidecar;create=true", relations,
+        tableNames = n => if (n == "status") "students_hist_graft_horizon" else s"${n}_hist")
+    }
+    assert(e.getMessage.contains("compaction-horizon sidecar"), e.getMessage)
+    // the plain duplicate-target guard still fires first when two
+    // relations share one table outright
+    val e2 = intercept[IllegalArgumentException] {
+      Streams.materializeScd2JdbcTables(
+        Streams.envelopeStream(spark, Fixture.materializeMultiTableChunks(2), schema = union),
+        java.nio.file.Files.createTempDirectory("graft_dup_ckpt").toString,
+        "jdbc:derby:memory:graft_dup;create=true", relations,
+        tableNames = _ => "one_table")
+    }
+    assert(e2.getMessage.contains("same table"), e2.getMessage)
+  }
+
   test("materializeScd2JdbcTables: one mixed stream lands one JDBC SCD2 history per relation; lost-commit replay is a no-op; both transport modes") {
     import graft.sources.Jdbc
     for (ordered <- Seq(true, false)) {
