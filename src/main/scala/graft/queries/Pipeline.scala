@@ -2511,12 +2511,21 @@ object Pipeline {
     (s, d) => {
       import s.implicits._
       graft.expressions.VectorExpressions.register(s)
+      // The two arms are INDEPENDENT distributed jobs over disjoint
+      // inputs (no shared persist, so no duplicate-materialization
+      // race) — submit them concurrently so the vector arm's tasks
+      // back-fill executors freed by the lexical arm's tail instead of
+      // waiting for it (r21, guide §2.6). Each arm's own result is as
+      // deterministic as before; the fusion below sees the same two
+      // rank lists in the same fixed arm order.
       // lexical arm: TakeOrdered(pool) over the shared BM25 scorer;
       // collect preserves the sort, so list position IS the rank
-      val lexPool: Seq[Long] = bm25Scores(s, d)
-        .filter(col("doc_id") =!= rrfQid) // the pseudo-query doc sits out both arms
-        .orderBy(col("bm25").desc, col("doc_id")).limit(rrfPool)
-        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val lexF = scala.concurrent.Future {
+        bm25Scores(s, d)
+          .filter(col("doc_id") =!= rrfQid) // the pseudo-query doc sits out both arms
+          .orderBy(col("bm25").desc, col("doc_id")).limit(rrfPool)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      }(scala.concurrent.ExecutionContext.global)
       val en = documents(s, d).filter(col("lang") === "en")
         .select(col("doc_id").as("vec_id"))
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
@@ -2530,6 +2539,8 @@ object Pipeline {
           round(expr("float_dot(embedding, qe)") / (col("nrm") * col("qn")), 6))
         .orderBy(col("cos").desc, col("vec_id")).limit(rrfPool)
         .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      val lexPool: Seq[Long] =
+        scala.concurrent.Await.result(lexF, scala.concurrent.duration.Duration.Inf)
       val rl = lexPool.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
       val rv = vecPool.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
       def r6(x: Double): Double =
