@@ -77,27 +77,68 @@ object IndexStore {
   /** Invalidate-then-recommit wrapper for IN-PLACE maintenance writes
     * to an existing artifact's `data` tree (the streaming index
     * maintainers append/overwrite partitions without rewriting the
-    * whole artifact): the commit marker is deleted BEFORE the write
-    * and rewritten verbatim after it, mirroring [[save]]'s marker-swap
-    * discipline — a crash mid-write leaves an index that loudly
-    * refuses to load (the stream's checkpoint replay then repairs it)
-    * instead of a stale marker validating torn data for a concurrent
-    * serving reader. Requires a committed artifact of the given kind
-    * at `path`. */
+    * whole artifact): the commit marker is renamed ASIDE (to
+    * `meta.maintenance`) before the write and rewritten verbatim after
+    * it, mirroring [[save]]'s marker-swap discipline — a crash
+    * mid-write leaves an index that loudly refuses to [[load]] instead
+    * of a stale marker validating torn data for a concurrent serving
+    * reader. The aside copy is what makes the refusal RECOVERABLE by
+    * the maintainer itself: the stream's replayed batch calls
+    * [[recoverMaintenance]] before its loads, restores the marker, and
+    * rewrites the same partitions idempotently (delete-instead-of-
+    * rename would deadlock the replay — the replaying batch loads the
+    * artifact it just un-committed). Requires a committed artifact of
+    * the given kind at `path`. */
   def maintainData(spark: SparkSession, path: String, kind: String)(write: => Unit): Unit = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val asidePath = new org.apache.hadoop.fs.Path(s"$path/meta.maintenance")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaPath),
       s"[graft] maintenance write to $path, but no committed index there (missing meta) — " +
-        "seed the artifact with save() first")
+        "seed the artifact with save() first, or run recoverMaintenance if a " +
+        "maintenance write crashed here")
     val m = spark.read.parquet(s"$path/meta").collect()
     require(m.length == 1, s"[graft] corrupt index meta at $path/meta: ${m.length} rows")
     require(m(0).getString(1) == kind,
       s"[graft] index at $path holds a '${m(0).getString(1)}' artifact, maintenance expected '$kind'")
-    fs.delete(metaPath, true)
+    if (fs.exists(asidePath)) fs.delete(asidePath, true) // stale aside from a recovered crash
+    require(fs.rename(metaPath, asidePath),
+      s"[graft] could not move the commit marker aside at $path — refusing to write over a committed index")
     write
     spark.createDataFrame(java.util.List.of(m(0)), metaSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    fs.delete(asidePath, true)
+  }
+
+  /** Crash recovery for [[maintainData]]: when the marker is missing
+    * but its maintenance-aside copy exists, a maintenance write died
+    * between un-commit and re-commit — restore the marker so the
+    * replayed batch can load the artifact and rewrite the same
+    * partitions (idempotent by the maintainers' contract). Call this
+    * at the TOP of a maintenance batch body, before any [[load]].
+    * No-op when the artifact is committed (a leftover aside is
+    * deleted) or when neither marker exists. */
+  def recoverMaintenance(spark: SparkSession, path: String): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val asidePath = new org.apache.hadoop.fs.Path(s"$path/meta.maintenance")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(asidePath)) return // nothing in flight — committed or never saved
+    // only discard the aside when the marker it backs up is READABLE:
+    // a crash DURING the marker rewrite can leave a torn meta dir next
+    // to the aside, and deleting the aside then would destroy the only
+    // good copy
+    val metaValid = fs.exists(metaPath) &&
+      (try spark.read.parquet(s"$path/meta").collect().length == 1
+       catch { case scala.util.control.NonFatal(_) => false })
+    if (metaValid) fs.delete(asidePath, true)
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"[graft] recovering a crashed maintenance write at $path — restoring the " +
+          "commit marker; the replayed batch rewrites the touched partitions")
+      if (fs.exists(metaPath)) fs.delete(metaPath, true) // torn rewrite
+      require(fs.rename(asidePath, metaPath),
+        s"[graft] could not restore the commit marker at $path")
+    }
   }
 
   /** Load an index table, validating kind + format version against the

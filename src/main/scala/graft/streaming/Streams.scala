@@ -2015,6 +2015,11 @@ object Streams {
       val b = batch.persist()
       try {
         if (!b.isEmpty) {
+          // restore the membership marker if the previous attempt at
+          // this batch died mid-maintenance (r21 — see
+          // IndexStore.recoverMaintenance; this replay rewrites the
+          // same partitions, so the restored marker is safe)
+          graft.ops.IndexStore.recoverMaintenance(spark, indexPath)
           if (cached.get() == null)
             cached.compareAndSet(null, graft.ops.IndexStore.loadKMeans(spark, modelPath))
           val model = cached.get()
@@ -2094,6 +2099,11 @@ object Streams {
       val b = batch.persist()
       try {
         if (!b.isEmpty) {
+          // restore markers if the previous attempt at this batch died
+          // mid-maintenance (r21 — IndexStore.recoverMaintenance; the
+          // replay overwrites its own batch_id partitions identically)
+          graft.ops.IndexStore.recoverMaintenance(spark, s"$indexRoot/bands")
+          graft.ops.IndexStore.recoverMaintenance(spark, s"$indexRoot/shingles")
           val (bandsAll, _) = graft.ops.IndexStore.load(spark, s"$indexRoot/bands", "minhash_bands")
           val (shAll, _) = graft.ops.IndexStore.load(spark, s"$indexRoot/shingles", "shingle_sets")
           // the index THIS batch decides against: strictly earlier

@@ -167,15 +167,34 @@ class IndexStoreSpec extends SparkSuite {
       IndexStore.load(spark, path, "some_kind")
     }
     assert(torn.getMessage.contains("no index meta"), torn.getMessage)
-    // the repair (a replayed batch): same write, completing — the
-    // verbatim marker comes back and the artifact loads again.
-    // Re-seed first since the failed run consumed the marker.
-    IndexStore.save(spark.range(5).toDF("vec_id"), path, "some_kind", Map("p" -> "1"))
+    // the repair (what a replayed batch does FIRST): recoverMaintenance
+    // restores the marker from its maintenance-aside copy, the load
+    // works again, and the replayed maintenance write completes —
+    // no manual re-seed, no replay deadlock
+    IndexStore.recoverMaintenance(spark, path)
+    assert(IndexStore.load(spark, path, "some_kind")._2 == Map("p" -> "1"),
+      "recovery must restore the marker verbatim")
     IndexStore.maintainData(spark, path, "some_kind") {
       spark.range(7).toDF("vec_id").write.mode("overwrite").parquet(s"$path/data")
     }
     val (df, params) = IndexStore.load(spark, path, "some_kind")
     assert(params == Map("p" -> "1"), "maintenance must restore the marker verbatim")
     assert(df.count() == 7, "the maintained data tree is the one served")
+    // recoverMaintenance is a no-op on a committed artifact
+    IndexStore.recoverMaintenance(spark, path)
+    assert(IndexStore.load(spark, path, "some_kind")._2 == Map("p" -> "1"))
+    // torn MARKER REWRITE: meta dir exists but is unreadable while the
+    // aside still holds the good copy — recovery must restore from the
+    // aside, not discard it because "meta exists"
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/meta"),
+      new org.apache.hadoop.fs.Path(s"$path/meta.maintenance"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/meta"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/meta/part-torn.parquet"),
+      "not parquet".getBytes)
+    IndexStore.recoverMaintenance(spark, path)
+    assert(IndexStore.load(spark, path, "some_kind")._2 == Map("p" -> "1"),
+      "recovery must restore the readable marker over a torn rewrite")
   }
 }
