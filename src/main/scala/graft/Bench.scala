@@ -105,7 +105,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // "cpus" (the SPARK_GRAFT_CPUS value this run was built with) and
+    // "parallelism" (the context's ACTUAL defaultParallelism) prove the
+    // width contract in-band: the driver's low-core probe can check the
+    // env var took effect instead of inferring from totals that are
+    // overhead-flat at fixture scale (r21's suspect_cpus_ignored flag).
+    val cpusN = cpus.trim.toIntOption.getOrElse(-1)
+    val par = spark.sparkContext.defaultParallelism
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpusN,"parallelism":$par}"""
     println(line)
     // ALSO persist the line to a file: at 98 queries the line is ~2.7 KB
     // and the driver's ~2 KB tail capture truncates its head (r16's
@@ -116,6 +123,15 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write BENCH_LAST.json: ${e.getMessage}")
     }
+    // Compact trailer (NOT a bare JSON line, so any {-scanning parser
+    // skips it): total + query count + an MD5 of the per-query map,
+    // small enough to survive any ~2 KB tail capture — a round whose
+    // main-line capture truncates (r20's parsed:null) still yields a
+    // machine-checkable total + integrity hash against BENCH_LAST.json.
+    val qmd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(qs.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    println(s"[bench] summary total=${fmt(total)}s n_queries=${results.size} " +
+      s"cpus=$cpusN parallelism=$par qmap_md5=$qmd5 sf=$sfDir")
     spark.stop()
   }
 }

@@ -23,6 +23,23 @@ import org.apache.spark.sql.functions._
   * equi-joins + one partial-aggregated groupBy — no driver-side graph
   * state, so the shape survives any corpus size.
   *
+  * Round pipelining (r22, guide §1.2 — fewer passes/actions): each
+  * round's action ALSO computes the NEXT round's neighbor-min over its
+  * output labels. That aggregate doubles as an EXACT convergence
+  * witness — min-neighbor-label == own label for every vertex ⟺
+  * labels are constant per component ⟺ fixpoint (labels only ever
+  * hold ids of the own component, and lbl(minVertex) ≤ minVertex, so a
+  * component-constant label IS the component minimum) — so the loop
+  * stops in the round that REACHES the fixpoint instead of paying one
+  * more zero-change round to observe it, and round t+1 starts from a
+  * precomputed neighbor-min instead of re-deriving it. Net: the same
+  * three joins per round, one fewer round per convergence, and no
+  * eager init checkpoint (the initial labels are the ids, so the
+  * initial neighbor-min is just min(dst) per src and rides round 1's
+  * job). The measured fixture effect: the real near-dup pair lists
+  * (shallow clusters) converge in 1 round instead of 2 + init, at
+  * ~1 s per driver-side round (CcProbe).
+  *
   * `localCheckpoint` truncates the per-round lineage: without it each
   * iteration's plan embeds all previous iterations and planning cost
   * grows exponentially. Superseded checkpoint blocks are reclaimed by
@@ -81,55 +98,58 @@ object Dedup {
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
       .persist()
     var stepped: DataFrame = null // released in the finally on failure
+    var doubled: DataFrame = null
     try {
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v"))
-      .localCheckpoint(true)
-    // convergence witness: the EXACT count of vertices whose label
-    // changed this round, carried from round start (`lbl0`) through
-    // both propagation steps. Type-agnostic — the previous
-    // sum(cast(lbl as decimal)) witness nulled out for STRING ids and
-    // took the "empty graph" exit after one round with unconverged
-    // labels. The witness rides the CHECKPOINT job as an observe()
-    // metric, so a round costs one action, not two (per-action floor
-    // ~0.3s in local[*] dominates this loop's wall-clock; fallback
-    // scan below keeps correctness if the metric ever fails to
-    // materialize). A null metric (zero rows) is an empty graph:
-    // converged trivially.
+    // L0 carries (v, lbl, nbr_lbl): the vertex set, the init labels
+    // (the ids themselves), and the neighbor-min of that labeling —
+    // which for id-labels is simply min(dst) per src, ONE lazy
+    // aggregation that rides round 1's job. (The pre-r22 version eagerly
+    // checkpointed a distinct() vertex list here: one extra driver
+    // action per call that bought nothing — round 1 re-derived the
+    // neighbor-min anyway.)
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbr_lbl"))
+      .select(col("src").as("v"), col("src").as("lbl"), col("nbr_lbl"))
     var converged = false
     var rounds = 0
     val maxRounds = 64 // >> log2(any graph); labels are monotone so a
                        // hit here still returns a refinement, not garbage
     while (!converged && rounds < maxRounds) {
-      val nbrMin = edges
-        .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
-        .groupBy(col("src")).agg(min(col("nlbl")).as("nbr_lbl"))
-        .select(col("src").as("v"), col("nbr_lbl"))
-      // persist: the self-join below would otherwise recompute the
-      // whole neighbor-min subtree once per join side
-      stepped = labels.join(nbrMin, Seq("v"), "left_outer")
-        .select(col("v"), col("lbl").as("lbl0"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .persist()
-      // pointer doubling: lbl := lbl(lbl). Labels are vertex ids, and
-      // lbl(u) <= u, so the looked-up label can only improve ours.
-      val obsName = s"cc_conv_$rounds"
-      val nextObs = stepped
+      // (a) fold the neighbor-min carried from the previous round's
+      // action (round 1: from L0's aggregate) into the label
+      stepped = labels.select(col("v"),
+        least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist() // the pointer-doubling self-join reads it twice
+      // (b) pointer doubling: lbl := lbl(lbl). Labels are vertex ids,
+      // and lbl(u) <= u, so the looked-up label can only improve ours.
+      doubled = stepped
         .join(stepped.select(col("v").as("pv"), col("lbl").as("plbl")),
           stepped("lbl") === col("pv"), "left_outer")
-        .select(stepped("v"), stepped("lbl0"),
+        .select(stepped("v"),
           least(stepped("lbl"), coalesce(col("plbl"), stepped("lbl"))).as("lbl"))
-        .observe(obsName, sum(when(col("lbl") =!= col("lbl0"), 1L).otherwise(0L)).as("changed"))
+        .persist() // read twice: next-round neighbor-min + the output join
+      // (c) NEXT round's neighbor-min over this round's output labels,
+      // computed inside the SAME action; its observe() is the EXACT
+      // convergence witness (header note): 0 vertices off ⟺ fixpoint.
+      // A null metric (zero rows) is an empty graph: converged trivially.
+      val nbrMin = edges
+        .join(doubled.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src")).agg(min(col("nlbl")).as("nbr_lbl"))
+        .select(col("src").as("v"), col("nbr_lbl"))
+      val obsName = s"cc_conv_$rounds"
+      val nextObs = doubled.join(nbrMin, Seq("v"), "left_outer")
+        .select(col("v"), col("lbl"), coalesce(col("nbr_lbl"), col("lbl")).as("nbr_lbl"))
+        .observe(obsName, sum(when(col("nbr_lbl") =!= col("lbl"), 1L).otherwise(0L)).as("off"))
       val next = nextObs.localCheckpoint(true)
-      stepped.unpersist()
-      stepped = null
-      val changed = nextObs.queryExecution.observedMetrics.get(obsName) match {
+      stepped.unpersist(); stepped = null
+      doubled.unpersist(); doubled = null
+      val off = nextObs.queryExecution.observedMetrics.get(obsName) match {
         case Some(row) if !row.isNullAt(0) => row.getLong(0)
         case Some(_) => 0L // null sum = zero rows = empty graph
-        case None => next.filter(col("lbl") =!= col("lbl0")).count()
+        case None => next.filter(col("nbr_lbl") =!= col("lbl")).count()
       }
-      labels = next.select(col("v"), col("lbl"))
-      converged = changed == 0L
+      labels = next
+      converged = off == 0L
       rounds += 1
     }
     (labels.select(col("lbl").as("cluster_rep"), col("v").as("member")), rounds)
@@ -139,6 +159,7 @@ object Dedup {
       // long-lived session for its whole remaining lifetime
       edges.unpersist()
       if (stepped != null) stepped.unpersist()
+      if (doubled != null) doubled.unpersist()
     }
     } finally prevPf match {
       case Some(v) => spark.conf.set(pfKey, v)
@@ -152,4 +173,4 @@ object Dedup {
   def survivors(components: DataFrame): DataFrame =
     components.filter(col("member") === col("cluster_rep"))
       .select(col("member").as("doc_id"))
-}
+  }

@@ -862,7 +862,18 @@ object Pipeline {
       import s.implicits._
       graft.expressions.VectorExpressions.register(s)
       val e = embeddings(s, d).select(col("vec_id"), col("embedding")).persist()
-      val model = graft.ops.KMeans.fit(e, "vec_id", "embedding", k, kmIters)
+      // forceKernel (r22): the trainer gates now both run the
+      // BestCentroid kernel — the strategies are bit-identical
+      // (KMeansSpec fuzz/trajectory pins), and the expanded plan paid a
+      // fresh janino compile of a K·dim-wide projection EVERY iteration
+      // (~2.5 s of p20's 3.9 s — the measured dominant cost at any
+      // corpus size where the scan doesn't amortize it). The expanded
+      // strategy's 100 TB rationale (fused whole-stage arithmetic on
+      // one-shot big scans) is witnessed by KMeansSpec's plan pin
+      // ("expanded argmax stays inside whole-stage codegen") + the
+      // existing parity tests, not by re-paying the compile here.
+      val model = graft.ops.KMeans.fit(e, "vec_id", "embedding", k, kmIters,
+        forceKernel = true)
       e.unpersist()
       val dim = model.centroids.head.length
       val rows = for {
@@ -3324,11 +3335,21 @@ object Pipeline {
 
   /** The power-iteration loop over a centered frame `(vec_id, ce)`:
     * per iteration the unit direction (6 dp) and growth estimate λ.
-    * Driver state: dim doubles. */
-  private[graft] def pcaIterate(cen: DataFrame, n: Long, iters: Int): Seq[(Array[Double], Double)] = {
+    * Driver state: dim doubles.
+    *
+    * `afterFirst` runs once, right after the FIRST iteration's job
+    * completes — the deflation chains (p40c, whiteningFit) pass the
+    * parent cache's unpersist here: iteration 1 is the job that
+    * materializes the deflated cache FROM the parent, so this is the
+    * earliest safe release point. Releasing only after the whole chain
+    * (the r21 version) pinned TWO corpus-projection caches for every
+    * remaining iteration — a guide §5 memory widening at 100 TB and
+    * the r21 verdict's top finding. */
+  private[graft] def pcaIterate(cen: DataFrame, n: Long, iters: Int,
+      afterFirst: () => Unit = () => ()): Seq[(Array[Double], Double)] = {
     var v = Array.fill(pcaDim)(0.125) // exact binary fraction, unit 64-dim
     val out = Seq.newBuilder[(Array[Double], Double)]
-    for (_ <- 1 to iters) {
+    for (t <- 1 to iters) {
       val vLit = array(v.toIndexedSeq.map(lit): _*)
       val gRows = cen
         .withColumn("ds",
@@ -3338,6 +3359,7 @@ object Pipeline {
         .groupBy(col("i"))
         .agg(sum(round(col("cv") * (col("ds") / 1e6) * 1e6).cast("long")).as("g"))
         .collect()
+      if (t == 1) afterFirst()
       val g = Array.ofDim[Long](pcaDim)
       gRows.foreach(r => g(r.getInt(0)) = r.getLong(1))
       val u = g.map(gi => pcaR6(gi / (n * 1e6)))
@@ -3485,11 +3507,12 @@ object Pipeline {
           (x, y) => round(x * y * 1e6).cast("long")), lit(0L), (a, x) => a + x))
         .select(col("vec_id"), deflateArr(col("ds"), v1).as("ce"))
         .persist() // scanned ×iters by the second chain
-      // no count() barrier (r21, guide §1.2): chain 2's first iteration
-      // job materializes cen2 from the still-cached cen — one fewer
-      // job; cen unpersists after the chain instead of before it
-      val traj2 = pcaIterate(cen2, n, pcaIters)
-      cen.unpersist()
+      // no count() barrier (r21, guide §1.2): chain 2's FIRST iteration
+      // job materializes cen2 from the still-cached cen; cen is then
+      // released via the afterFirst hook (r22) — the overlap of the two
+      // corpus-projection caches lasts exactly one job, the same peak
+      // the old count() barrier had, instead of the whole second chain
+      val traj2 = pcaIterate(cen2, n, pcaIters, afterFirst = () => cen.unpersist())
       cen2.unpersist()
       val (v2, lam2) = traj2.last
       val ortho = v1.zip(v2).map { case (a, b) =>
@@ -3681,11 +3704,12 @@ object Pipeline {
       .select(col("vec_id"), deflateArr(col("ds"), v1).as("ce"))
       .persist() // scanned ×iters by the second chain
     // no count() barrier (r21, guide §1.2): the second chain's first
-    // iteration job materializes cen2 from the still-cached cen —
-    // same scans, one fewer job. cen unpersists AFTER that happens.
-    val (v2, lam2) = pcaIterate(cen2, n, pcaIters).last
+    // iteration job materializes cen2 from the still-cached cen; cen is
+    // then released via the afterFirst hook (r22) so the two-cache
+    // overlap lasts one job, not the whole second chain (guide §5)
+    val (v2, lam2) = pcaIterate(cen2, n, pcaIters,
+      afterFirst = () => cen.unpersist()).last
     cen2.unpersist()
-    cen.unpersist()
     val sig1 = pcaR6(math.sqrt(lam1)); val g1 = pcaR6(1.0 / sig1 - 1.0)
     val sig2 = pcaR6(math.sqrt(lam2)); val g2 = pcaR6(1.0 / sig2 - 1.0)
     graft.ops.Whitening(mu, v1, v2, g1, g2)

@@ -96,6 +96,36 @@ class KMeansSpec extends SparkSuite {
       "kernel assignment should spread rows over multiple clusters")
   }
 
+  test("small K·dim expanded argmax stays inside whole-stage codegen (the 100 TB one-shot-scan witness)") {
+    // r22: the trainer gates (p20/p20b) now run the BestCentroid kernel
+    // — the expanded plan re-paid a fresh janino compile of a K·dim-wide
+    // projection EVERY iteration (~2.5 s of p20's bench cost). The
+    // expanded strategy's 100 TB rationale — fused whole-stage-codegen
+    // arithmetic for ONE-SHOT scans big enough to amortize one compile —
+    // is witnessed here instead: below the cell threshold, assign()
+    // still picks the expanded form and its scoring projection compiles
+    // into a WholeStageCodegen span (no kernel function, no interpreted
+    // fallback). Parity with the kernel is pinned by the bit-identical
+    // tests above/below, so gating through the kernel loses nothing.
+    graft.expressions.VectorExpressions.register(spark)
+    // 8 centroids × 64 dims = 512 cells < kernelCellThreshold → expanded.
+    // repartition breaks ConvertToLocalRelation, which would otherwise
+    // constant-fold the whole projection into a LocalTableScan and hide
+    // the codegen question this test exists to answer.
+    val cents = Array.tabulate(8, 64)((j, i) => math.sin(j * 7 + i) * 0.5 + 0.5)
+    val assigned = KMeans.assign(corpus(10, 64).repartition(2), "embedding", KMeans.Model(
+      cents, Array.fill(8)(0L), Array.fill(8)(0L), Array(0.0)))
+    assigned.collect() // finalize THIS dataset's AQE plan (write() builds its own QE)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_best_centroid"),
+      "below the cell threshold assign() must pick the expanded strategy")
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      s"expanded argmax projection must sit inside a WholeStageCodegen span (the r13 " +
+        s"O(K²·dim) regression printed an unstarred Project):\n$plan")
+    assert(assigned.groupBy("cluster").count().count() > 1,
+      "expanded assignment should spread rows over multiple clusters")
+  }
+
   test("trained IVF end-to-end: probe 4/16 trained lists, recall vs brute force") {
     // The full train → index → search story on the REAL testdata
     // embeddings (deterministic, seed 42): KMeans.fit trains the
