@@ -181,9 +181,16 @@ object KMeans {
     * the same corpus. The threshold default keeps the expanded plan
     * where its fused arithmetic wins on big scans; callers that
     * iterate (training) or chain stages (p22) opt into the kernel. */
+  /** `afterSeed` runs once, right after the seed TakeOrdered completes
+    * (before the first training iteration). Callers use it to submit
+    * INDEPENDENT concurrent jobs that must not race the shared input
+    * cache's materialization (the seed job is what fills it): p36/p48/
+    * p51 launch the PQ codebook collect here so it overlaps the
+    * training iterations instead of running after them (guide §2.6). */
   def fit(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, dropDegenerate: Boolean = true,
-      forceKernel: Boolean = false): Model = {
+      forceKernel: Boolean = false,
+      afterSeed: () => Unit = () => ()): Model = {
     require(k > 0 && iters > 0, s"[graft] kmeans needs k>0, iters>0 (got k=$k, iters=$iters)")
     val raw = vectors.select(
       col(idCol), col(vecCol),
@@ -220,6 +227,7 @@ object KMeans {
 
     val seeds = seedSrc.orderBy(col(idCol)).limit(k)
       .select(col(idCol), col(vecCol)).collect()
+    afterSeed()
     val nDegenerate = obs.map { o =>
       val bad = o.get.get("bad") match {
         case Some(v: Long) => v

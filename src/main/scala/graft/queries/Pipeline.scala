@@ -2322,9 +2322,22 @@ object Pipeline {
     val e0 = e.select(col("vec_id"), col("embedding"))
     // forceKernel: same rationale as p22 — strategies are bit-identical
     // (fuzz-pinned) and the kernel avoids the per-iteration janino
-    // compile of a K·dim expanded projection
+    // compile of a K·dim expanded projection.
+    // The PQ codebook collect is INDEPENDENT of the trained model (it is
+    // the first pqK vectors), so it runs concurrently with the training
+    // iterations (r22, guide §2.6 — the p49 overlap pattern). It launches
+    // from fit's afterSeed hook, NOT before fit: the seed job is what
+    // materializes the shared `e` cache, and two concurrent first
+    // consumers would each compute the upstream (for p51, the whole
+    // whitening map) into the cache — the duplicate-materialization race
+    // the p43b note warns about. After the seed job the cache is warm
+    // and the codebook TakeOrdered rides it while iteration 1 runs.
+    val cbP = scala.concurrent.Promise[Array[Array[Array[Double]]]]()
     val model = graft.ops.KMeans.fit(e0, "vec_id", "embedding", kmK, kmIters,
-      forceKernel = true)
+      forceKernel = true,
+      afterSeed = () => cbP.completeWith(scala.concurrent.Future {
+        pqCodebook(e)
+      }(scala.concurrent.ExecutionContext.global)))
     val lists = graft.ops.KMeans.assign(e0, "embedding", model, forceKernel = true)
       .select(col("vec_id"), col("cluster").as("list_id"))
       .persist() // the argmax projection evaluates once
@@ -2337,7 +2350,8 @@ object Pipeline {
       case _ => lists
     }
     // PQ encode of the corpus (p24's kernel + reconstruction literals)
-    val cb = pqCodebook(e)
+    val cb = scala.concurrent.Await.result(
+      cbP.future, scala.concurrent.duration.Duration.Inf)
     val fnName = graft.expressions.VectorExpressions.registerPqEncode(s, cb)
     def reconSub(m: Int): org.apache.spark.sql.Column =
       element_at(
@@ -3721,9 +3735,14 @@ object Pipeline {
     * rescale the two dominant axes. ONE map-only pass; every
     * coordinate is the same left-associated 6-dp chain the trainer's
     * inline path produced, so fit-then-apply is bit-identical to the
-    * fused [[whitenedEmbeddings]]. Returns `(vec_id, embedding, wnrm)`
-    * persisted. */
-  private[graft] def whitenApply(raw: DataFrame, w: graft.ops.Whitening): DataFrame = {
+    * fused [[whitenedEmbeddings]]. Returns `(vec_id, embedding, wnrm)`,
+    * persisted unless `persist = false` — p51 passes false because
+    * annFullStack immediately re-persists the frame (plus its own norm)
+    * as the stack's shared cache, and caching the same corpus twice is
+    * pure memory/cache-write overhead (guide §5); p50 keeps the default
+    * (codebook/encode/query/rescore all read THIS frame directly). */
+  private[graft] def whitenApply(raw: DataFrame, w: graft.ops.Whitening,
+      persist: Boolean = true): DataFrame = {
     val muLit = array(w.mu.toIndexedSeq.map(lit): _*)
     // g·v_i folded on the driver (exact IEEE product of the same
     // doubles the oracle multiplies inside its wf CTE)
@@ -3743,11 +3762,10 @@ object Pipeline {
             + (col("ds2") / 1e6) * lit(gv2(i)), 6)): _*).as("embedding"))
       .withColumn("wnrm", sqrt(expr(
         "aggregate(zip_with(embedding, embedding, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
-      .persist() // scanned: codebook seeds, encode, query side, rescore
     // no count() barrier (r21, guide §1.2): the first consumer action
     // (the PQ codebook's seed TakeOrdered scans every partition)
     // materializes the cache — one fewer full-pass job per caller
-    wht
+    if (persist) wht.persist() else wht
   }
 
   /** Deflation-trained two-axis whitening of the embeddings table:
@@ -3755,9 +3773,10 @@ object Pipeline {
     * wnrm)`, persisted. Shared by the p50/p51 gates and their specs'
     * brute-force truth so the serving metric cannot drift. Train +
     * apply composed ([[whiteningFit]] → [[whitenApply]]). */
-  private[graft] def whitenedEmbeddings(s: SparkSession, d: String): DataFrame =
+  private[graft] def whitenedEmbeddings(s: SparkSession, d: String,
+      persist: Boolean = true): DataFrame =
     whitenApply(embeddings(s, d).select(col("vec_id"), col("embedding")),
-      whiteningFit(s, d))
+      whiteningFit(s, d), persist)
 
   /** DuckDB rendering of [[whitenedEmbeddings]]: [[duckPcaPrefix]] +
     * the deflation chain + the whitened flat table
@@ -3899,7 +3918,12 @@ object Pipeline {
   val p51 = QuerySpec(
     "p51_whitened_filtered_ann",
     (s, d) => {
-      val wht = whitenedEmbeddings(s, d)
+      // persist = false: annFullStack re-persists this frame (plus its
+      // own norm) as the stack's single shared cache; a second cache of
+      // the same corpus here bought nothing and doubled the cache
+      // footprint (r22, guide §5 — and the unused wnrm column is now
+      // pruned out of the whitening projection entirely)
+      val wht = whitenedEmbeddings(s, d, persist = false)
       annFullStack(s, d,
         allow = Some(documents(s, d).filter(col("lang") === "en")
           .select(col("doc_id").as("vec_id"))),
@@ -3922,14 +3946,17 @@ object Pipeline {
   // recount — hash-gates against a DuckDB replay: CMS overestimates
   // (est ≥ exact always; collisions at width 256 over ~900 bigrams
   // are REAL and mirrored, never hidden — the p6 LSH convention).
-  // Shape at 100 TB: the sketch build is a depth×width=1024-key
-  // partial agg (map-side combine does almost all the work — this IS
-  // the distributed/streaming CMS merge story); estimates join the
-  // vocab-sized distinct-bigram frame to the BROADCAST 1024-row
-  // sketch (vocab shuffles once for distinct, the p29 dictionary cost
-  // class — no corpus-sized shuffle); the candidate cut is
-  // TakeOrdered(k); the recount is a broadcast semi-join + k-key agg
-  // over one more corpus scan.
+  // Shape at 100 TB (r22): ONE corpus scan folds instances to exact
+  // per-bigram counts (vocab-keyed partial agg — the p29 dictionary
+  // cost class, and the same vocab shuffle the estimates step always
+  // paid for its distinct); the 1024-cell sketch then aggregates the
+  // counted vocabulary (cells(k,b) = Σ cnt — identical to the
+  // per-instance build, since addition is associative), estimates join
+  // the vocab to the BROADCAST sketch, the candidate cut is
+  // TakeOrdered(k), and the exact recount is free — it IS the vocab
+  // count. No corpus-sized shuffle anywhere, and no second or third
+  // corpus scan (the pre-r22 plan hashed 4 md5s per INSTANCE and
+  // re-read the instance set three times).
   private[graft] val cmsDepth = 4
   private[graft] val cmsWidth = 256
   private val cmsTopK = 25
@@ -3937,26 +3964,35 @@ object Pipeline {
   val p41 = QuerySpec(
     "p41_cms_heavy_hitters",
     (s, d) => {
-      val inst = documents(s, d).filter(col("lang") === "en")
+      // r22 restructure (guide §2.3 "aggregate before you shuffle" +
+      // §1.2 fewer passes): ONE corpus pass folds the bigram instances
+      // to exact per-bigram counts (a vocab-keyed partial agg — the
+      // same shuffle class the old plan already paid for its
+      // distinct-vocab estimates step), and the sketch build, the
+      // estimate join AND the exact recount all run over that counted
+      // vocabulary. Bit-identical outputs: cells(k,b) = Σ_instances =
+      // Σ_vocab cnt, est unchanged, n_exact IS the vocab count. The old
+      // plan hashed 4×md5 per INSTANCE and re-scanned the instance
+      // cache three times (at 100 TB, where no cache holds the corpus:
+      // three corpus scans); this hashes 4×md5 per DISTINCT bigram and
+      // scans the corpus once.
+      val vc = documents(s, d).filter(col("lang") === "en")
         .withColumn("toks", expr(toks))
         .select(explode(expr(TextFns.shinglesExpr("toks", 2))).as("big"))
-        .persist() // scanned: sketch build, distinct vocab, exact recount
+        .groupBy(col("big")).agg(count(lit(1)).as("cnt"))
+        .persist() // vocab-sized; read by: sketch cells, estimates, recount
       def bucket = expr(
         s"${TextFns.md5IntScalarExpr("concat(CAST(k AS STRING), ':', big)")} % $cmsWidth")
       val ks = explode(array((0 until cmsDepth).map(lit): _*)).as("k")
-      val cells = inst.select(col("big"), ks)
-        .withColumn("bucket", bucket)
-        .groupBy(col("k"), col("bucket")).agg(count(lit(1)).as("cnt"))
-      val est = inst.distinct()
-        .select(col("big"), ks)
-        .withColumn("bucket", bucket)
+      val withB = vc.select(col("big"), col("cnt"), ks)
+        .withColumn("bucket", bucket) // derived twice below — vocab×depth rows, cheaper than a cache
+      val cells = withB.groupBy(col("k"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      val est = withB.select(col("big"), col("k"), col("bucket"))
         .join(broadcast(cells), Seq("k", "bucket"))
         .groupBy(col("big")).agg(min(col("cnt")).as("cms_est"))
       val cand = est.orderBy(col("cms_est").desc, col("big")).limit(cmsTopK)
-      val exact = inst.join(broadcast(cand.select(col("big"))), "big")
-        .groupBy(col("big")).agg(count(lit(1)).as("n_exact"))
-      cand.join(exact, "big")
-        .select(col("big").as("bigram"), col("cms_est"), col("n_exact"))
+      cand.join(vc, "big")
+        .select(col("big").as("bigram"), col("cms_est"), col("cnt").as("n_exact"))
         .orderBy(col("cms_est").desc, col("bigram"))
     },
     Some {
@@ -4101,24 +4137,37 @@ object Pipeline {
   val p43 = QuerySpec(
     "p43_hll_sketch",
     (s, d) => {
-      val base = documents(s, d)
+      // r22 (guide §2.3/§1.2, the p41 restructure's twin): the register
+      // max and the exact distinct both only depend on the DISTINCT
+      // (lang, bigram) set — duplicate instances hash to the same h and
+      // cannot move a max() — so ONE corpus scan folds instances to
+      // that set (the same partial-distinct shuffle the exact count
+      // always paid) and the md5 register build + the exact count both
+      // read the vocab-sized cache instead of hashing per instance and
+      // re-scanning the instance cache. Registers, v, s_scaled, est,
+      // n_exact: bit-identical. (A register-only streaming deployment
+      // keeps the distinct-free mergeable-agg shape the header
+      // describes; this gate wants the exact answer beside the sketch,
+      // so the distinct exists either way — riding it is free.)
+      val vb = documents(s, d)
         .withColumn("toks", expr(toks))
         .select(col("lang"), explode(expr(TextFns.shinglesExpr("toks", 2))).as("big"))
-        .persist() // two consumers: register agg + exact distinct
-      val regs = base
+        .distinct()
+        .persist() // vocab-sized; two consumers: register agg + exact count
+      val regs = vb
         .select(col("lang"),
           expr("CAST(conv(substring(md5(big), 1, 15), 16, 10) AS BIGINT)").as("h"))
         .select(col("lang"), expr("h % 256").as("bucket"),
           expr("CASE WHEN shiftright(h, 8) = 0 THEN 53 ELSE 53 - length(bin(shiftright(h, 8))) END").as("rank"))
         .groupBy(col("lang"), col("bucket")).agg(max(col("rank")).as("m_"))
-      val allb = base.select(col("lang")).distinct()
+      val allb = vb.select(col("lang")).distinct()
         .select(col("lang"), explode(expr("sequence(0, 255)")).as("bucket"))
       val sk = allb.join(regs, Seq("lang", "bucket"), "left")
         .select(col("lang"), coalesce(col("m_"), lit(0)).as("m0"))
         .groupBy(col("lang")).agg(
           sum(when(col("m0") === 0, 1L).otherwise(0L)).as("v"),
           sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m0)")).as("s_scaled"))
-      val ex = base.groupBy(col("lang")).agg(countDistinct(col("big")).as("n_exact"))
+      val ex = vb.groupBy(col("lang")).agg(count(col("big")).as("n_exact"))
       // hllC is inlined in e-notation on BOTH sides: decimal-point
       // literals are DECIMAL (not DOUBLE) in DuckDB, and pure-literal
       // decimal arithmetic forks from Spark's at the 6th dp (measured)
@@ -4178,11 +4227,19 @@ object Pipeline {
       import s.implicits._
       def r6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // r22 (the p41/p43 restructure): registers and exact counts both
+      // depend only on the DISTINCT (side, bigram) set — duplicate
+      // instances hash identically under max(), and the exact aggregates
+      // were all count(DISTINCT ...) anyway — so fold instances to that
+      // set in ONE corpus pass and run both actions over the vocab-sized
+      // cache. The old plan hashed per instance AND ran the 3-way
+      // conditional-distinct agg (a 3× Expand) over the instance cache.
       val base = documents(s, d)
         .withColumn("toks", expr(toks))
         .select(pmod(col("doc_id"), lit(2)).as("side"),
           explode(expr(TextFns.shinglesExpr("toks", 2))).as("big"))
-        .persist() // consumers: per-side registers + exact distincts
+        .distinct()
+        .persist() // vocab-sized; consumers: per-side registers + exact counts
       val ranks = base
         .select(col("side"),
           expr("CAST(conv(substring(md5(big), 1, 15), 16, 10) AS BIGINT)").as("h"))
@@ -4209,13 +4266,13 @@ object Pipeline {
       val estU = estOf(regsA ++ regsB)
       val estI = r6(estA + estB - estU)
       // ONE exact-count job (r21 — was a distinct materialization plus
-      // three count jobs): the per-side distincts are conditional
-      // count(DISTINCT CASE ...) aggregates, identical semantics (a
-      // side's CASE is NULL on the other side's rows and count ignores
-      // nulls), one action instead of four
+      // three count jobs): per-side counts are plain conditional counts
+      // now that `base` rows are unique per (side, big) — a side's CASE
+      // is NULL on the other side's rows and count ignores nulls; the
+      // union still dedups across sides (a bigram can appear in both)
       val cnt = base.agg(
-        countDistinct(when(col("side") === 0, col("big"))).as("n_a"),
-        countDistinct(when(col("side") === 1, col("big"))).as("n_b"),
+        count(when(col("side") === 0, col("big"))).as("n_a"),
+        count(when(col("side") === 1, col("big"))).as("n_b"),
         countDistinct(col("big")).as("n_union")).head()
       val (nA, nB, nU) = (cnt.getLong(0), cnt.getLong(1), cnt.getLong(2))
       val nI = nA + nB - nU
