@@ -522,13 +522,22 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("partial_"), "per-doc counts need map-side combine")
   }
 
-  test("p43: HLL registers build as a groups×256-key partial-max agg — no distinct shuffle for the sketch") {
+  test("p43: HLL registers build as a groups×256-key partial-max agg over the folded vocab") {
+    // r22 shape: ONE corpus pass folds instances to the distinct
+    // (lang, bigram) set (a map-side partial-distinct agg — the same
+    // shuffle class the exact count always paid), then the register
+    // max AND the exact count read the vocab-sized cache. The old pin
+    // (`partial_count(distinct`) encoded the pre-fold plan where the
+    // exact side re-deduplicated the instance cache on its own.
     val plan = finalPlan(graft.queries.Pipeline.p43.fn(spark, sf))
     assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("partial_max"),
       s"register maxima need map-side combine (the merge law):\n${plan.take(1000)}")
-    assert(plan.contains("partial_count(distinct"),
-      "the exact side runs beside the sketch with its own partial distinct")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate(keys=[lang") && l.contains("big") && l.contains("functions=[]")),
+      s"the vocab fold must be a map-side partial distinct on (lang, big):\n${plan.take(1200)}")
+    assert(!plan.contains("partial_count(distinct"),
+      "the exact count must ride the folded vocab, not re-deduplicate instances")
   }
 
   test("p34b: bigram LM joins are dictionary equi-joins; doc sums are partial+final") {
