@@ -1107,9 +1107,12 @@ object Pipeline {
       // the expanded strategy; p22's job is the end-to-end search
       val model = graft.ops.KMeans.fit(e0, "vec_id", "embedding", kmK, kmIters,
         forceKernel = true)
+      // no persist (r22): the membership frame has exactly ONE consumer
+      // (the candidate equi-join — the r21 distinct removal deleted the
+      // second) and e0 is already cached, so caching the projection
+      // again was a corpus-sized cache write for nothing (guide §5)
       val lists = graft.ops.KMeans.assign(e0, "embedding", model, forceKernel = true)
         .select(col("vec_id"), col("cluster").as("list_id"))
-        .persist() // the argmax projection evaluates ONCE (joined twice below)
       trainedIvfSearch(e0, model, lists)
     },
     Some(duckTrainedIvfSql))
@@ -2338,9 +2341,10 @@ object Pipeline {
       afterSeed = () => cbP.completeWith(scala.concurrent.Future {
         pqCodebook(e)
       }(scala.concurrent.ExecutionContext.global)))
+    // no persist (r22): one consumer only (the members semi-join /
+    // candidate equi-join) over the already-cached e0 — see p22's note
     val lists = graft.ops.KMeans.assign(e0, "embedding", model, forceKernel = true)
       .select(col("vec_id"), col("cluster").as("list_id"))
-      .persist() // the argmax projection evaluates once
     // the p48 pre-filter: prune the membership table itself, BEFORE
     // probes select candidates — the allow-list is dimension-sized
     // (metadata, not vectors), so it broadcasts into a semi join
