@@ -173,4 +173,4 @@ object Dedup {
   def survivors(components: DataFrame): DataFrame =
     components.filter(col("member") === col("cluster_rep"))
       .select(col("member").as("doc_id"))
-  }
+}
